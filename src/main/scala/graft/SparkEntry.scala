@@ -36,6 +36,9 @@ object SparkEntry {
   * operators/ sources/ functions/ modules can register here without
   * touching the entry point. */
 object Queries {
+  import graft.functions.GraftFunctions._
+  import graft.operators._
+
   private val dec = DecimalType(18, 2)
 
   /** TPC-H Q1-style pricing summary: hash aggregate with map-side
@@ -52,8 +55,76 @@ object Queries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** A4/A6 — JSONPath membership filter over the events stream table:
+    * props is a raw JSON string; get_json_object stays in codegen and
+    * the event_type predicate pushes into the parquet scan. */
+  def qFilterJsonpath(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Filters.jsonPathFilter(
+        Filters.fieldPathFilter(ev, "event_type", Seq("purchase", "click")),
+        col("props"), "$.k", Seq("1", "2", "3"))
+      .select(col("event_id"), col("event_type"),
+              get_json_object(col("props"), "$.k").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A5 — classification masking: source=confidential, n_chars=secret;
+    * emit level public ⇒ both pruned out of the scan entirely. */
+  def qMaskProject(s: SparkSession, dir: String): DataFrame = {
+    val annotated = Masking.annotate(Tables.documents(s, dir),
+      Map("source" -> "confidential", "n_chars" -> "secret",
+          "text" -> "public", "lang" -> "public"))
+    Masking.maskColumns(annotated, emitLevel = "public")
+      .orderBy(col("doc_id"))
+  }
+
+  /** A2/A3/A7/A8 — topic routing: tenant strip, first-match glob
+    * routing (sorted by sub id), target-path templating. */
+  def qRouteTopics(s: SparkSession, dir: String): DataFrame = {
+    val subs = Seq(
+      SubscriptionRoute("sub-01", "purchase", "_aether/entities/{topic}"),
+      SubscriptionRoute("sub-02", "click", "_aether/clicks/{topic}"),
+      SubscriptionRoute("sub-03", "*", "_aether/all/{topic}"))
+    val ev = Tables.events(s, dir)
+      .withColumn("kafka_topic", concat(lit("tnant."), col("event_type")))
+    Routing.route(ev, col("kafka_topic"), "tnant", subs)
+      .select(col("event_id"), col("topic"), col("sub_id"), col("target_path"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A11 — canonical-hash (Python json.dumps(sort_keys=True) → md5[:16])
+    * of each document's JSON-shaped fields. */
+  def qHashCanonical(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        canonical_hash(struct(col("doc_id"), col("lang"), col("source")))
+          .as("doc_hash"))
+      .orderBy(col("doc_id"))
+
+  /** A10–A13 — SYNC-mode change detection: left-anti join of the
+    * incoming batch against the hash store on (id, hash). Store rows:
+    * doc_id%3==0 current hash (unchanged ⇒ dropped), %3==1 stale hash
+    * (changed ⇒ kept), %3==2 absent (new ⇒ kept). */
+  def qSyncAntijoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hashed = docs.select(col("doc_id"),
+      canonical_hash(struct(col("doc_id"), col("lang"), col("source"))).as("doc_hash"))
+    val store = hashed.filter(col("doc_id") % 3 < 2)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, col("doc_hash"))
+          .otherwise(substring(md5(concat(lit("stale-"), col("doc_id").cast("string"))), 1, 16))
+          .as("doc_hash"))
+    SyncGate.needsUpdate(hashed, store, "doc_id", "doc_hash")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "q_filter_jsonpath" -> (qFilterJsonpath _),
+    "q_mask_project" -> (qMaskProject _),
+    "q_route_topics" -> (qRouteTopics _),
+    "q_hash_canonical" -> (qHashCanonical _),
+    "q_sync_antijoin" -> (qSyncAntijoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -65,6 +136,52 @@ object Queries {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_jsonpath" ->
+      """SELECT event_id, event_type, json_extract_string(props, '$.k') AS k
+        |FROM events
+        |WHERE event_type IN ('purchase','click')
+        |  AND json_extract_string(props, '$.k') IN ('1','2','3')
+        |ORDER BY event_id""".stripMargin,
+
+    "q_mask_project" ->
+      "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
+
+    "q_route_topics" ->
+      """SELECT event_id, event_type AS topic,
+        |  CASE WHEN event_type = 'purchase' THEN 'sub-01'
+        |       WHEN event_type = 'click' THEN 'sub-02'
+        |       ELSE 'sub-03' END AS sub_id,
+        |  CASE WHEN event_type = 'purchase' THEN '_aether/entities/' || event_type
+        |       WHEN event_type = 'click' THEN '_aether/clicks/' || event_type
+        |       ELSE '_aether/all/' || event_type END AS target_path
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_hash_canonical" ->
+      """SELECT doc_id,
+        |  substr(md5('{"doc_id": ' || doc_id || ', "lang": "' || lang ||
+        |             '", "source": "' || source || '"}'), 1, 16) AS doc_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sync_antijoin" ->
+      """WITH incoming AS (
+        |  SELECT doc_id,
+        |    substr(md5('{"doc_id": ' || doc_id || ', "lang": "' || lang ||
+        |               '", "source": "' || source || '"}'), 1, 16) AS doc_hash
+        |  FROM documents
+        |), store AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_hash
+        |         ELSE substr(md5('stale-' || doc_id), 1, 16) END AS doc_hash
+        |  FROM incoming WHERE doc_id % 3 < 2
+        |)
+        |SELECT i.doc_id, i.doc_hash FROM incoming i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM store s
+        |  WHERE s.doc_id = i.doc_id AND s.doc_hash = i.doc_hash)
+        |ORDER BY i.doc_id""".stripMargin
   )
 }

@@ -11,8 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scan because every reader below is a plain declarative scan.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
+    // rejects by default; read it as epoch-nanos LongType (exact —
+    // DuckDB oracle side uses epoch_ns(ts) for the same value).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("masking prunes annotated fields above emit level, keeps nested structure") {
+    val df = Seq((1L, "t", "pub", "priv", 7)).toDF("id", "text", "keepme", "source", "n")
+    val annotated = Masking.annotate(df,
+      Map("source" -> "confidential", "n" -> "secret", "keepme" -> "public"))
+    val masked = Masking.maskColumns(annotated, "public")
+    assert(masked.columns.toSeq == Seq("id", "text", "keepme"))
+    // higher emit level keeps confidential but not secret
+    val masked2 = Masking.maskColumns(annotated, "confidential")
+    assert(masked2.columns.toSeq == Seq("id", "text", "keepme", "source"))
+  }
+
+  test("masking handles nested structs") {
+    val df = Seq((1L, ("lat", "secretval"))).toDF("id", "geo")
+      .select($"id", struct($"geo._1".as("lat"),
+        $"geo._2".as("hidden", new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(Masking.DefaultAnnotation, "secret").build())).as("geo"))
+    val masked = Masking.maskColumns(df, "public")
+    assert(masked.select("geo.*").columns.toSeq == Seq("lat"))
+  }
+
+  test("routing: first glob match after id sort wins; tenant stripped; path templated") {
+    val subs = Seq(
+      SubscriptionRoute("sub-02", "a*", "_x/{topic}"),
+      SubscriptionRoute("sub-01", "ab", "_aether/entities/{topic}"))
+    val df = Seq("tnt.ab", "tnt.ax", "tnt.zz").toDF("t")
+    val routed = Routing.route(df, $"t", "tnt", subs)
+      .select("topic", "sub_id", "target_path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(routed.contains(("ab", "sub-01", "_aether/entities/ab"))) // sub-01 sorts first
+    assert(routed.contains(("ax", "sub-02", "_x/ax")))
+    assert(routed.contains(("zz", null, null))) // no match
+  }
+
+  test("globToRegex escapes regex metachars") {
+    assert("a.b-1".matches(Routing.globToRegex("a.b-?")))
+    assert(!"aXb-1".matches(Routing.globToRegex("a.b-?")))
+    assert("anything".matches(Routing.globToRegex("*")))
+  }
+
+  test("sync gate: forward passes, consume drops, sync anti-joins") {
+    val incoming = Seq((1L, "h1"), (2L, "h2"), (3L, "h3")).toDF("id", "doc_hash")
+    val store = Seq((1L, "h1"), (2L, "old")).toDF("id", "doc_hash")
+    assert(SyncGate.gate(incoming, SyncGate.Forward, store).count() == 3)
+    assert(SyncGate.gate(incoming, SyncGate.Consume, store).count() == 0)
+    val synced = SyncGate.gate(incoming, SyncGate.Sync, store)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(synced == Seq(2L, 3L)) // 1 unchanged, 2 stale hash, 3 new
+  }
+
+  test("jsonPathFilter extracts and filters on JSON string column") {
+    val df = Seq((1L, """{"k": 1}"""), (2L, """{"k": 99}""")).toDF("id", "props")
+    val out = Filters.jsonPathFilter(df, $"props", "$.k", Seq("1"))
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+}
