@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("semi + anti joins partition orders") {
+    // semi(q>45) and anti(q>45) complement each other
+    val orders = Tables.orders(spark, sf).count()
+    val semi = Queries.qJoinSemi(spark, sf).count()
+    val anti = Tables.orders(spark, sf).join(
+      Tables.lineitem(spark, sf).filter(org.apache.spark.sql.functions.col("l_quantity") > 45),
+      org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey"), "left_anti").count()
+    assert(semi + anti == orders)
+  }
+
+  test("topk returns 10 rows in descending price order") {
+    val rows = Queries.qTopK(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("rollup emits grand total row equal to customer count") {
+    val rows = Queries.qRollup(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == Tables.customer(spark, sf).count())
+  }
+
+  test("window running sum is monotone non-trivial per user") {
+    val rows = Queries.qWindowFuncs(spark, sf).limit(100).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.isNullAt(4)))
+  }
+
+  test("event window buckets cover all events") {
+    val total = Queries.qEventWindow(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+}
