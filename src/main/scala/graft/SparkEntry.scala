@@ -340,6 +340,84 @@ object Queries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Language-ID heuristic: marker-token profile scores + argmax. */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLanguageId(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("pred_lang"),
+        col("score_general"), col("score_query"), col("score_stream"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: token/length/stopword metrics + weighted score. */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQuality(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("stopword_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace, regex, and BPE-estimate. */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTokenCounts(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("est_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing-style document fingerprint over 3-gram shingles. */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withFingerprint(
+        Dedup.withShingles(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), "text"))
+      .select(col("doc_id"), col("n_selected"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 10):
+    * broadcast queries against the vector table, windowed rank. */
+  def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(vectors, vectors.filter(col("vec_id") < 10), 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** 4-bit random-hyperplane LSH buckets. */
+  private lazy val lshPlanes = Similarity.hyperplanes(4, 64)
+
+  /** LSH-bucketed ANN: equi-join candidates on the bucket key, top-3
+    * per query by exact quantized cosine. */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Similarity.quantized(Tables.embeddings(s, dir))
+      .withColumn("bucket", Similarity.bucketColumn(lshPlanes))
+    val a = v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+      col("qv").as("qa"), col("norm2").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("neighbor_id"),
+      col("qv").as("qb"), col("norm2").as("nb"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    a.join(b, "bucket").filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        Similarity.cosine(Similarity.dotExpr("qa", "qb"), col("na"), col("nb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Multimodal feature extraction: binary payload column decoded in
+    * partition batches (stubbed deterministic decoder, real plumbing). */
+  def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s,
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  /** Frame sampling over binary payloads: every 2nd 64-byte frame. */
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)), 64, 2)
+      .select(col("media_id"), col("frame_idx"), col("frame_len"), col("frame_hash"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
@@ -362,7 +440,15 @@ object Queries {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
-    "q_dedup_embedding" -> (qDedupEmbedding _)
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_tokens" -> (qTextTokens _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_multimodal_frames" -> (qMultimodalFrames _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -601,6 +687,105 @@ object Queries {
         |  list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos_sim
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2)) > 0.25
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_intersect(toks, ['the','a','of','and'])) AS DOUBLE)/len(toks) AS score_general,
+        |  CAST(len(list_intersect(toks, ['query','table','scan','join','filter'])) AS DOUBLE)/len(toks) AS score_query,
+        |  CAST(len(list_intersect(toks, ['stream','batch','window','event'])) AS DOUBLE)/len(toks) AS score_stream
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN score_general = greatest(score_general, score_query, score_stream) THEN 'general'
+        |       WHEN score_query = greatest(score_general, score_query, score_stream) THEN 'query'
+        |       ELSE 'stream' END AS pred_lang,
+        |  score_general, score_query, score_stream
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) n_tokens,
+        |  CAST(length(text) - len(w) + 1 AS DOUBLE)/len(w) avg_token_len,
+        |  CAST(len(list_filter(w, t2 -> list_contains(['the','a','of','and','to'], t2))) AS DOUBLE)/len(w) stopword_ratio
+        |FROM t)
+        |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+        |  least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.5 + stopword_ratio*0.3 +
+        |  least(1.0, avg_token_len/10.0)*0.2 AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) re_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""WITH $shingleCte,
+         |f AS (SELECT doc_id,
+         |  list_sort(list_filter(list_transform(sh, t -> md5(t)), h -> substr(h,1,1) = '0')) sel
+         |FROM sh)
+         |SELECT doc_id, CAST(len(sel) AS BIGINT) n_selected,
+         |  md5(coalesce(array_to_string(sel, ''), '')) fingerprint
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
+         |s AS (SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         |    list_dot_product(a.qv, b.qv)/(sqrt(a.norm2)*sqrt(b.norm2)) cos_sim
+         |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) rnk
+         |  FROM s)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) rnk, cos_sim
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_ann_lsh" -> {
+      val planes = Queries.lshPlanesLiterals
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(qv, $p) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2, $bucket AS bucket FROM q),
+         |s AS (SELECT a.vec_id query_id, b.vec_id neighbor_id, a.bucket,
+         |    list_dot_product(a.qv, b.qv)/(sqrt(a.norm2)*sqrt(b.norm2)) cos_sim
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) rnk
+         |  FROM s)
+         |SELECT query_id, neighbor_id, bucket, CAST(rnk AS BIGINT) rnk, cos_sim
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_multimodal_features" ->
+      """WITH c AS (SELECT doc_id media_id, length(text) byte_len,
+        |    list_transform(string_split(text, ''), ch -> ascii(ch)) codes
+        |  FROM documents)
+        |SELECT media_id, CAST(byte_len AS BIGINT) byte_len,
+        |  CAST(list_sum(codes) AS BIGINT) byte_sum,
+        |  CAST(len(list_filter(codes, c2 -> (c2 >> 6) = 0)) AS BIGINT) h0,
+        |  CAST(len(list_filter(codes, c2 -> (c2 >> 6) = 1)) AS BIGINT) h1,
+        |  CAST(len(list_filter(codes, c2 -> (c2 >> 6) = 2)) AS BIGINT) h2,
+        |  CAST(len(list_filter(codes, c2 -> (c2 >> 6) = 3)) AS BIGINT) h3
+        |FROM c ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id media_id, text,
+        |    unnest(generate_series(0, (length(text) - 1) // 64, 2)) frame_idx
+        |  FROM documents)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) frame_idx,
+        |  CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT) frame_len,
+        |  md5(substr(text, frame_idx * 64 + 1, 64)) frame_hash
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin
   )
+
+  /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the
+    * Spark plan so oracle and engine use identical constants). */
+  def lshPlanesLiterals: Seq[String] =
+    lshPlanes.map(_.mkString("[", ", ", "]"))
 }
