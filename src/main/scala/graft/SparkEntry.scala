@@ -418,6 +418,34 @@ object Queries {
       .select(col("media_id"), col("frame_idx"), col("frame_len"), col("frame_hash"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** Full subscription pipeline in batch mode (the exact chain the
+    * streaming path runs per micro-batch): route → filter → mask →
+    * path template → canonical hash → SYNC anti-join gate. */
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{FbOptions, Subscription => Sub}
+    val sub = Sub("sub-e2e", "e2e", "*", FbOptions(
+      syncMode = "sync",
+      targetPath = "_aether/entities/{topic}",
+      filterRequired = true,
+      filterFieldPath = "event_type",
+      filterPassValues = Seq("purchase", "click"),
+      maskingLevels = Masking.DefaultLevels,
+      maskingEmitLevel = "public"))
+    // ts excluded from the payload: DuckDB reads the ns timestamp
+    // µs-truncated, so raw ns values cannot appear in oracle output
+    val ev = Masking.annotate(
+      Tables.events(s, dir).withColumnRenamed("event_id", "id").drop("ts")
+        .withColumn("kafka_topic", concat(lit("tnant."), col("event_type"))),
+      Map("props" -> "confidential"))
+    val prepared = graft.streaming.Pipeline.compile(sub, "tnant", ev)
+    // hash store fixture: even ids stored with their current hash
+    val store = prepared.filter(col("id") % 2 === 0).select(col("doc_id"), col("doc_hash"))
+    graft.streaming.Pipeline.gate(prepared, sub, store)
+      .select(col("doc_id"), col("topic"), col("target_path"),
+        col("doc_hash"), col("doc_json"))
+      .orderBy(col("doc_id").cast("long"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
@@ -448,7 +476,8 @@ object Queries {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
-    "q_multimodal_frames" -> (qMultimodalFrames _)
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_pipeline_e2e" -> (qPipelineE2e _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -781,7 +810,23 @@ object Queries {
         |SELECT media_id, CAST(frame_idx AS BIGINT) frame_idx,
         |  CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT) frame_len,
         |  md5(substr(text, frame_idx * 64 + 1, 64)) frame_hash
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH base AS (
+        |  SELECT event_id id, user_id, event_type, value
+        |  FROM events WHERE event_type IN ('purchase','click')),
+        |h AS (SELECT *,
+        |  substr(md5('{"event_type": "' || event_type || '", "id": ' || id ||
+        |             ', "user_id": ' || user_id ||
+        |             ', "value": ' || value::VARCHAR || '}'), 1, 16) doc_hash
+        |  FROM base)
+        |SELECT CAST(id AS VARCHAR) doc_id, event_type AS topic,
+        |  '_aether/entities/' || event_type AS target_path, doc_hash,
+        |  '{"id":' || id || ',"user_id":' || user_id ||
+        |    ',"event_type":"' || event_type || '","value":' || value::VARCHAR || '}' AS doc_json
+        |FROM h WHERE id % 2 = 1
+        |ORDER BY id""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Destination abstraction for the Firestore/RTDB write path
+  * (reference A14/A15: micro-batched WriteBatch upserts,
+  * firebase/app/artifacts.py:302-327, doc ref = {target_path}/{id},
+  * helpers.py:98-103).
+  *
+  * Implementations must be idempotent upserts keyed by (targetPath,
+  * docId) — `set` semantics — so at-least-once replays converge
+  * (artifacts.py:405-406). A real Firestore implementation would wrap
+  * the Admin SDK WriteBatch; tests and the oracle use the local
+  * filesystem sink below. Instances are created executor-side (one per
+  * partition) by the streaming pipeline — no driver funneling.
+  */
+trait DocumentSink extends Serializable {
+  /** Max docs per commit batch (MAX_SUBMIT = 50, artifacts.py:304). */
+  def maxSubmit: Int = 50
+
+  /** Upsert one batch (≤ maxSubmit docs) atomically-ish. */
+  def commitBatch(docs: Seq[DocumentSink.Doc]): Unit
+
+  /** Stream of docs → batched commits, preserving iterator laziness. */
+  final def upsertAll(docs: Iterator[DocumentSink.Doc]): Long = {
+    var n = 0L
+    docs.grouped(maxSubmit).foreach { g => commitBatch(g); n += g.size }
+    n
+  }
+}
+
+object DocumentSink {
+  /** One document write: destination collection path, doc id, JSON body. */
+  final case class Doc(targetPath: String, docId: String, json: String)
+}
+
+/** Filesystem document store emulating Firestore's collection/document
+  * layout: {root}/{target_path}/{doc_id}.json. Writes are atomic
+  * (tmp + move) so replays/overwrites are safe; doc id is the file
+  * name, making the upsert idempotent by construction. */
+final class JsonFileSink(root: String) extends DocumentSink {
+  override def commitBatch(docs: Seq[DocumentSink.Doc]): Unit =
+    docs.foreach { d =>
+      val dir = Paths.get(root, d.targetPath)
+      Files.createDirectories(dir)
+      val tmp = Files.createTempFile(dir, s".${d.docId}", ".tmp")
+      Files.write(tmp, d.json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve(s"${d.docId}.json"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model._
+import graft.sources.JsonFileSink
+
+/** Runnable end-to-end demo of the streaming pipeline: two micro-
+  * batches through a file-stream source with SYNC change detection.
+  * Prints the sink layout and hash-store state. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val input = Files.createTempDirectory("demo-in").toString
+    val sinkRoot = Files.createTempDirectory("demo-sink").toString
+    val work = Files.createTempDirectory("demo-work").toString
+
+    val sub = Subscription("demo-sub", "demo", "t*",
+      FbOptions(syncMode = "sync", targetPath = "_aether/entities/{topic}"))
+    println(s"validation: ${Validation.validateSubscription(sub)}")
+
+    val b1 = (1L to 5L).map(i => ("tnt.topicA", i, s"v$i")).toDF("kafka_topic", "id", "payload")
+    b1.coalesce(1).write.mode("append").parquet(input)
+
+    val job = new StreamingJob(spark, sub, "tnt", () => new JsonFileSink(sinkRoot),
+      s"$work/hashes", s"$work/ckpt")
+    val q = job.start(spark.readStream.schema(b1.schema).parquet(input))
+    q.processAllAvailable()
+    println(s"after batch1: sink=${list(sinkRoot)} hashes=${job.hashStore.load().count()}")
+
+    // batch 2: replay + one change + one new
+    val b2 = (Seq(("tnt.topicA", 1L, "v1-CHANGED"), ("tnt.topicA", 6L, "v6")) ++
+      (2L to 5L).map(i => ("tnt.topicA", i, s"v$i"))).toDF("kafka_topic", "id", "payload")
+    b2.coalesce(1).write.mode("append").parquet(input)
+    q.processAllAvailable()
+    println(s"after batch2: sink=${list(sinkRoot)} hashes=${job.hashStore.load().count()}")
+    println(s"doc1=${Files.readString(java.nio.file.Paths.get(sinkRoot, "_aether/entities/topicA/1.json"))}")
+    q.stop()
+    spark.stop()
+  }
+
+  private def list(root: String): String = {
+    val d = new java.io.File(s"$root/_aether/entities/topicA")
+    if (!d.exists) "∅" else d.list().sorted.mkString(",")
+  }
+}

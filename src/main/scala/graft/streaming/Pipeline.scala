@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.GraftFunctions.canonical_hash
+import graft.model.Subscription
+import graft.operators.{Filters, Masking, Routing, SubscriptionRoute, SyncGate}
+import graft.sources.DocumentSink
+
+/** The reference's steady-state data path (SURVEY §3.2) as one
+  * Structured Streaming pipeline:
+  *
+  *   source → route(topic glob, tenant strip) → filter(field path ∈
+  *   pass values) → mask(classification ≤ emit level) → target-path
+  *   template → canonical hash → sync gate (hash anti-join) →
+  *   batched idempotent upsert sink + hash-store merge.
+  *
+  * The same `compile` chain serves batch (oracle-verified, see
+  * Queries.qPipelineE2e) and streaming (`start`) — classic
+  * batch/streaming unification, replacing the reference's
+  * 1-message-per-0.5 s poll loop (artifacts.py:263-285) with
+  * micro-batches; offsets live in the checkpoint instead of Kafka
+  * group commits (A25 ⇒ effectively-once with the idempotent sink).
+  *
+  * Scale notes: every stage is a narrow projection except the sync
+  * anti-join (shuffle on id, broadcastable store) and the sink
+  * (foreachPartition, executor-side connections, ≤50-doc commits per
+  * the reference's WriteBatch limit).
+  */
+object Pipeline {
+
+  /** Input contract: `kafka_topic` string column + an `id` column +
+    * payload columns. Output: surviving rows with `doc_id`,
+    * `target_path`, `doc_json`, `doc_hash`. */
+  def compile(sub: Subscription, tenant: String, df: DataFrame): DataFrame = {
+    val payloadCols = df.columns.filterNot(_ == "kafka_topic").toIndexedSeq
+
+    val routed = Routing.route(df, col("kafka_topic"), tenant,
+        Seq(SubscriptionRoute(sub.id, sub.topicPattern, sub.fbOptions.targetPath)))
+      .filter(col("sub_id").isNotNull)
+
+    val filtered =
+      if (sub.fbOptions.filterRequired)
+        Filters.fieldPathFilter(routed, sub.fbOptions.filterFieldPath,
+          sub.fbOptions.filterPassValues)
+      else routed
+
+    val masked =
+      if (sub.fbOptions.maskingEmitLevel.nonEmpty && sub.fbOptions.maskingLevels.nonEmpty) {
+        val keep = Masking.maskColumns(
+          filtered.select(payloadCols.map(col): _*),
+          sub.fbOptions.maskingEmitLevel, sub.fbOptions.maskingLevels,
+          sub.fbOptions.maskingAnnotation).columns.toIndexedSeq
+        filtered.select((keep ++ Seq("topic", "sub_id", "target_path")).map(col): _*)
+      } else filtered
+
+    val docCols = masked.columns
+      .filterNot(Set("topic", "sub_id", "target_path", "kafka_topic")).toIndexedSeq
+    masked
+      .withColumn("doc_id", col("id").cast("string"))
+      .withColumn("doc_json", to_json(struct(docCols.map(col): _*)))
+      .withColumn("doc_hash", canonical_hash(struct(docCols.map(col): _*)))
+  }
+
+  /** Rows needing a write under the subscription's sync mode. */
+  def gate(prepared: DataFrame, sub: Subscription, hashStore: => DataFrame): DataFrame =
+    SyncGate.gate(prepared, SyncGate.parseMode(sub.fbOptions.syncMode),
+      hashStore, "doc_id", "doc_hash")
+
+  /** Executor-side batched upsert of the gated rows. */
+  def upsert(gated: DataFrame, mkSink: () => DocumentSink): Long = {
+    val acc = gated.sparkSession.sparkContext.longAccumulator("docs_written")
+    gated.select(col("target_path"), col("doc_id"), col("doc_json"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val sink = mkSink()
+        val n = sink.upsertAll(rows.map(r =>
+          DocumentSink.Doc(r.getString(0), r.getString(1), r.getString(2))))
+        acc.add(n)
+      }
+    acc.value
+  }
+}
+
+/** Durable (doc_id, doc_hash) table backing SYNC-mode change
+  * detection — the Spark-side equivalent of the reference's RTDB
+  * `_aether/entityHash/{id}` store (config.py:37, helpers.py:51-67),
+  * maintained as parquet merged per micro-batch (no driver state). */
+final class HashStore(spark: SparkSession, path: String) {
+  import org.apache.spark.sql.types._
+  private val schema = StructType(Seq(
+    StructField("doc_id", StringType), StructField("doc_hash", StringType)))
+
+  def load(): DataFrame = {
+    val dir = new java.io.File(path)
+    if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
+      spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Upsert new hashes: new rows win over stored rows per doc_id. */
+  def merge(updates: DataFrame): Unit = {
+    val next = updates.select(col("doc_id").cast("string"), col("doc_hash"))
+      .unionByName(load().join(updates.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val tmp = path + ".tmp"
+    next.write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(path)
+    if (target.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(target)
+    }
+    new java.io.File(tmp).renameTo(target): Unit
+  }
+}
+
+/** One running job = one StreamingQuery (SURVEY §1: Job ⇄ query). */
+final class StreamingJob(
+    spark: SparkSession,
+    sub: Subscription,
+    tenant: String,
+    mkSink: () => DocumentSink,
+    hashStorePath: String,
+    checkpoint: String) {
+
+  val hashStore = new HashStore(spark, hashStorePath)
+
+  /** Start the pipeline over any streaming DataFrame honoring the
+    * input contract (kafka stream, file stream, or MemoryStream). */
+  def start(stream: DataFrame): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prepared = Pipeline.compile(sub, tenant, batch).cache()
+        try {
+          val gated = Pipeline.gate(prepared, sub, hashStore.load()).cache()
+          try {
+            Pipeline.upsert(gated, mkSink)
+            if (SyncGate.parseMode(sub.fbOptions.syncMode) == SyncGate.Sync)
+              hashStore.merge(gated.select("doc_id", "doc_hash"))
+          } finally { gated.unpersist(): Unit }
+        } finally { prepared.unpersist(): Unit }
+      }
+      .start()
+}
