@@ -253,10 +253,14 @@ object Queries {
       .orderBy(col("keeper_id"))
   }
 
+  /** Signature table is cached: it feeds both sides of the candidate
+    * self-join plus the similarity-estimate joins (at cluster scale
+    * this would be a checkpointed/persisted intermediate). */
   private def minhashSigned(s: SparkSession, dir: String): DataFrame =
     Dedup.withMinhashSignature(
       Dedup.withShingles(
         Tables.documents(s, dir).select(col("doc_id"), col("text")), "text"), 8)
+      .cache()
 
   /** MinHash+LSH near-duplicate candidates: 8 hash family, 4 bands of
     * 2; banding is the global blocking key (no n² stage); sim_est =
@@ -302,6 +306,7 @@ object Queries {
     val sh = Dedup.withShingles(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
       .select(col("doc_id"), simhash(col("sh")).as("simhash"))
+      .cache()
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("chunk_val")))
@@ -324,15 +329,14 @@ object Queries {
   /** Embedding near-dup: quantized-integer cosine (exact dot products,
     * bit-identical doubles across engines) over label-blocked pairs. */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
-      .withColumn("norm2", expr("aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+    val q = Similarity.quantized(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("label"), col("qv"), col("norm2")).cache()
     val a = q.select(col("vec_id").as("vec_a"), col("label"),
       col("qv").as("qa"), col("norm2").as("na"))
     val b = q.select(col("vec_id").as("vec_b"), col("label"),
       col("qv").as("qb"), col("norm2").as("nb"))
     a.join(b, "label").filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("dot", Similarity.dotExpr("qa", "qb"))
       .withColumn("cos_sim",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cos_sim") > 0.25)
@@ -491,14 +495,16 @@ object Queries {
 
   private val minhashCte = {
     val mins = (0 until 8)
-      .map(i => s"list_min(list_transform(sh, t -> md5('$i:'||t))) m$i")
+      .map(i => s"list_min(list_transform(hs, h -> (${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP})) m$i")
       .mkString(",\n  ")
     val bandKeys = (0 until 4)
-      .map(b => s"WHEN $b THEN md5(m${2 * b}||m${2 * b + 1})")
+      .map(b => s"WHEN $b THEN md5(CAST(m${2 * b} AS VARCHAR)||CAST(m${2 * b + 1} AS VARCHAR))")
       .mkString(" ")
     s"""$shingleCte,
+       |hsh AS (SELECT doc_id,
+       |  list_transform(sh, t -> ('0x'||substr(md5(t),1,8))::BIGINT) hs FROM sh),
        |sig AS (SELECT doc_id,
-       |  $mins FROM sh),
+       |  $mins FROM hsh),
        |bands AS (SELECT doc_id, band_idx,
        |  CASE band_idx $bandKeys END band_key
        |  FROM sig, (SELECT unnest([0,1,2,3]) band_idx)),

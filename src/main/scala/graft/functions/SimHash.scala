@@ -35,13 +35,12 @@ case class SimHashExpr(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val acc = new Array[Int](32)
-    val md = MessageDigest.getInstance("MD5")
+    val md = SimHashExpr.localMd5.get()
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val tok = arr.getUTF8String(i).toString
         md.reset()
-        val digest = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+        val digest = md.digest(arr.getUTF8String(i).getBytes)
         // first 8 hex chars == first 4 bytes, big-endian
         val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
                 ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
@@ -61,6 +60,12 @@ case class SimHashExpr(child: Expression)
     }
     java.lang.Long.valueOf(out)
   }
+}
+
+object SimHashExpr {
+  /** MD5 is not thread-safe; one instance per executor thread. */
+  val localMd5: ThreadLocal[MessageDigest] = ThreadLocal.withInitial(
+    () => MessageDigest.getInstance("MD5"))
 }
 
 object SimHash {

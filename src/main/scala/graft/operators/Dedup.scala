@@ -31,21 +31,32 @@ object Dedup {
       .drop("w")
   }
 
-  /** df + m0..m{k-1} minhash columns over the `sh` shingle column.
-    * Hash family i: md5('i:' || shingle); the minimum hex string is the
-    * minhash (fixed-width hex ⇒ lexicographic min == numeric min). */
-  def withMinhashSignature(df: DataFrame, k: Int = 8): DataFrame =
-    (0 until k).foldLeft(df) { (d, i) =>
+  /** Universal-hash family for minhash: h_i(x) = (a_i·x + b_i) mod p
+    * over a 32-bit md5-derived base hash. ONE md5 per shingle instead
+    * of k — the md5 is the cost center at scale; the k derived hashes
+    * are three integer ops each. No overflow: a_i·x < 2^63. */
+  val MinhashP: Long = 2147483647L // 2^31 - 1
+  val MinhashA: Seq[Long] = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  val MinhashB: Seq[Long] = Seq(11L, 101L, 1009L, 10007L, 100003L,
+    1000003L, 10000019L, 100000007L)
+
+  /** df + m0..m{k-1} bigint minhash columns over the `sh` column. */
+  def withMinhashSignature(df: DataFrame, k: Int = 8): DataFrame = {
+    val withBase = df.withColumn("_hs",
+      expr("transform(sh, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+    (0 until k).foldLeft(withBase) { (d, i) =>
       d.withColumn(s"m$i",
-        expr(s"array_min(transform(sh, t -> md5(concat('$i:', t))))"))
-    }
+        expr(s"array_min(transform(_hs, h -> (${MinhashA(i)}L * h + ${MinhashB(i)}L) % ${MinhashP}L))"))
+    }.drop("_hs")
+  }
 
   /** df + (band_idx, band_key) exploded rows: bands of `rows` adjacent
     * minhashes, keyed by md5 of their concatenation. */
   def withLshBands(df: DataFrame, k: Int = 8, rows: Int = 2): DataFrame = {
     val nBands = k / rows
     val bandKeys = (0 until nBands).map { b =>
-      val ms = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      val ms = (b * rows until (b + 1) * rows).map(i => col(s"m$i").cast("string"))
       struct(lit(b).as("band_idx"), md5(concat(ms: _*)).as("band_key"))
     }
     df.withColumn("band", explode(array(bandKeys: _*)))

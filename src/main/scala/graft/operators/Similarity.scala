@@ -28,12 +28,12 @@ object Similarity {
   /** vectors + qv (quantized) + norm2 (exact integer). */
   def quantized(vectors: DataFrame): DataFrame =
     vectors.withColumn("qv", expr(quantizeExpr))
-      .withColumn("norm2",
-        expr("aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("norm2", graft.functions.VectorOps.dot_long(col("qv"), col("qv")))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (codegen'd
+    * fused loop — see functions.DotLongExpr). */
   def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    graft.functions.VectorOps.dot_long(col(a), col(b))
 
   /** cosine from exact integer dot + norms (deterministic doubles). */
   def cosine(dot: Column, na: Column, nb: Column): Column =
@@ -58,8 +58,8 @@ object Similarity {
     * exact. */
   def bucketColumn(planes: Seq[Seq[Int]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val lits = p.mkString("array(", ", ", ")")
-      when(expr(s"aggregate(zip_with(qv, $lits, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)") > 0,
+      val lits = expr(p.mkString("array(", ", ", ")")).cast("array<bigint>")
+      when(graft.functions.VectorOps.dot_long(col("qv"), lits) > 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
