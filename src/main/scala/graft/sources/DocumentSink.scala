@@ -22,6 +22,10 @@ trait DocumentSink extends Serializable {
   /** Upsert one batch (≤ maxSubmit docs) atomically-ish. */
   def commitBatch(docs: Seq[DocumentSink.Doc]): Unit
 
+  /** Connection test (reference A19: test_connection creates a ref and
+    * maps failure to an error, artifacts.py:112-124). */
+  def testConnection(): Either[String, Unit] = Right(())
+
   /** Stream of docs → batched commits, preserving iterator laziness. */
   final def upsertAll(docs: Iterator[DocumentSink.Doc]): Long = {
     var n = 0L
@@ -40,6 +44,12 @@ object DocumentSink {
   * (tmp + move) so replays/overwrites are safe; doc id is the file
   * name, making the upsert idempotent by construction. */
 final class JsonFileSink(root: String) extends DocumentSink {
+  override def testConnection(): Either[String, Unit] = {
+    val dir = new java.io.File(root)
+    if ((dir.exists || dir.mkdirs()) && dir.canWrite) Right(())
+    else Left(s"sink root not writable: $root")
+  }
+
   override def commitBatch(docs: Seq[DocumentSink.Doc]): Unit =
     docs.foreach { d =>
       val dir = Paths.get(root, d.targetPath)

@@ -43,6 +43,30 @@ object Demo {
     println(s"after batch2: sink=${list(sinkRoot)} hashes=${job.hashStore.load().count()}")
     println(s"doc1=${Files.readString(java.nio.file.Paths.get(sinkRoot, "_aether/entities/topicA/1.json"))}")
     q.stop()
+
+    // schema bridge + per-topic change detection (A17)
+    val reg = new graft.sources.SchemaRegistry
+    val v1 = """{"type":"record","name":"E","fields":[
+               |{"name":"id","type":"string"},
+               |{"name":"secret_field","type":["null","string"],"@aether_masking":"secret"}]}""".stripMargin
+    val v2 = v1.replace("secret_field", "renamed_field")
+    println(s"schema v1: ${reg.observe("topicA", v1)}; again: ${reg.observe("topicA", v1)}; evolved: ${reg.observe("topicA", v2)}")
+    println(s"bridged fields: ${reg.schemaOf("topicA").get.fieldNames.mkString(",")}")
+
+    // keyed streaming state (sessionize) over a file stream
+    val sessIn = Files.createTempDirectory("demo-sess").toString
+    val s1 = Seq((7L, 1.5), (7L, 2.5), (8L, 1.0)).toDF("user_id", "value")
+    s1.coalesce(1).write.mode("append").parquet(sessIn)
+    val sq = StreamOps.startSessionQuery(spark,
+      spark.readStream.schema(s1.schema).parquet(sessIn), "demo_sessions")
+    sq.processAllAvailable()
+    Seq((7L, 6.0)).toDF("user_id", "value").coalesce(1).write.mode("append").parquet(sessIn)
+    sq.processAllAvailable()
+    val sess = spark.table("demo_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+    println(s"sessions: ${sess.toSeq.sortBy(_._1).mkString(" ")}")
+    sq.stop()
     spark.stop()
   }
 

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("watermarked windowed agg over event-time (batch-equivalence check)") {
+    // batch semantics of the same window expression must match the
+    // q_event_window bucketing on hour boundaries
+    val ev = Tables.events(spark, sf)
+    val windowed = StreamOps.eventTime(ev, "ts")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val total = windowed.agg(sum("n")).head().getLong(0)
+    assert(total == ev.count())
+  }
+
+  test("sessionize accumulates per-user state across micro-batches") {
+    val input = Files.createTempDirectory("sess-in").toString
+    val b1 = Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)).toDF("user_id", "value")
+    b1.coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema(b1.schema).parquet(input)
+    val q = StreamOps.startSessionQuery(spark, stream, "sessions_test")
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("sessions_test").as[StreamOps.SessionUpdate]
+        .collect().map(u => u.user_id -> u).toMap
+      assert(after1(1L).n_events == 2 && after1(1L).total_value == 15.0)
+      assert(after1(2L).n_events == 1)
+
+      Seq((1L, 2.0), (3L, 7.0)).toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      val after2 = spark.table("sessions_test").as[StreamOps.SessionUpdate]
+        .collect().groupBy(_.user_id).map { case (k, v) =>
+          k -> v.maxBy(_.n_events) }
+      assert(after2(1L).n_events == 3 && after2(1L).total_value == 17.0)
+      assert(after2(3L).n_events == 1 && after2(3L).total_value == 7.0)
+    } finally q.stop()
+  }
+
+  test("nested path get/replace") {
+    val df = Seq((1L, ("a", 2))).toDF("id", "s")
+      .select($"id", struct($"s._1".as("x"), struct($"s._2".as("y")).as("inner")).as("s"))
+    val replaced = df.select(
+      graft.operators.Nested.withPath($"s", "inner.y", lit(99)).as("s"))
+    assert(replaced.select("s.inner.y").head().getInt(0) == 99)
+    assert(replaced.select("s.x").head().getString(0) == "a")
+  }
+
+  test("config loader precedence and aliasing") {
+    val cfg = GraftConfig(
+      defaults = Map("kafka.url" -> "default:9092", "other" -> "d"),
+      env = Map("KAFKA_URL" -> "env:9092"),
+      overrides = Map.empty)
+    assert(cfg.get("bootstrap.servers").contains("env:9092")) // alias + env wins
+    assert(cfg.get("OTHER").contains("d"))
+    val cfg2 = cfg.copy(overrides = Map("kafka.url" -> "override:9092"))
+    assert(cfg2.get("BOOTSTRAP_SERVERS").contains("override:9092"))
+  }
+
+  test("sink connection test surfaces failures") {
+    val ok = new graft.sources.JsonFileSink(
+      Files.createTempDirectory("sink-ok").toString)
+    assert(ok.testConnection().isRight)
+    val bad = new graft.sources.JsonFileSink("/proc/definitely/not/writable")
+    assert(bad.testConnection().isLeft)
+  }
+}
