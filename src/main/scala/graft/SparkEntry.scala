@@ -450,6 +450,51 @@ object Queries {
       .orderBy(col("doc_id").cast("long"))
   }
 
+  /** Range join: events banded by value against a small bounds table
+    * (broadcast nested-loop on the range predicate — the dimension is
+    * tiny by construction, so no shuffle of the fact side). */
+  def qJoinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables.events(s, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .orderBy(col("band"))
+  }
+
+  /** As-of (point-in-time) join expressed without any join: for each
+    * purchase, the most recent prior view by the same user — union the
+    * two event roles and take last(view_id ignoring nulls) over a
+    * (user, time) window. One shuffle on user_id, no n² stage; the
+    * classic Spark-first shape for as-of semantics. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("view_id",
+        when(col("event_type") === "view", col("event_id")))
+      .withColumn("prev_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prev_view_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Aggregation stats: exact distinct counts + min/max/decimal avg. */
+  def qAggStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           min(col("value")).as("min_value"),
+           max(col("value")).as("max_value"),
+           (sum(col("value").cast(dec)).cast("double") / count(lit(1)).cast("double")).as("avg_value"))
+      .orderBy(col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
@@ -481,7 +526,10 @@ object Queries {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_pipeline_e2e" -> (qPipelineE2e _)
+    "q_pipeline_e2e" -> (qPipelineE2e _),
+    "q_join_range" -> (qJoinRange _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_agg_stats" -> (qAggStats _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -832,7 +880,40 @@ object Queries {
         |  '{"id":' || id || ',"user_id":' || user_id ||
         |    ',"event_type":"' || event_type || '","value":' || value::VARCHAR || '}' AS doc_json
         |FROM h WHERE id % 2 = 1
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    "q_join_range" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9))
+        |SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('purchase','view'))
+        |SELECT event_id, user_id, prev_view_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    LAST_VALUE(view_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_view_id
+        |  FROM ev)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MIN(value) AS min_value,
+        |  MAX(value) AS max_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

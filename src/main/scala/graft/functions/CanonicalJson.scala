@@ -140,9 +140,14 @@ object CodepointOrdering extends Ordering[String] {
   }
 }
 
-/** Python `repr(float)` on the JVM: shortest round-trip digits (shared
-  * with java.lang.Double.toString), reformatted to Python's fixed /
-  * scientific notation rules. */
+/** Python `repr(float)` on the JVM: correctly-rounded SHORTEST digits,
+  * reformatted to Python's fixed / scientific notation rules.
+  *
+  * NB: java.lang.Double.toString on JDK < 19 is round-trip-safe but
+  * NOT shortest (JDK-4511638) — e.g. it prints 17 digits where CPython
+  * prints 16 — so the digits are derived instead via BigDecimal
+  * half-even rounding at increasing precision until the value
+  * round-trips (the same result CPython's shortest-repr produces). */
 object PyFloat {
   def repr(d: Double): String = {
     if (d.isNaN) return "NaN"
@@ -151,36 +156,27 @@ object PyFloat {
     val neg = (java.lang.Double.doubleToRawLongBits(d) < 0)
     val a = math.abs(d)
     if (a == 0.0) return if (neg) "-0.0" else "0.0"
-    val js = java.lang.Double.toString(a)
-    // parse java repr into shortest digits + decimal exponent e, where
-    // value = 0.digits * 10^(e+1)  (i.e. first digit has weight 10^e)
+
+    // shortest correctly-rounded decimal: round the exact binary value
+    // to k significant digits (half-even), keep the first k that parses
+    // back to the same double
+    val exact = new java.math.BigDecimal(a)
     var digits: String = null
     var e: Int = 0
-    val ei = js.indexOf('E')
-    if (ei >= 0) {
-      val m = js.substring(0, ei)
-      e = js.substring(ei + 1).toInt
-      digits = m.replace(".", "")
-      // java E-notation always has exactly one digit before the dot
-    } else {
-      val dot = js.indexOf('.')
-      val intPart = js.substring(0, dot)
-      val frac = js.substring(dot + 1)
-      if (intPart != "0") {
-        digits = intPart + frac
-        e = intPart.length - 1
-      } else {
-        // 0.000ddd → strip leading zeros of frac
-        var lz = 0
-        while (lz < frac.length && frac.charAt(lz) == '0') lz += 1
-        digits = frac.substring(lz)
-        e = -lz - 1
+    var k = 1
+    while (digits == null && k <= 17) {
+      val r = exact.round(new java.math.MathContext(k, java.math.RoundingMode.HALF_EVEN))
+      if (r.doubleValue() == a) {
+        val unscaled = r.unscaledValue().toString
+        e = unscaled.length - 1 - r.scale()
+        // strip trailing zeros (rounding can leave them)
+        var end = unscaled.length
+        while (end > 1 && unscaled.charAt(end - 1) == '0') end -= 1
+        digits = unscaled.substring(0, end)
       }
+      k += 1
     }
-    // strip trailing zeros (shortest repr never needs them)
-    var end = digits.length
-    while (end > 1 && digits.charAt(end - 1) == '0') end -= 1
-    digits = digits.substring(0, end)
+    require(digits != null, s"no 17-digit repr round-trips for $a")
 
     val sb = new java.lang.StringBuilder(32)
     if (neg) sb.append('-')
