@@ -495,6 +495,18 @@ object Queries {
            (sum(col("value").cast(dec)).cast("double") / count(lit(1)).cast("double")).as("avg_value"))
       .orderBy(col("event_type"))
 
+  /** Custom typed UDAF (Aggregator): exact weighted average with a
+    * decimal-cents accumulator; Catalyst plans partial+final like any
+    * built-in aggregate. */
+  def qUdafWeighted(s: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
@@ -529,7 +541,8 @@ object Queries {
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_join_range" -> (qJoinRange _),
     "q_asof_join" -> (qAsofJoin _),
-    "q_agg_stats" -> (qAggStats _)
+    "q_agg_stats" -> (qAggStats _),
+    "q_udaf_weighted" -> (qUdafWeighted _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -913,7 +926,17 @@ object Queries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q_udaf_weighted" ->
+      """SELECT l_returnflag,
+        |  (CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                 CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0)
+        |    / CAST(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) AS wavg_price,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the
