@@ -407,6 +407,37 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-bucketed ANN: vectors assigned to their nearest centroid
+    * (vec_id%50==0 as the deterministic centroid set — k-means in a
+    * real deployment), queries probe their 2 nearest cells, exact
+    * cosine top-3 within the probed cells. Candidate generation is an
+    * equi-join on cent_id — the IVF scale path. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Similarity.quantized(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("qv"), col("norm2")).cache()
+    val cents = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("norm2").as("cn"))
+    val assigned = Similarity.ivfAssign(v, cents, 1)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("norm2").as("nb"), col("cent_id"))
+    val probes = Similarity.ivfAssign(v.filter(col("vec_id") < 10), cents, 2)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        col("norm2").as("na"), col("cent_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(assigned, "cent_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        Similarity.cosine(Similarity.dotExpr("qa", "qb"), col("na"), col("nb")))
+      // a neighbor can appear via both probed cells — dedupe before rank
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim")).distinct()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("query_id"), col("rnk"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
+  }
+
   /** Multimodal feature extraction: binary payload column decoded in
     * partition batches (stubbed deterministic decoder, real plumbing). */
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
@@ -542,7 +573,8 @@ object Queries {
     "q_join_range" -> (qJoinRange _),
     "q_asof_join" -> (qAsofJoin _),
     "q_agg_stats" -> (qAggStats _),
-    "q_udaf_weighted" -> (qUdafWeighted _)
+    "q_udaf_weighted" -> (qUdafWeighted _),
+    "q_ann_ivf" -> (qAnnIvf _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -936,7 +968,34 @@ object Queries {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
+        |c AS (SELECT vec_id cent_id, qv cv, norm2 cn FROM n WHERE vec_id % 50 = 0),
+        |assign AS (
+        |  SELECT vec_id, cent_id, rn FROM (
+        |    SELECT a.vec_id, c.cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.qv, c.cv)/(sqrt(a.norm2)*sqrt(c.cn)) DESC, c.cent_id) rn
+        |    FROM n a, c)),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id query_id, a.vec_id neighbor_id
+        |  FROM assign p JOIN assign a ON p.cent_id = a.cent_id
+        |  WHERE a.rn = 1 AND p.rn <= 2 AND p.vec_id < 10 AND a.vec_id <> p.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qa.qv, qb.qv)/(sqrt(qa.norm2)*sqrt(qb.norm2)) cos_sim
+        |  FROM cand JOIN n qa ON query_id = qa.vec_id JOIN n qb ON neighbor_id = qb.vec_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) rnk FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) rnk, cos_sim
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

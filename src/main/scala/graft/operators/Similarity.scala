@@ -63,6 +63,25 @@ object Similarity {
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style cell assignment: every vector goes to its nearest
+    * centroid by quantized cosine (broadcast centroids, windowed
+    * argmax with centroid-id tie-break). `centroids` must carry
+    * (cent_id, cv, cn). A real deployment trains centroids with
+    * k-means; any deterministic centroid set works for the index
+    * structure itself — searches shuffle only on cent_id. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("cent_cos", cosine(
+        graft.functions.VectorOps.dot_long(col("qv"), col("cv")),
+        col("norm2"), col("cn")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    scored.withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("vec_id"), col("qv"), col("norm2"), col("cent_id"), col("cell_rank"))
+  }
+
   /** Brute-force cosine top-k: broadcast queries × vectors, windowed
     * rank per query with (cos desc, neighbor id) tie-break. */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
