@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full subscription pipeline (route → filter → mask →
+    * path → canonical hash → sync gate) is the engine's core. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q1Agg(spark, "/root/testdata/sf0.001")
+    Queries.qPipelineE2e(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -538,6 +540,48 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Pivot: per-user event counts fanned into one column per type
+    * (explicit value list keeps the schema static and plannable). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count().na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Cube: all grouping combinations over (region, orderstatus). */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** Multiset set ops: EXCEPT ALL / INTERSECT ALL keep duplicates. */
+  def qSetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    users("purchase").intersectAll(users("click"))
+      .exceptAll(users("error"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Date kernels over the ms-precision order dates. */
+  def qDateFns(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+               month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("o_year"), col("o_month"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
@@ -574,7 +618,11 @@ object Queries {
     "q_asof_join" -> (qAsofJoin _),
     "q_agg_stats" -> (qAggStats _),
     "q_udaf_weighted" -> (qUdafWeighted _),
-    "q_ann_ivf" -> (qAnnIvf _)
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_pivot" -> (qPivot _),
+    "q_cube" -> (qCube _),
+    "q_setops_all" -> (qSetopsAll _),
+    "q_date_fns" -> (qDateFns _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -995,7 +1043,46 @@ object Queries {
         |    ORDER BY cos_sim DESC, neighbor_id) rnk FROM scored)
         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) rnk, cos_sim
         |FROM ranked WHERE rnk <= 3
-        |ORDER BY query_id, rnk""".stripMargin
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT r_name, o_orderstatus, COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, o_orderstatus)
+        |ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_setops_all" ->
+      """WITH m AS (
+        |  (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |   INTERSECT ALL
+        |   SELECT user_id FROM events WHERE event_type = 'click')
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id, COUNT(*) AS multiplicity FROM m
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_date_fns" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |GROUP BY o_year, o_month
+        |ORDER BY o_year, o_month""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

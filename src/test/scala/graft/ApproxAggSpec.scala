@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HLL-style approximate aggregates: engine-internal sketches are not
+  * cross-engine deterministic, so these are spec-checked against exact
+  * counts rather than oracle-hashed. */
+class ApproxAggSpec extends AnyFunSuite with SparkTestBase {
+
+  test("approx_count_distinct within 5% of exact on events.user_id") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx_percentile brackets the exact median") {
+    val ev = Tables.events(spark, sf)
+    val apx = ev.select(percentile_approx(col("value"), lit(0.5), lit(1000)))
+      .head().getDouble(0)
+    val sorted = ev.select(col("value")).orderBy(col("value"))
+      .collect().map(_.getDouble(0))
+    val lo = sorted((sorted.length * 0.45).toInt)
+    val hi = sorted((sorted.length * 0.55).toInt)
+    assert(apx >= lo && apx <= hi, s"approx median $apx outside [$lo,$hi]")
+  }
+}
