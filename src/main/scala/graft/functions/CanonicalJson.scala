@@ -81,7 +81,16 @@ case class CanonicalJsonExpr(child: Expression)
         val m = v.asInstanceOf[MapData]
         val keys = m.keyArray(); val vals = m.valueArray()
         val n = m.numElements()
-        val idx = (0 until n).sortBy(i => keyString(keys.get(i, mt.keyType), mt.keyType))(CodepointOrdering)
+        // python sort_keys sorts non-string dict keys by NATIVE value
+        // (then str()-ifies); only string keys sort by codepoint
+        val idx: Seq[Int] = mt.keyType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+            (0 until n).sortBy(i => keyNumeric(keys.get(i, mt.keyType)))
+          case BooleanType =>
+            (0 until n).sortBy(i => keys.getBoolean(i)) // false < true
+          case _ =>
+            (0 until n).sortBy(i => keyString(keys.get(i, mt.keyType), mt.keyType))(CodepointOrdering)
+        }
         sb.append('{')
         var first = true
         idx.foreach { i =>
@@ -98,8 +107,21 @@ case class CanonicalJsonExpr(child: Expression)
     }
   }
 
+  // BigDecimal so long keys beyond 2^53 still sort exactly
+  private def keyNumeric(k: Any): BigDecimal = k match {
+    case b: Byte => BigDecimal(b.toInt)
+    case s: Short => BigDecimal(s.toInt)
+    case i: Int => BigDecimal(i)
+    case l: Long => BigDecimal(l)
+    case f: Float => BigDecimal.decimal(f.toDouble)
+    case d: Double => BigDecimal.decimal(d)
+  }
+
   private def keyString(k: Any, dt: DataType): String = dt match {
     case StringType => k.asInstanceOf[UTF8String].toString
+    case FloatType => PyFloat.repr(k.asInstanceOf[Float].toDouble)
+    case DoubleType => PyFloat.repr(k.asInstanceOf[Double])
+    case BooleanType => if (k.asInstanceOf[Boolean]) "true" else "false"
     case _ => k.toString
   }
 

@@ -62,7 +62,10 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameSize: Int, every: Int): DataFrame =
     media
       .withColumn("frame_idx",
-        explode(expr(s"sequence(0, CAST(floor((length(content) - 1) / $frameSize) AS INT), $every)")))
+        // empty payloads produce zero frames (sequence(0,-1) would throw)
+        explode(when(length(col("content")) > 0,
+            expr(s"sequence(0, CAST(floor((length(content) - 1) / $frameSize) AS INT), $every)"))
+          .otherwise(array().cast("array<int>"))))
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         expr(s"substring(content, frame_idx * $frameSize + 1, $frameSize)").as("frame"))
       .withColumn("frame_len", length(col("frame")).cast("long"))

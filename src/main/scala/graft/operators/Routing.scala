@@ -28,16 +28,19 @@ case class SubscriptionRoute(
   */
 object Routing {
 
-  /** fnmatch-style glob → anchored Java regex (supports * and ?). */
-  def globToRegex(glob: String): String = {
-    val sb = new StringBuilder("^")
+  /** fnmatch-style glob → unanchored Java regex body (supports * and ?). */
+  def globToRegexBody(glob: String): String = {
+    val sb = new StringBuilder
     glob.foreach {
       case '*' => sb.append(".*")
       case '?' => sb.append('.')
       case c   => sb.append(Pattern.quote(c.toString))
     }
-    sb.append('$').toString
+    sb.toString
   }
+
+  /** fnmatch-style glob → anchored Java regex. */
+  def globToRegex(glob: String): String = "^" + globToRegexBody(glob) + "$"
 
   /** Intended tenant prefix strip of `{tenant}.` from a topic name. */
   def stripTenant(topic: Column, tenant: String): Column =
@@ -60,11 +63,15 @@ object Routing {
             subs: Seq[SubscriptionRoute]): DataFrame = {
     val logical = stripTenant(topicCol, tenant)
     val ordered = subs.sortBy(_.id)
-    val subId = coalesce(ordered.map(s =>
-      when(logical.rlike(globToRegex(s.topicPattern)), lit(s.id))): _*)
-    val path = coalesce(ordered.map(s =>
-      when(logical.rlike(globToRegex(s.topicPattern)),
-        pathForTopic(s.targetPath, logical))): _*)
+    val (subId, path) =
+      if (ordered.isEmpty) // no subscriptions ⇒ nothing routes
+        (lit(null).cast("string"), lit(null).cast("string"))
+      else (
+        coalesce(ordered.map(s =>
+          when(logical.rlike(globToRegex(s.topicPattern)), lit(s.id))): _*),
+        coalesce(ordered.map(s =>
+          when(logical.rlike(globToRegex(s.topicPattern)),
+            pathForTopic(s.targetPath, logical))): _*))
     df.withColumn("topic", logical)
       .withColumn("sub_id", subId)
       .withColumn("target_path", path)

@@ -88,7 +88,7 @@ final class SchemaRegistry {
   case object New extends Outcome
   final case class Changed(previous: StructType) extends Outcome
 
-  def observe(topic: String, avroJson: String): Outcome = {
+  def observe(topic: String, avroJson: String): Outcome = synchronized {
     val fp = AvroSchemaBridge.fingerprint(avroJson)
     byTopic.get(topic) match {
       case Some((oldFp, _)) if oldFp == fp => Unchanged

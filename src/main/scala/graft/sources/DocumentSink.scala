@@ -50,13 +50,28 @@ final class JsonFileSink(root: String) extends DocumentSink {
     else Left(s"sink root not writable: $root")
   }
 
+  /** Doc ids and path segments come from message content — encode
+    * anything that could escape the layout ('/', '..', '\') so the
+    * (targetPath, docId) key can't traverse outside the root. */
+  private def sanitize(segment: String): String =
+    segment.flatMap {
+      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' => c.toString
+      case c => f"%%${c.toInt}%02x"
+    } match {
+      case s if s == "." || s == ".." => s.replace(".", "%2e")
+      case s => s
+    }
+
   override def commitBatch(docs: Seq[DocumentSink.Doc]): Unit =
     docs.foreach { d =>
-      val dir = Paths.get(root, d.targetPath)
+      val rootPath = Paths.get(root).toAbsolutePath.normalize
+      val dir = d.targetPath.split("/").filter(_.nonEmpty)
+        .foldLeft(rootPath)((p, seg) => p.resolve(sanitize(seg))).normalize
+      require(dir.startsWith(rootPath), s"path escapes sink root: ${d.targetPath}")
       Files.createDirectories(dir)
-      val tmp = Files.createTempFile(dir, s".${d.docId}", ".tmp")
+      val tmp = Files.createTempFile(dir, ".doc", ".tmp")
       Files.write(tmp, d.json.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, dir.resolve(s"${d.docId}.json"),
+      Files.move(tmp, dir.resolve(s"${sanitize(d.docId)}.json"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     }
 }

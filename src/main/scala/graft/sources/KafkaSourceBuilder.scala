@@ -24,7 +24,9 @@ object KafkaSourceBuilder {
   def build(cfg: GraftConfig, tenant: String, jobId: String,
             topicPattern: String): Map[String, String] = Map(
     "kafka.bootstrap.servers" -> cfg.getOrElse("bootstrap.servers", "localhost:9092"),
-    "subscribePattern" -> s"^${java.util.regex.Pattern.quote(tenant + ".")}$topicPattern",
+    "subscribePattern" ->
+      ("^" + java.util.regex.Pattern.quote(tenant + ".") +
+        graft.operators.Routing.globToRegexBody(topicPattern) + "$"),
     "startingOffsets" -> cfg.getOrElse("auto.offset.reset", "earliest"),
     "kafka.group.id" -> groupName(tenant, jobId),
     "kafka.heartbeat.interval.ms" -> cfg.getOrElse("heartbeat.interval.ms", "2500"),

@@ -44,6 +44,14 @@ object Demo {
     println(s"doc1=${Files.readString(java.nio.file.Paths.get(sinkRoot, "_aether/entities/topicA/1.json"))}")
     q.stop()
 
+    // hostile doc id: must stay inside the sink root, encoded
+    val hostile = new graft.sources.JsonFileSink(sinkRoot)
+    hostile.commitBatch(Seq(graft.sources.DocumentSink.Doc(
+      "_aether/entities/topicA", "../../escape", "{\"x\":1}")))
+    val escaped = new java.io.File(sinkRoot).getParentFile.listFiles()
+      .exists(_.getName.contains("escape"))
+    println(s"traversal contained: ${!escaped}; sink now=${list(sinkRoot)}")
+
     // schema bridge + per-topic change detection (A17)
     val reg = new graft.sources.SchemaRegistry
     val v1 = """{"type":"record","name":"E","fields":[

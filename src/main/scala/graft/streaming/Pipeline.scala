@@ -49,10 +49,14 @@ object Pipeline {
 
     val masked =
       if (sub.fbOptions.maskingEmitLevel.nonEmpty && sub.fbOptions.maskingLevels.nonEmpty) {
-        val keep = Masking.maskColumns(
+        val kept = Masking.maskColumns(
           filtered.select(payloadCols.map(col): _*),
           sub.fbOptions.maskingEmitLevel, sub.fbOptions.maskingLevels,
           sub.fbOptions.maskingAnnotation).columns.toIndexedSeq
+        // the id is the document key — masking may never drop it, or the
+        // sink loses its upsert identity (and col("id") below would fail)
+        val keep = if (kept.contains("id")) kept
+                   else payloadCols.filter(c => c == "id" || kept.contains(c))
         filtered.select((keep ++ Seq("topic", "sub_id", "target_path")).map(col): _*)
       } else filtered
 
@@ -64,12 +68,30 @@ object Pipeline {
       .withColumn("doc_hash", canonical_hash(struct(docCols.map(col): _*)))
   }
 
+  /** One surviving row per doc_id within a micro-batch. A batch can
+    * legitimately carry several versions of the same document; the
+    * sink writes in partition order (nondeterministic) and the hash
+    * store must record exactly the version the sink kept, so both
+    * consume this deterministic selection. With a Kafka source the
+    * caller should pass the offset column as `orderCol` so the LAST
+    * message wins (the reference's sequential semantics); without one,
+    * the max canonical hash is used as a stable tie-break. */
+  def dedupeBatch(prepared: DataFrame, orderCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = orderCol.map(c => col(c).desc).getOrElse(col("doc_hash").desc)
+    val w = Window.partitionBy(col("doc_id")).orderBy(ord)
+    prepared.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Rows needing a write under the subscription's sync mode. */
   def gate(prepared: DataFrame, sub: Subscription, hashStore: => DataFrame): DataFrame =
     SyncGate.gate(prepared, SyncGate.parseMode(sub.fbOptions.syncMode),
       hashStore, "doc_id", "doc_hash")
 
-  /** Executor-side batched upsert of the gated rows. */
+  /** Executor-side batched upsert of the gated rows. NB: the count is
+    * an at-least-once metric — Spark task retries re-run the whole
+    * partition (the writes themselves are idempotent upserts). */
   def upsert(gated: DataFrame, mkSink: () => DocumentSink): Long = {
     val acc = gated.sparkSession.sparkContext.longAccumulator("docs_written")
     gated.select(col("target_path"), col("doc_id"), col("doc_json"))
@@ -99,21 +121,36 @@ final class HashStore(spark: SparkSession, path: String) {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Upsert new hashes: new rows win over stored rows per doc_id. */
+  /** Upsert new hashes: new rows win over stored rows per doc_id.
+    * Callers must pass at most one row per doc_id (Pipeline.dedupeBatch)
+    * — enforced here with a distinct as a last line of defense, since a
+    * doc_id with TWO stored hashes would permanently suppress
+    * legitimate future writes. The store swap keeps the old store
+    * until the new one is fully in place (no delete-then-rename
+    * window), and a failed rename raises instead of silently dropping
+    * the store. */
   def merge(updates: DataFrame): Unit = {
-    val next = updates.select(col("doc_id").cast("string"), col("doc_hash"))
-      .unionByName(load().join(updates.select("doc_id"), Seq("doc_id"), "left_anti"))
-    val tmp = path + ".tmp"
-    next.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(target)
+    val deduped = updates.select(col("doc_id").cast("string"), col("doc_hash"))
+      .dropDuplicates("doc_id")
+    val next = deduped
+      .unionByName(load().join(deduped.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val tmpNew = new java.io.File(path + ".tmp-new")
+    val tmpOld = new java.io.File(path + ".tmp-old")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      if (!f.delete()) throw new java.io.IOException(s"cannot delete $f")
     }
-    new java.io.File(tmp).renameTo(target): Unit
+    rm(tmpNew); rm(tmpOld) // stale leftovers from a previous crash
+    next.write.mode("overwrite").parquet(tmpNew.getPath)
+    val target = new java.io.File(path)
+    if (target.exists && !target.renameTo(tmpOld))
+      throw new java.io.IOException(s"cannot stage out old hash store $target")
+    if (!tmpNew.renameTo(target)) {
+      // restore the old store before failing
+      if (tmpOld.exists) { tmpOld.renameTo(target): Unit }
+      throw new java.io.IOException(s"cannot activate new hash store at $target")
+    }
+    rm(tmpOld)
   }
 }
 
@@ -136,7 +173,7 @@ final class StreamingJob(
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val prepared = Pipeline.compile(sub, tenant, batch).cache()
+        val prepared = Pipeline.dedupeBatch(Pipeline.compile(sub, tenant, batch)).cache()
         try {
           val gated = Pipeline.gate(prepared, sub, hashStore.load()).cache()
           try {

@@ -70,6 +70,19 @@ class CanonicalJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(r5.getString(0) == "{\"ctrl\": \"\\u0001\\u001f\", \"emoji\": \"\\ud83d\\ude00\"}")
     assert(r5.getString(1) == "45663e74ee79aae4")
 
+    // non-string map keys sort by NATIVE value like CPython sort_keys:
+    // json.dumps({2:'b',10:'a'}) == '{"2": "b", "10": "a"}'
+    val dfm = Seq(1).toDF("x").select(
+      GraftFunctions.canonical_json(typedLit(Map(10 -> "a", 2 -> "b"))).as("ji"),
+      GraftFunctions.canonical_hash(typedLit(Map(10 -> "a", 2 -> "b"))).as("hi"),
+      GraftFunctions.canonical_json(typedLit(Map(10.25 -> "y", 2.5 -> "x"))).as("jf"),
+      GraftFunctions.canonical_hash(typedLit(Map(10.25 -> "y", 2.5 -> "x"))).as("hf"))
+    val rm = dfm.head()
+    assert(rm.getString(0) == """{"2": "b", "10": "a"}""")
+    assert(rm.getString(1) == "43e1ccd9d325d1c3")
+    assert(rm.getString(2) == """{"2.5": "x", "10.25": "y"}""")
+    assert(rm.getString(3) == "a27d89a9b614d08a")
+
     // full nested golden
     val r3 = df3.head()
     assert(r3.getString(0) ==

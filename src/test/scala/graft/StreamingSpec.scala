@@ -35,16 +35,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val doc1v1 = Files.readString(dir.toPath.resolve("1.json"))
       assert(doc1v1.contains("\"name\":\"name-1\""))
 
-      // batch 2: 10 unchanged + 2 new + id=1 modified
+      // batch 2: 10 unchanged + 2 new
       val batch2 = ((1L to 10L).map(i => ("tnt.t1", i, s"name-$i", i * 1.5)) ++
-        Seq(("tnt.t1", 11L, "name-11", 16.5), ("tnt.t1", 12L, "name-12", 18.0),
-            ("tnt.t1", 1L, "name-1-CHANGED", 1.5)))
+        Seq(("tnt.t1", 11L, "name-11", 16.5), ("tnt.t1", 12L, "name-12", 18.0)))
         .toDF("kafka_topic", "id", "name", "score")
       batch2.coalesce(1).write.mode("append").parquet(input)
       q.processAllAvailable()
-
       assert(dir.list().count(_.endsWith(".json")) == 12)
       assert(job.hashStore.load().count() == 12)
+
+      // batch 3: id=1 modified (and a same-batch duplicate of id=11 —
+      // the per-batch dedup must leave exactly one stored hash for it)
+      val batch3 = Seq(("tnt.t1", 1L, "name-1-CHANGED", 1.5),
+                       ("tnt.t1", 11L, "name-11", 16.5),
+                       ("tnt.t1", 11L, "name-11", 16.5))
+        .toDF("kafka_topic", "id", "name", "score")
+      batch3.coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      assert(dir.list().count(_.endsWith(".json")) == 12)
+      assert(job.hashStore.load().count() == 12)
+      assert(job.hashStore.load().select("doc_id").distinct().count() == 12)
       val doc1v2 = Files.readString(dir.toPath.resolve("1.json"))
       assert(doc1v2.contains("name-1-CHANGED")) // changed hash ⇒ rewritten
 
