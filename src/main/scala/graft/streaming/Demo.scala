@@ -61,6 +61,32 @@ object Demo {
     println(s"schema v1: ${reg.observe("topicA", v1)}; again: ${reg.observe("topicA", v1)}; evolved: ${reg.observe("topicA", v2)}")
     println(s"bridged fields: ${reg.schemaOf("topicA").get.fieldNames.mkString(",")}")
 
+    // multi-subscription job via the registry: sub-a takes topicX
+    // (masked, first match), sub-b takes everything else
+    val jobs = new JobRegistry(spark, "tnt")
+    println(s"adds: ${jobs.addFirebase(FirebaseInstance("fb", "fb", "http://local"))} " +
+      s"${jobs.addSubscription(Subscription("sub-a", "a", "topicX",
+        FbOptions(targetPath = "_a/docs/{topic}")))} " +
+      s"${jobs.addSubscription(Subscription("sub-b", "b", "topic*",
+        FbOptions(targetPath = "_b/docs/{topic}")))} " +
+      s"${jobs.addJob(FirebaseJob("multi", "multi", "fb", Seq("sub-a", "sub-b")))}")
+    val mIn = Files.createTempDirectory("demo-multi").toString
+    val mSink = Files.createTempDirectory("demo-multi-sink").toString
+    val mDf = Seq(("tnt.topicX", 1L, "x"), ("tnt.topicY", 2L, "y"))
+      .toDF("kafka_topic", "id", "payload")
+    mDf.coalesce(1).write.mode("append").parquet(mIn)
+    val mWork = Files.createTempDirectory("demo-multi-work").toString
+    jobs.startJob("multi", spark.readStream.schema(mDf.schema).parquet(mIn),
+        () => new JsonFileSink(mSink), mWork) match {
+      case Right(mq) =>
+        mq.processAllAvailable()
+        def ls(p: String) = { val f = new java.io.File(s"$mSink/$p")
+          if (f.exists) f.list().sorted.mkString(",") else "∅" }
+        println(s"multi-sub: _a/topicX=[${ls("_a/docs/topicX")}] _b/topicY=[${ls("_b/docs/topicY")}] _b/topicX=[${ls("_b/docs/topicX")}] status=${jobs.getStatus("multi")}")
+        mq.stop()
+      case Left(errs) => println(s"multi-sub start FAILED: $errs")
+    }
+
     // keyed streaming state (sessionize) over a file stream
     val sessIn = Files.createTempDirectory("demo-sess").toString
     val s1 = Seq((7L, 1.5), (7L, 2.5), (8L, 1.0)).toDF("user_id", "value")

@@ -60,15 +60,16 @@ final class JobRegistry(spark: SparkSession, tenant: String) {
       .flatMap(subscriptions.get).map(s => s"$tenant.${s.topicPattern}")
   }
 
-  /** Start a job's first subscription over the given stream (test/
-    * file/kafka source built by the caller). */
+  /** Start a job over the given stream (test/file/kafka source built
+    * by the caller); all of the job's subscriptions run in one query,
+    * first glob match winning (reference consumer semantics). */
   def startJob(jobId: String, stream: DataFrame, mkSink: () => DocumentSink,
                workDir: String): Either[Seq[String], StreamingQuery] = synchronized {
     jobs.get(jobId) match {
       case None => Left(Seq(s"job: unknown '$jobId'"))
       case Some(job) =>
-        val sub = subscriptions(job.subscriptions.head)
-        val sj = new StreamingJob(spark, sub, tenant, mkSink,
+        val subsForJob = job.subscriptions.map(subscriptions)
+        val sj = new StreamingJob(spark, subsForJob, tenant, mkSink,
           s"$workDir/hashstore-$tenant-$jobId", s"$workDir/checkpoint-$tenant-$jobId")
         val q = sj.start(stream)
         queries(jobId) = q

@@ -36,11 +36,16 @@ object Pipeline {
     * `target_path`, `doc_json`, `doc_hash`. */
   def compile(sub: Subscription, tenant: String, df: DataFrame): DataFrame = {
     val payloadCols = df.columns.filterNot(_ == "kafka_topic").toIndexedSeq
-
     val routed = Routing.route(df, col("kafka_topic"), tenant,
         Seq(SubscriptionRoute(sub.id, sub.topicPattern, sub.fbOptions.targetPath)))
       .filter(col("sub_id").isNotNull)
+    compileBranch(sub, routed, payloadCols)
+  }
 
+  /** Per-subscription filter → mask → doc projection over an already-
+    * routed branch. */
+  private def compileBranch(sub: Subscription, routed: DataFrame,
+                            payloadCols: IndexedSeq[String]): DataFrame = {
     val filtered =
       if (sub.fbOptions.filterRequired)
         Filters.fieldPathFilter(routed, sub.fbOptions.filterFieldPath,
@@ -68,6 +73,29 @@ object Pipeline {
       .withColumn("doc_hash", canonical_hash(struct(docCols.map(col): _*)))
   }
 
+  /** Multi-subscription compile (reference: one consumer serves N
+    * subscriptions, first glob match after id sort wins —
+    * artifacts.py:250-256): route once against ALL subscriptions,
+    * then branch per subscription for its own filter/mask config and
+    * union the branches. Each branch is a narrow filter over the same
+    * routed scan — Spark executes this as one pass with predicate
+    * branches, no per-subscription rescan of the source. */
+  def compileMulti(subs: Seq[Subscription], tenant: String, df: DataFrame): DataFrame = {
+    require(subs.nonEmpty, "at least one subscription")
+    val routes = subs.map(s =>
+      SubscriptionRoute(s.id, s.topicPattern, s.fbOptions.targetPath))
+    val routed = Routing.route(df, col("kafka_topic"), tenant, routes)
+      .filter(col("sub_id").isNotNull)
+    subs.map { sub =>
+      // branches have per-subscription masked schemas; narrow to the
+      // common sink contract before the union
+      compileBranch(sub, routed.filter(col("sub_id") === sub.id),
+          df.columns.filterNot(_ == "kafka_topic").toIndexedSeq)
+        .select(col("doc_id"), col("topic"), col("sub_id"),
+          col("target_path"), col("doc_json"), col("doc_hash"))
+    }.reduce(_ unionByName _)
+  }
+
   /** One surviving row per doc_id within a micro-batch. A batch can
     * legitimately carry several versions of the same document; the
     * sink writes in partition order (nondeterministic) and the hash
@@ -88,6 +116,23 @@ object Pipeline {
   def gate(prepared: DataFrame, sub: Subscription, hashStore: => DataFrame): DataFrame =
     SyncGate.gate(prepared, SyncGate.parseMode(sub.fbOptions.syncMode),
       hashStore, "doc_id", "doc_hash")
+
+  /** Per-subscription sync-mode gate over a multi-subscription batch:
+    * FORWARD branches pass, NONE/CONSUME branches drop, SYNC branches
+    * anti-join the hash store — one partitioned pass, not one job per
+    * subscription. */
+  def gateMulti(prepared: DataFrame, subs: Seq[Subscription],
+                hashStore: => DataFrame): DataFrame = {
+    def ids(m: SyncGate.SyncMode) =
+      subs.filter(s => SyncGate.parseMode(s.fbOptions.syncMode) == m).map(_.id)
+    val fwd = ids(SyncGate.Forward)
+    val sync = ids(SyncGate.Sync)
+    val forwarded = prepared.filter(col("sub_id").isin(fwd: _*))
+    if (sync.isEmpty) forwarded
+    else forwarded.unionByName(
+      SyncGate.needsUpdate(prepared.filter(col("sub_id").isin(sync: _*)),
+        hashStore, "doc_id", "doc_hash"))
+  }
 
   /** Executor-side batched upsert of the gated rows. NB: the count is
     * an at-least-once metric — Spark task retries re-run the whole
@@ -154,16 +199,25 @@ final class HashStore(spark: SparkSession, path: String) {
   }
 }
 
-/** One running job = one StreamingQuery (SURVEY §1: Job ⇄ query). */
+/** One running job = one StreamingQuery serving N subscriptions
+  * (SURVEY §1: Job ⇄ query; reference: one consumer × N subscriptions,
+  * first match wins). */
 final class StreamingJob(
     spark: SparkSession,
-    sub: Subscription,
+    subs: Seq[Subscription],
     tenant: String,
     mkSink: () => DocumentSink,
     hashStorePath: String,
     checkpoint: String) {
 
+  def this(spark: SparkSession, sub: Subscription, tenant: String,
+           mkSink: () => DocumentSink, hashStorePath: String, checkpoint: String) =
+    this(spark, Seq(sub), tenant, mkSink, hashStorePath, checkpoint)
+
   val hashStore = new HashStore(spark, hashStorePath)
+
+  private val syncIds =
+    subs.filter(s => SyncGate.parseMode(s.fbOptions.syncMode) == SyncGate.Sync).map(_.id)
 
   /** Start the pipeline over any streaming DataFrame honoring the
     * input contract (kafka stream, file stream, or MemoryStream). */
@@ -173,13 +227,15 @@ final class StreamingJob(
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val prepared = Pipeline.dedupeBatch(Pipeline.compile(sub, tenant, batch)).cache()
+        val prepared = Pipeline.dedupeBatch(
+          Pipeline.compileMulti(subs, tenant, batch)).cache()
         try {
-          val gated = Pipeline.gate(prepared, sub, hashStore.load()).cache()
+          val gated = Pipeline.gateMulti(prepared, subs, hashStore.load()).cache()
           try {
             Pipeline.upsert(gated, mkSink)
-            if (SyncGate.parseMode(sub.fbOptions.syncMode) == SyncGate.Sync)
-              hashStore.merge(gated.select("doc_id", "doc_hash"))
+            if (syncIds.nonEmpty)
+              hashStore.merge(gated.filter(col("sub_id").isin(syncIds: _*))
+                .select("doc_id", "doc_hash"))
           } finally { gated.unpersist(): Unit }
         } finally { prepared.unpersist(): Unit }
       }

@@ -86,6 +86,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("multi-subscription job: first match wins, per-sub mask and sync mode") {
+    val input = tmp(); val sinkRoot = tmp(); val work = tmp()
+    // sub-a (sorts first) takes t1 with masking + sync; sub-b takes the rest, forward
+    val subA = Subscription("sub-a", "a", "t1", FbOptions(
+      syncMode = "sync", targetPath = "_a/{topic}",
+      maskingLevels = graft.operators.Masking.DefaultLevels,
+      maskingEmitLevel = "public"))
+    val subB = Subscription("sub-b", "b", "t*", FbOptions(
+      syncMode = "forward", targetPath = "_b/{topic}"))
+
+    val raw = Seq(("tnt.t1", 1L, "n1", "secret1"), ("tnt.t2", 2L, "n2", "secret2"))
+      .toDF("kafka_topic", "id", "name", "ssn")
+    val annotated = graft.operators.Masking.annotate(raw, Map("ssn" -> "secret"))
+    annotated.coalesce(1).write.mode("append").parquet(input)
+
+    val job = new graft.streaming.StreamingJob(spark, Seq(subA, subB), "tnt",
+      () => new JsonFileSink(sinkRoot), s"$work/hashes", s"$work/ckpt")
+    // file streams drop metadata; re-annotate inside the stream contract
+    val stream = graft.operators.Masking.annotate(
+      spark.readStream.schema(annotated.schema).parquet(input), Map("ssn" -> "secret"))
+    val q = job.start(stream)
+    try {
+      q.processAllAvailable()
+      val aDoc = Files.readString(
+        java.nio.file.Paths.get(sinkRoot, "_a/t1/1.json"))
+      assert(aDoc.contains("\"name\":\"n1\"") && !aDoc.contains("secret1")) // masked
+      val bDoc = Files.readString(
+        java.nio.file.Paths.get(sinkRoot, "_b/t2/2.json"))
+      assert(bDoc.contains("secret2")) // sub-b has no masking
+      assert(!new java.io.File(s"$sinkRoot/_b/t1").exists()) // first match won
+      // only the sync sub's hashes are stored
+      assert(job.hashStore.load().select("doc_id").as[String].collect().toSeq == Seq("1"))
+
+      // replay: sync sub suppressed, forward sub rewrites
+      val before1 = new java.io.File(s"$sinkRoot/_a/t1/1.json").lastModified()
+      Thread.sleep(20)
+      annotated.coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      assert(new java.io.File(s"$sinkRoot/_a/t1/1.json").lastModified() == before1)
+    } finally q.stop()
+  }
+
   test("registry: validation, lifecycle, logs ring") {
     val reg = new graft.streaming.JobRegistry(spark, "tnt")
     // reference unit tests: even-segment path and illegal placeholder rejected
