@@ -582,6 +582,49 @@ object Queries {
            countDistinct(col("o_custkey")).as("n_customers"))
       .orderBy(col("o_year"), col("o_month"))
 
+  /** Sessionization (batch form of session windows): a session breaks
+    * after a 1-day gap; session ids via lag + running sum — exact
+    * integer arithmetic, one shuffle on user_id. Event times are
+    * truncated to µs because DuckDB reads the ns timestamps
+    * µs-truncated (see the determinism playbook). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 86400000000L // 1 day in µs
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts", expr("ts div 1000")) // ns → µs
+      .withColumn("new_session",
+        when(col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1L)
+          .when(lag(col("ts"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("start_ts"),
+           max(col("ts")).as("end_ts"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Explode / lateral view: classic word count per language. */
+  def qExplodeWordcount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 100)
+      .orderBy(col("lang"), col("word"))
+
+  /** Array aggregation with deterministic ordering: the sorted distinct
+    * event types per user, joined to a string (collect_set order is
+    * nondeterministic; sort_array fixes it). */
+  def qArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+           count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
@@ -619,6 +662,9 @@ object Queries {
     "q_agg_stats" -> (qAggStats _),
     "q_udaf_weighted" -> (qUdafWeighted _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_sessionize" -> (qSessionize _),
+    "q_explode_wordcount" -> (qExplodeWordcount _),
+    "q_array_agg" -> (qArrayAgg _),
     "q_pivot" -> (qPivot _),
     "q_cube" -> (qCube _),
     "q_setops_all" -> (qSetopsAll _),
@@ -1044,6 +1090,40 @@ object Queries {
         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) rnk, cos_sim
         |FROM ranked WHERE rnk <= 3
         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) ts FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |         WHEN ts - LAG(ts) OVER w > 86400000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) session_id,
+        |  COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_explode_wordcount" ->
+      """SELECT lang, word, COUNT(*) AS cnt
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY lang, word
+        |HAVING COUNT(*) >= 100
+        |ORDER BY lang, word""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
