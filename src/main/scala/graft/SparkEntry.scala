@@ -625,6 +625,26 @@ object Queries {
            count(lit(1)).as("n"))
       .orderBy(col("user_id"))
 
+  /** Full outer join with null-side handling (coalesce/flags): rich
+    * customers vs customers holding very large orders — both sides
+    * have unmatched rows. */
+  def qJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"))
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"),
+           sum(col("o_totalprice").cast(dec)).cast("double").as("big_total"))
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name").isNotNull.as("is_rich"),
+        col("o_custkey").isNotNull.as("has_big_orders"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("big_total"), lit(0.0)).as("big_total"))
+      .orderBy(col("custkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
@@ -663,6 +683,7 @@ object Queries {
     "q_udaf_weighted" -> (qUdafWeighted _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_sessionize" -> (qSessionize _),
+    "q_join_outer" -> (qJoinOuter _),
     "q_explode_wordcount" -> (qExplodeWordcount _),
     "q_array_agg" -> (qArrayAgg _),
     "q_pivot" -> (qPivot _),
@@ -1109,6 +1130,21 @@ object Queries {
         |  COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_join_outer" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000),
+        |big AS (
+        |  SELECT o_custkey, COUNT(*) AS n_big,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  c_name IS NOT NULL AS is_rich,
+        |  o_custkey IS NOT NULL AS has_big_orders,
+        |  coalesce(n_big, 0) AS n_big,
+        |  coalesce(big_total, 0.0) AS big_total
+        |FROM cust FULL JOIN big ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q_explode_wordcount" ->
       """SELECT lang, word, COUNT(*) AS cnt
