@@ -171,7 +171,10 @@ object Queries {
     * and a running decimal sum per user ordered by event time. */
   def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // order by µs-truncated time: DuckDB sees the ns timestamps only at
+    // µs precision, so sub-µs ordering must not influence ranks
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"),
@@ -508,7 +511,9 @@ object Queries {
     val ev = Tables.events(s, dir)
       .filter(col("event_type").isin("purchase", "view"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // µs-truncated ordering for oracle parity (see qWindowFuncs)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("view_id",
         when(col("event_type") === "view", col("event_id")))

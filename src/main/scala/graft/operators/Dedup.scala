@@ -16,9 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace word tokens. */
-  def tokens(text: Column): Column = split(text, " ")
-
   /** df + `sh` column: distinct word-n-gram shingles of textCol. Rows
     * with fewer than n tokens get an empty shingle set. */
   def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
