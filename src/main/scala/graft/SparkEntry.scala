@@ -479,7 +479,8 @@ object Queries {
       Map("props" -> "confidential"))
     val prepared = graft.streaming.Pipeline.compile(sub, "tnant", ev)
     // hash store fixture: even ids stored with their current hash
-    val store = prepared.filter(col("id") % 2 === 0).select(col("doc_id"), col("doc_hash"))
+    val store = prepared.filter(col("id") % 2 === 0)
+      .select(col("target_path"), col("doc_id"), col("doc_hash"))
     graft.streaming.Pipeline.gate(prepared, sub, store)
       .select(col("doc_id"), col("topic"), col("target_path"),
         col("doc_hash"), col("doc_json"))

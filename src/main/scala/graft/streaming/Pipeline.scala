@@ -43,9 +43,11 @@ object Pipeline {
   }
 
   /** Per-subscription filter → mask → doc projection over an already-
-    * routed branch. */
+    * routed branch. `extraCols` are carried alongside (never hashed or
+    * serialized into the document). */
   private def compileBranch(sub: Subscription, routed: DataFrame,
-                            payloadCols: IndexedSeq[String]): DataFrame = {
+                            payloadCols: IndexedSeq[String],
+                            extraCols: Seq[String] = Nil): DataFrame = {
     val filtered =
       if (sub.fbOptions.filterRequired)
         Filters.fieldPathFilter(routed, sub.fbOptions.filterFieldPath,
@@ -62,11 +64,11 @@ object Pipeline {
         // sink loses its upsert identity (and col("id") below would fail)
         val keep = if (kept.contains("id")) kept
                    else payloadCols.filter(c => c == "id" || kept.contains(c))
-        filtered.select((keep ++ Seq("topic", "sub_id", "target_path")).map(col): _*)
+        filtered.select((keep ++ Seq("topic", "sub_id", "target_path") ++ extraCols).map(col): _*)
       } else filtered
 
     val docCols = masked.columns
-      .filterNot(Set("topic", "sub_id", "target_path", "kafka_topic")).toIndexedSeq
+      .filterNot((Set("topic", "sub_id", "target_path", "kafka_topic") ++ extraCols)).toIndexedSeq
     masked
       .withColumn("doc_id", col("id").cast("string"))
       .withColumn("doc_json", to_json(struct(docCols.map(col): _*)))
@@ -77,22 +79,29 @@ object Pipeline {
     * subscriptions, first glob match after id sort wins —
     * artifacts.py:250-256): route once against ALL subscriptions,
     * then branch per subscription for its own filter/mask config and
-    * union the branches. Each branch is a narrow filter over the same
-    * routed scan — Spark executes this as one pass with predicate
-    * branches, no per-subscription rescan of the source. */
-  def compileMulti(subs: Seq[Subscription], tenant: String, df: DataFrame): DataFrame = {
+    * union the branches. NB: Catalyst does not share the routed
+    * subplan across union branches, so a job with many subscriptions
+    * re-reads the micro-batch once per branch — cheap for the
+    * reference's 1-2 subscriptions per job; persist the batch upstream
+    * if running wide fan-outs. `extraCols` (e.g. a source offset
+    * column) are carried through for downstream ordering. */
+  def compileMulti(subs: Seq[Subscription], tenant: String, df: DataFrame,
+                   extraCols: Seq[String] = Nil): DataFrame = {
     require(subs.nonEmpty, "at least one subscription")
     val routes = subs.map(s =>
       SubscriptionRoute(s.id, s.topicPattern, s.fbOptions.targetPath))
     val routed = Routing.route(df, col("kafka_topic"), tenant, routes)
       .filter(col("sub_id").isNotNull)
+    val outCols = (Seq("doc_id", "topic", "sub_id", "target_path",
+      "doc_json", "doc_hash") ++ extraCols).map(col)
+    val payloadCols = df.columns
+      .filterNot(c => c == "kafka_topic" || extraCols.contains(c)).toIndexedSeq
     subs.map { sub =>
       // branches have per-subscription masked schemas; narrow to the
       // common sink contract before the union
       compileBranch(sub, routed.filter(col("sub_id") === sub.id),
-          df.columns.filterNot(_ == "kafka_topic").toIndexedSeq)
-        .select(col("doc_id"), col("topic"), col("sub_id"),
-          col("target_path"), col("doc_json"), col("doc_hash"))
+          payloadCols, extraCols)
+        .select(outCols: _*)
     }.reduce(_ unionByName _)
   }
 
@@ -107,15 +116,25 @@ object Pipeline {
   def dedupeBatch(prepared: DataFrame, orderCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = orderCol.map(c => col(c).desc).getOrElse(col("doc_hash").desc)
-    val w = Window.partitionBy(col("doc_id")).orderBy(ord)
+    // the sink's upsert key is (target_path, doc_id) — the same id on
+    // two topics/subscriptions is two distinct documents
+    val w = Window.partitionBy(col("target_path"), col("doc_id")).orderBy(ord)
     prepared.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Rows needing a write under the subscription's sync mode. */
+  /** Rows needing a write under the subscription's sync mode. The
+    * change-detection key is (target_path, doc_id, doc_hash) — a
+    * deliberate refinement of the reference's global-by-id RTDB store
+    * (config.py:37), which cannot distinguish destinations. */
   def gate(prepared: DataFrame, sub: Subscription, hashStore: => DataFrame): DataFrame =
-    SyncGate.gate(prepared, SyncGate.parseMode(sub.fbOptions.syncMode),
-      hashStore, "doc_id", "doc_hash")
+    SyncGate.parseMode(sub.fbOptions.syncMode) match {
+      case SyncGate.Forward => prepared
+      case SyncGate.Sync =>
+        prepared.join(hashStore.select("target_path", "doc_id", "doc_hash"),
+          Seq("target_path", "doc_id", "doc_hash"), "left_anti")
+      case _ => prepared.limit(0)
+    }
 
   /** Per-subscription sync-mode gate over a multi-subscription batch:
     * FORWARD branches pass, NONE/CONSUME branches drop, SYNC branches
@@ -130,8 +149,9 @@ object Pipeline {
     val forwarded = prepared.filter(col("sub_id").isin(fwd: _*))
     if (sync.isEmpty) forwarded
     else forwarded.unionByName(
-      SyncGate.needsUpdate(prepared.filter(col("sub_id").isin(sync: _*)),
-        hashStore, "doc_id", "doc_hash"))
+      prepared.filter(col("sub_id").isin(sync: _*))
+        .join(hashStore.select("target_path", "doc_id", "doc_hash"),
+          Seq("target_path", "doc_id", "doc_hash"), "left_anti"))
   }
 
   /** Executor-side batched upsert of the gated rows. NB: the count is
@@ -157,37 +177,51 @@ object Pipeline {
 final class HashStore(spark: SparkSession, path: String) {
   import org.apache.spark.sql.types._
   private val schema = StructType(Seq(
+    StructField("target_path", StringType),
     StructField("doc_id", StringType), StructField("doc_hash", StringType)))
 
+  private def target = new java.io.File(path)
+  private def tmpOld = new java.io.File(path + ".tmp-old")
+  private def tmpNew = new java.io.File(path + ".tmp-new")
+
+  /** Crash recovery: if the live store is missing but the staged-out
+    * old copy survives (death between the two swap renames), restore
+    * it before anyone reads or deletes "stale" tmp dirs. */
+  private def recover(): Unit = synchronized {
+    if (!target.exists && tmpOld.exists) {
+      if (!tmpOld.renameTo(target))
+        throw new java.io.IOException(s"cannot recover hash store from $tmpOld")
+    }
+  }
+
   def load(): DataFrame = {
-    val dir = new java.io.File(path)
-    if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
+    recover()
+    if (target.exists && target.listFiles != null && target.listFiles.nonEmpty)
       spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Upsert new hashes: new rows win over stored rows per doc_id.
-    * Callers must pass at most one row per doc_id (Pipeline.dedupeBatch)
-    * — enforced here with a distinct as a last line of defense, since a
-    * doc_id with TWO stored hashes would permanently suppress
-    * legitimate future writes. The store swap keeps the old store
-    * until the new one is fully in place (no delete-then-rename
-    * window), and a failed rename raises instead of silently dropping
-    * the store. */
+  /** Upsert new hashes: new rows win over stored rows per
+    * (target_path, doc_id). Callers must pass at most one row per key
+    * (Pipeline.dedupeBatch) — enforced here with a distinct as a last
+    * line of defense, since a key with TWO stored hashes would
+    * permanently suppress legitimate future writes. The swap stages the
+    * old store aside before activating the new one; recover() restores
+    * it if the process dies between the renames. */
   def merge(updates: DataFrame): Unit = {
-    val deduped = updates.select(col("doc_id").cast("string"), col("doc_hash"))
-      .dropDuplicates("doc_id")
+    recover()
+    val keys = Seq("target_path", "doc_id")
+    val deduped = updates.select(col("target_path"),
+        col("doc_id").cast("string"), col("doc_hash"))
+      .dropDuplicates(keys)
     val next = deduped
-      .unionByName(load().join(deduped.select("doc_id"), Seq("doc_id"), "left_anti"))
-    val tmpNew = new java.io.File(path + ".tmp-new")
-    val tmpOld = new java.io.File(path + ".tmp-old")
+      .unionByName(load().join(deduped.select(keys.map(col): _*), keys, "left_anti"))
     def rm(f: java.io.File): Unit = if (f.exists) {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
       if (!f.delete()) throw new java.io.IOException(s"cannot delete $f")
     }
-    rm(tmpNew); rm(tmpOld) // stale leftovers from a previous crash
+    rm(tmpNew); if (target.exists) rm(tmpOld) // stale only if live store is intact
     next.write.mode("overwrite").parquet(tmpNew.getPath)
-    val target = new java.io.File(path)
     if (target.exists && !target.renameTo(tmpOld))
       throw new java.io.IOException(s"cannot stage out old hash store $target")
     if (!tmpNew.renameTo(target)) {
@@ -208,11 +242,17 @@ final class StreamingJob(
     tenant: String,
     mkSink: () => DocumentSink,
     hashStorePath: String,
-    checkpoint: String) {
+    checkpoint: String,
+    trigger: Trigger = Trigger.ProcessingTime("1 second"),
+    /** Source-order column (e.g. the Kafka offset) so the LAST message
+      * for a document wins within a micro-batch; without it the
+      * deterministic max-hash tie-break applies. */
+    orderCol: Option[String] = None) {
 
   def this(spark: SparkSession, sub: Subscription, tenant: String,
            mkSink: () => DocumentSink, hashStorePath: String, checkpoint: String) =
-    this(spark, Seq(sub), tenant, mkSink, hashStorePath, checkpoint)
+    this(spark, Seq(sub), tenant, mkSink, hashStorePath, checkpoint,
+      Trigger.ProcessingTime("1 second"), None)
 
   val hashStore = new HashStore(spark, hashStorePath)
 
@@ -225,17 +265,17 @@ final class StreamingJob(
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val prepared = Pipeline.dedupeBatch(
-          Pipeline.compileMulti(subs, tenant, batch)).cache()
+          Pipeline.compileMulti(subs, tenant, batch, orderCol.toSeq), orderCol).cache()
         try {
           val gated = Pipeline.gateMulti(prepared, subs, hashStore.load()).cache()
           try {
             Pipeline.upsert(gated, mkSink)
             if (syncIds.nonEmpty)
               hashStore.merge(gated.filter(col("sub_id").isin(syncIds: _*))
-                .select("doc_id", "doc_hash"))
+                .select("target_path", "doc_id", "doc_hash"))
           } finally { gated.unpersist(): Unit }
         } finally { prepared.unpersist(): Unit }
       }
