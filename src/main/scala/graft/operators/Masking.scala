@@ -35,13 +35,16 @@ object Masking {
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** Keep only fields whose classification is at or below `emitLevel`
-    * in the ordered `maskLevels` (low→high). Unannotated fields pass
-    * (matching the SDK: only classified fields are maskable). */
-  def maskColumns(df: DataFrame,
-                  emitLevel: String,
-                  maskLevels: Seq[String] = DefaultLevels,
-                  annotation: String = DefaultAnnotation): DataFrame = {
+  /** The masking projection as (name, expression) pairs over `schema`:
+    * one entry per surviving top-level field, with nested structs
+    * rebuilt WITHOUT their masked subfields. Callers that need to
+    * combine masking with other columns (e.g. the streaming pipeline's
+    * routing metadata) must select these expressions — selecting the
+    * original columns by name would silently undo the nested pruning. */
+  def maskProjection(schema: StructType,
+                     emitLevel: String,
+                     maskLevels: Seq[String] = DefaultLevels,
+                     annotation: String = DefaultAnnotation): Seq[(String, Column)] = {
     val emitIdx = maskLevels.indexOf(emitLevel)
     require(emitIdx >= 0, s"emit level $emitLevel not in $maskLevels")
 
@@ -61,9 +64,17 @@ object Masking {
         case _ => Some(path)
       }
 
-    val cols = df.schema.fields.flatMap { f =>
-      prune(f, col(f.name)).map(_.as(f.name, f.metadata))
+    schema.fields.toIndexedSeq.flatMap { f =>
+      prune(f, col(f.name)).map(c => f.name -> c.as(f.name, f.metadata))
     }
-    df.select(cols.toIndexedSeq: _*)
   }
+
+  /** Keep only fields whose classification is at or below `emitLevel`
+    * in the ordered `maskLevels` (low→high). Unannotated fields pass
+    * (matching the SDK: only classified fields are maskable). */
+  def maskColumns(df: DataFrame,
+                  emitLevel: String,
+                  maskLevels: Seq[String] = DefaultLevels,
+                  annotation: String = DefaultAnnotation): DataFrame =
+    df.select(maskProjection(df.schema, emitLevel, maskLevels, annotation).map(_._2): _*)
 }

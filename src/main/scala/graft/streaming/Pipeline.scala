@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 import graft.functions.GraftFunctions.canonical_hash
 import graft.model.Subscription
@@ -56,15 +57,24 @@ object Pipeline {
 
     val masked =
       if (sub.fbOptions.maskingEmitLevel.nonEmpty && sub.fbOptions.maskingLevels.nonEmpty) {
-        val kept = Masking.maskColumns(
-          filtered.select(payloadCols.map(col): _*),
+        // Select the pruned EXPRESSIONS maskProjection builds (nested
+        // structs rebuilt without masked subfields) — selecting kept
+        // column NAMES from `filtered` would resurrect masked nested
+        // fields into doc_json/doc_hash.
+        val payloadSchema = StructType(
+          filtered.schema.fields.filter(f => payloadCols.contains(f.name)))
+        val pruned = Masking.maskProjection(payloadSchema,
           sub.fbOptions.maskingEmitLevel, sub.fbOptions.maskingLevels,
-          sub.fbOptions.maskingAnnotation).columns.toIndexedSeq
+          sub.fbOptions.maskingAnnotation)
         // the id is the document key — masking may never drop it, or the
         // sink loses its upsert identity (and col("id") below would fail)
-        val keep = if (kept.contains("id")) kept
-                   else payloadCols.filter(c => c == "id" || kept.contains(c))
-        filtered.select((keep ++ Seq("topic", "sub_id", "target_path") ++ extraCols).map(col): _*)
+        val keep = if (pruned.exists(_._1 == "id")) pruned.map(_._2)
+                   else {
+                     val byName = pruned.toMap
+                     payloadCols.flatMap(c =>
+                       if (c == "id") Some(col("id")) else byName.get(c))
+                   }
+        filtered.select(keep ++ (Seq("topic", "sub_id", "target_path") ++ extraCols).map(col): _*)
       } else filtered
 
     val docCols = masked.columns

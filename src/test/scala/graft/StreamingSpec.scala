@@ -128,6 +128,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("nested annotated struct field is pruned from doc_json in the stream path") {
+    val input = tmp(); val sinkRoot = tmp(); val work = tmp()
+    val sub = Subscription("s-nest", "s-nest", "t*", FbOptions(
+      syncMode = "forward", targetPath = "_n/{topic}",
+      maskingLevels = graft.operators.Masking.DefaultLevels,
+      maskingEmitLevel = "public"))
+
+    // annotation lives on a NESTED field — the regression this guards:
+    // compileBranch must keep maskProjection's rebuilt struct, not
+    // re-select the original geo column
+    def annotate(df: org.apache.spark.sql.DataFrame) = {
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(graft.operators.Masking.DefaultAnnotation, "secret").build()
+      df.select($"kafka_topic", $"id",
+        struct($"geo.lat".as("lat"), $"geo.ssn".as("ssn", md)).as("geo"))
+    }
+    val raw = Seq(("tnt.t1", 1L, (12.5, "SSN-SECRET")))
+      .toDF("kafka_topic", "id", "geo")
+      .select($"kafka_topic", $"id",
+        struct($"geo._1".as("lat"), $"geo._2".as("ssn")).as("geo"))
+    annotate(raw).coalesce(1).write.mode("append").parquet(input)
+
+    val job = new StreamingJob(spark, sub, "tnt", () => new JsonFileSink(sinkRoot),
+      s"$work/hashes", s"$work/ckpt")
+    val q = job.start(annotate(spark.readStream.schema(raw.schema).parquet(input)))
+    try {
+      q.processAllAvailable()
+      val doc = Files.readString(java.nio.file.Paths.get(sinkRoot, "_n/t1/1.json"))
+      assert(doc.contains("\"lat\":12.5"))   // sibling survives inside the struct
+      assert(!doc.contains("SSN-SECRET"))    // masked nested field never serialized
+    } finally q.stop()
+  }
+
   test("registry: validation, lifecycle, logs ring") {
     val reg = new graft.streaming.JobRegistry(spark, "tnt")
     // reference unit tests: even-segment path and illegal placeholder rejected
