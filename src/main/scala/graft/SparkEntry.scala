@@ -103,6 +103,37 @@ object Queries {
           .as("doc_hash"))
       .orderBy(col("doc_id"))
 
+  /** A1 — binary Avro payload decode (the reference's actual Kafka
+    * input shape, artifacts.py:270-272): documents are Avro-encoded
+    * into a binary `value` column (nested record + array fields), then
+    * decoded back through the from_avro-equivalent expression and
+    * projected. The oracle reads the same fields straight from parquet,
+    * so any encode/decode value corruption breaks the hash match. */
+  def qAvroDecode(s: SparkSession, dir: String): DataFrame = {
+    val schemaJson =
+      """{"type":"record","name":"Doc","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"text","type":["null","string"]},
+        |  {"name":"lang","type":["null","string"]},
+        |  {"name":"source","type":["null","string"],"@aether_masking":"confidential"},
+        |  {"name":"meta","type":{"type":"record","name":"Meta","fields":[
+        |    {"name":"n_chars","type":"long"},
+        |    {"name":"words","type":["null",{"type":"array","items":"string"}]}]}}
+        |]}""".stripMargin
+    val encoded = Tables.documents(s, dir).select(
+      concat(lit("tnant."), col("lang")).as("kafka_topic"),
+      graft.functions.AvroColumns.avro_encode(struct(
+        col("doc_id").as("id"), col("text"), col("lang"), col("source"),
+        struct(col("n_chars"), split(col("text"), " ").as("words")).as("meta")),
+        schemaJson).as("value"))
+    graft.streaming.Pipeline.decodeAvro(encoded, schemaJson)
+      .select(col("id").as("doc_id"), col("lang"), col("source"),
+        col("meta").getField("n_chars").as("n_chars"),
+        size(col("meta").getField("words")).cast("long").as("n_words"),
+        substring(col("text"), 1, 40).as("prefix"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A10–A13 — SYNC-mode change detection: left-anti join of the
     * incoming batch against the hash store on (id, hash). Store rows:
     * doc_id%3==0 current hash (unchanged ⇒ dropped), %3==1 stale hash
@@ -695,7 +726,8 @@ object Queries {
     "q_pivot" -> (qPivot _),
     "q_cube" -> (qCube _),
     "q_setops_all" -> (qSetopsAll _),
-    "q_date_fns" -> (qDateFns _)
+    "q_date_fns" -> (qDateFns _),
+    "q_avro_decode" -> (qAvroDecode _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -728,6 +760,13 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_avro_decode" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  substr(text, 1, 40) AS prefix
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -32,6 +32,23 @@ import graft.sources.DocumentSink
   */
 object Pipeline {
 
+  /** Decode stage for a binary-Avro source (the reference's actual
+    * input: every Kafka message value is an Avro datum,
+    * artifacts.py:270-272). `(kafka_topic, value binary, …)` →
+    * `(kafka_topic, …, <decoded payload columns>)`, with the schema's
+    * `@aether_*` annotations attached so downstream masking applies to
+    * decoded payloads. Heterogeneous topics carry different schemas —
+    * branch per topic upstream (the same per-topic split compileMulti
+    * already does), one decode schema per branch. */
+  def decodeAvro(df: DataFrame, avroSchemaJson: String,
+                 valueCol: String = "value"): DataFrame = {
+    val struct = graft.sources.AvroSchemaBridge.parse(avroSchemaJson)
+    val others = df.columns.filterNot(_ == valueCol).map(col).toIndexedSeq
+    val decoded = graft.functions.AvroColumns.avro_decode(col(valueCol), avroSchemaJson)
+    df.select(others ++ struct.fields.map(f =>
+      decoded.getField(f.name).as(f.name, f.metadata)): _*)
+  }
+
   /** Input contract: `kafka_topic` string column + an `id` column +
     * payload columns. Output: surviving rows with `doc_id`,
     * `target_path`, `doc_json`, `doc_hash`. */

@@ -161,6 +161,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("full pipeline from binary Avro bytes: decode → mask → sync gate → sink") {
+    val input = tmp(); val sinkRoot = tmp(); val work = tmp()
+    val schemaJson =
+      """{"type":"record","name":"Doc","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"name","type":["null","string"]},
+        |  {"name":"ssn","type":["null","string"],"@aether_masking":"secret"}
+        |]}""".stripMargin
+    val sub = Subscription("s-avro", "s-avro", "t*", FbOptions(
+      syncMode = "sync", targetPath = "_av/{topic}",
+      maskingLevels = graft.operators.Masking.DefaultLevels,
+      maskingEmitLevel = "confidential"))
+
+    // wire format: (kafka_topic, value binary) — the reference's
+    // actual message shape before its spavro decode
+    val raw = Seq((1L, "alice", "SSN-HIDE-ME"), (2L, "bob", "SSN-ALSO-HIDE"))
+      .toDF("id", "name", "ssn")
+      .select(lit("tnt.t9").as("kafka_topic"),
+        graft.functions.AvroColumns.avro_encode(
+          struct($"id", $"name", $"ssn"), schemaJson).as("value"))
+    raw.coalesce(1).write.mode("append").parquet(input)
+
+    val job = new StreamingJob(spark, sub, "tnt", () => new JsonFileSink(sinkRoot),
+      s"$work/hashes", s"$work/ckpt")
+    val stream = spark.readStream.schema(raw.schema).parquet(input)
+    val q = job.start(graft.streaming.Pipeline.decodeAvro(stream, schemaJson))
+    try {
+      q.processAllAvailable()
+      val doc = Files.readString(java.nio.file.Paths.get(sinkRoot, "_av/t9/1.json"))
+      assert(doc.contains("\"name\":\"alice\""))
+      assert(!doc.contains("SSN-HIDE-ME")) // annotation came from the Avro schema
+      assert(job.hashStore.load().count() == 2)
+
+      // replay: unchanged Avro bytes ⇒ hash store suppresses the write
+      val m1 = new java.io.File(s"$sinkRoot/_av/t9/1.json").lastModified()
+      Thread.sleep(20)
+      raw.coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      assert(new java.io.File(s"$sinkRoot/_av/t9/1.json").lastModified() == m1)
+    } finally q.stop()
+  }
+
   test("registry: validation, lifecycle, logs ring") {
     val reg = new graft.streaming.JobRegistry(spark, "tnt")
     // reference unit tests: even-segment path and illegal placeholder rejected
