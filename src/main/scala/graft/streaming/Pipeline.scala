@@ -197,66 +197,124 @@ object Pipeline {
   }
 }
 
-/** Durable (doc_id, doc_hash) table backing SYNC-mode change
-  * detection — the Spark-side equivalent of the reference's RTDB
+/** Durable (target_path, doc_id) → doc_hash table backing SYNC-mode
+  * change detection — the Spark-side equivalent of the reference's RTDB
   * `_aether/entityHash/{id}` store (config.py:37, helpers.py:51-67),
-  * maintained as parquet merged per micro-batch (no driver state). */
-final class HashStore(spark: SparkSession, path: String) {
+  * maintained as parquet merged per micro-batch (no driver state).
+  *
+  * Scale design: the store is hash-partitioned into `numBuckets`
+  * directories keyed by `pmod(hash(target_path, doc_id), numBuckets)`;
+  * a merge rewrites ONLY the buckets containing batch keys, so per-batch
+  * I/O is O(|store|/numBuckets × touched buckets), not O(|store|). At
+  * billions of ids raise numBuckets so a bucket stays executor-sized —
+  * the merge plan is a bucket-pruned scan + anti-join, unchanged.
+  *
+  * Commit protocol (object-store-safe, no directory renames on the
+  * read path): bucket data lives in immutable uniquely-named dirs; the
+  * single `_manifest` file maps bucket → current dir and is swapped
+  * atomically (FileContext rename with OVERWRITE — atomic on HDFS and
+  * local FS; a single small PUT on object stores). Readers resolve the
+  * manifest first, so they see the old or the new store, never a mix;
+  * a crash mid-merge leaves only orphan dirs, garbage-collected on the
+  * next merge. All I/O goes through the Hadoop FileSystem API — no
+  * java.io.File local-FS assumptions. */
+final class HashStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
+  import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
   import org.apache.spark.sql.types._
+
   private val schema = StructType(Seq(
     StructField("target_path", StringType),
     StructField("doc_id", StringType), StructField("doc_hash", StringType)))
+  private val keys = Seq("target_path", "doc_id")
 
-  private def target = new java.io.File(path)
-  private def tmpOld = new java.io.File(path + ".tmp-old")
-  private def tmpNew = new java.io.File(path + ".tmp-new")
+  private val root = new HPath(path)
+  private val manifestFile = new HPath(root, "_manifest")
+  private lazy val hadoopConf = spark.sessionState.newHadoopConf()
+  private def fs = root.getFileSystem(hadoopConf)
 
-  /** Crash recovery: if the live store is missing but the staged-out
-    * old copy survives (death between the two swap renames), restore
-    * it before anyone reads or deletes "stale" tmp dirs. */
-  private def recover(): Unit = synchronized {
-    if (!target.exists && tmpOld.exists) {
-      if (!tmpOld.renameTo(target))
-        throw new java.io.IOException(s"cannot recover hash store from $tmpOld")
-    }
+  private def bucketCol: Column =
+    pmod(hash(col("target_path"), col("doc_id")), lit(numBuckets))
+
+  /** bucket index → current data dir name (relative to root). */
+  private def readManifest(): Map[Int, String] = {
+    if (!fs.exists(manifestFile)) return Map.empty
+    val in = fs.open(manifestFile)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(b, dir) = line.split('\t'); b.toInt -> dir
+        }.toMap
+    } finally in.close()
   }
 
-  def load(): DataFrame = {
-    recover()
-    if (target.exists && target.listFiles != null && target.listFiles.nonEmpty)
-      spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  private def writeManifest(m: Map[Int, String]): Unit = {
+    val tmp = new HPath(root, s"_manifest.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sorted.map { case (b, d) => s"$b\t$d" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    FileContext.getFileContext(root.toUri, hadoopConf)
+      .rename(tmp, manifestFile, Options.Rename.OVERWRITE)
   }
+
+  private def emptyDf =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) emptyDf
+    else spark.read.schema(schema)
+      .parquet(dirs.map(d => new HPath(root, d).toString): _*)
+
+  def load(): DataFrame = readDirs(readManifest().values.toSeq)
 
   /** Upsert new hashes: new rows win over stored rows per
     * (target_path, doc_id). Callers must pass at most one row per key
     * (Pipeline.dedupeBatch) — enforced here with a distinct as a last
     * line of defense, since a key with TWO stored hashes would
-    * permanently suppress legitimate future writes. The swap stages the
-    * old store aside before activating the new one; recover() restores
-    * it if the process dies between the renames. */
-  def merge(updates: DataFrame): Unit = {
-    recover()
-    val keys = Seq("target_path", "doc_id")
+    * permanently suppress legitimate future writes. */
+  def merge(updates: DataFrame): Unit = synchronized {
     val deduped = updates.select(col("target_path"),
         col("doc_id").cast("string"), col("doc_hash"))
       .dropDuplicates(keys)
-    val next = deduped
-      .unionByName(load().join(deduped.select(keys.map(col): _*), keys, "left_anti"))
-    def rm(f: java.io.File): Unit = if (f.exists) {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-      if (!f.delete()) throw new java.io.IOException(s"cannot delete $f")
-    }
-    rm(tmpNew); if (target.exists) rm(tmpOld) // stale only if live store is intact
-    next.write.mode("overwrite").parquet(tmpNew.getPath)
-    if (target.exists && !target.renameTo(tmpOld))
-      throw new java.io.IOException(s"cannot stage out old hash store $target")
-    if (!tmpNew.renameTo(target)) {
-      // restore the old store before failing
-      if (tmpOld.exists) { tmpOld.renameTo(target): Unit }
-      throw new java.io.IOException(s"cannot activate new hash store at $target")
-    }
-    rm(tmpOld)
+      .withColumn("bucket", bucketCol)
+      .cache()
+    try {
+      val touched = deduped.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return
+      val manifest = readManifest()
+
+      // current rows of ONLY the touched buckets, keys beaten by updates
+      val survivors = readDirs(
+          touched.toSeq.sorted.flatMap(manifest.get))
+        .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+        .withColumn("bucket", bucketCol)
+      val next = deduped.unionByName(survivors)
+
+      // stage the new bucket data, then publish each bucket dir under a
+      // fresh immutable name and flip the manifest in one rename
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      val staging = new HPath(root, s".stage-$stamp")
+      next.write.partitionBy("bucket").parquet(staging.toString)
+      val replaced = touched.toSeq.sorted.map { b =>
+        val dir = s"b$b-$stamp"
+        if (!fs.rename(new HPath(staging, s"bucket=$b"), new HPath(root, dir)))
+          throw new java.io.IOException(s"cannot publish bucket $b of $root")
+        b -> dir
+      }
+      writeManifest(manifest ++ replaced)
+
+      // GC: previous dirs of replaced buckets, stage leftovers, and any
+      // orphans from crashed merges (everything unreferenced)
+      val live = (manifest ++ replaced).values.toSet
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        val dead = (st.isDirectory && !live.contains(name)) ||
+          (!st.isDirectory && name.startsWith("_manifest.tmp-"))
+        if (dead && name != "_manifest") { fs.delete(st.getPath, true): Unit }
+      }
+    } finally { deduped.unpersist(): Unit }
   }
 }
 
