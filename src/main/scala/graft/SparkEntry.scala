@@ -362,20 +362,30 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Embedding near-dup: quantized-integer cosine (exact dot products,
-    * bit-identical doubles across engines) over label-blocked pairs. */
+  /** 32 deterministic ±1 hyperplanes = 8 LSH bands × 4 planes for the
+    * embedding near-dup blocker. */
+  private[graft] lazy val dedupPlanes = Similarity.hyperplanes(32, 64)
+
+  /** Embedding near-dup via banded random-hyperplane LSH: candidate
+    * pairs are blocked on (band_idx, band_key) — the band key is the
+    * ONLY shuffle; there is no label/all-pairs join anywhere — then
+    * verified with exact quantized-integer cosine (bit-identical
+    * doubles across engines) at >= 0.4. With 8 bands of 4 planes,
+    * candidate recall is ~1.0 for true near-dups (cos >= 0.9) and
+    * ~0.75 at the 0.4 floor; at scale the per-band 4-bit key prunes
+    * quadratically harder as similarity concentration rises. */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val q = Similarity.quantized(Tables.embeddings(s, dir))
-      .select(col("vec_id"), col("label"), col("qv"), col("norm2")).cache()
-    val a = q.select(col("vec_id").as("vec_a"), col("label"),
-      col("qv").as("qa"), col("norm2").as("na"))
-    val b = q.select(col("vec_id").as("vec_b"), col("label"),
-      col("qv").as("qb"), col("norm2").as("nb"))
-    a.join(b, "label").filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", Similarity.dotExpr("qa", "qb"))
+      .select(col("vec_id"), col("qv"), col("norm2")).cache()
+    val banded = Similarity.withHyperplaneBands(q, dedupPlanes, 4)
+    val cand = Dedup.lshCandidatePairs(banded, "vec_id")
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+    cand
+      .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("norm2").as("na")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("norm2").as("nb")), "vec_b")
       .withColumn("cos_sim",
-        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      .filter(col("cos_sim") > 0.25)
+        Similarity.cosine(Similarity.dotExpr("qa", "qb"), col("na"), col("nb")))
+      .filter(col("cos_sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -966,16 +976,31 @@ object Queries {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
-    "q_dedup_embedding" ->
-      """WITH q AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) norm2 FROM q)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos_sim
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.qv, b.qv) / (sqrt(a.norm2) * sqrt(b.norm2)) > 0.25
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_dedup_embedding" -> {
+      // Mirror the Spark plan's 8×4 hyperplane banding with identical
+      // literals: band key = sign-bit integer of 4 exact integer dots.
+      val bandSelects = Queries.dedupPlanesLiterals.grouped(4).toSeq.zipWithIndex.map {
+        case (grp, bi) =>
+          val v = grp.zipWithIndex.map { case (p, j) =>
+            s"(CASE WHEN list_dot_product(qv, $p) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, $bi AS band_idx, $v AS band_key FROM n"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
+         |banded AS (
+         |$bandSelects),
+         |cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b,
+         |  list_dot_product(na.qv, nb.qv) / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cos_sim
+         |FROM cand JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+         |WHERE list_dot_product(na.qv, nb.qv) / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) toks FROM documents),
@@ -1250,4 +1275,8 @@ object Queries {
     * Spark plan so oracle and engine use identical constants). */
   def lshPlanesLiterals: Seq[String] =
     lshPlanes.map(_.mkString("[", ", ", "]"))
+
+  /** DuckDB list literals of the 32 embedding-dedup banding planes. */
+  def dedupPlanesLiterals: Seq[String] =
+    dedupPlanes.map(_.mkString("[", ", ", "]"))
 }

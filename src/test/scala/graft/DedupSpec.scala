@@ -42,7 +42,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("embedding near-dup cosine is within [-1,1] and above threshold") {
     val sims = Queries.qDedupEmbedding(spark, sf).select("cos_sim").as[Double].collect()
     assert(sims.nonEmpty)
-    assert(sims.forall(s => s > 0.25 && s <= 1.0))
+    assert(sims.forall(s => s >= 0.4 && s <= 1.0))
+  }
+
+  test("embedding near-dup blocks on LSH bands, never on label") {
+    val df = Queries.qDedupEmbedding(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("label"), "plan must not join/block on the label column")
+    assert(plan.contains("band_idx"), "plan should block on the LSH band key")
+  }
+
+  test("embedding LSH banding finds every identical-vector pair") {
+    // Identical vectors share every band, so recall on true dups is 1.
+    val base = Tables.embeddings(spark, sf).limit(20)
+    val q = graft.operators.Similarity.quantized(base)
+      .select($"vec_id", $"qv", $"norm2")
+    val banded = graft.operators.Similarity.withHyperplaneBands(q, Queries.dedupPlanes, 4)
+    val dup = banded.unionAll(banded.withColumn("vec_id", $"vec_id" + 10000L))
+    val cand = Dedup.lshCandidatePairs(dup, "vec_id")
+      .filter($"id_b" === $"id_a" + 10000L)
+    assert(cand.count() == 20L)
   }
 
   test("jaccard of disjoint and identical sets") {
