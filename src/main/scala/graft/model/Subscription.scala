@@ -41,20 +41,28 @@ final case class FirebaseJob(
     subscriptions: Seq[String])
 
 object Validation {
-  private val AllowedSyncModes = Set("forward") // schemas.py:284
+  /** The reference's shipped JSON schema allows only "forward"
+    * (schemas.py:284) even though its engine handles four modes
+    * (helpers.py:42-46). [[SchemaSyncModes]] mirrors that strict
+    * contract; [[EngineSyncModes]] — the default — unlocks what this
+    * engine actually implements, so the flagship SYNC path is
+    * reachable through the registry. */
+  val SchemaSyncModes: Set[String] = Set("forward") // schemas.py:284
+  val EngineSyncModes: Set[String] = Set("forward", "sync", "consume", "none")
 
   /** JSON-schema-equivalent checks + the secondary path rule
     * (artifacts.py:159-172): target path must have an odd number of
     * '/'-separated segments (collection-rooted CFS path) and no
     * placeholder other than {topic}. */
-  def validateSubscription(sub: Subscription): Seq[String] = {
+  def validateSubscription(sub: Subscription,
+      allowedSyncModes: Set[String] = EngineSyncModes): Seq[String] = {
     val errs = Seq.newBuilder[String]
     if (sub.id.isEmpty) errs += "id: must be non-empty"
     if (sub.name.isEmpty) errs += "name: must be non-empty"
     if (sub.topicPattern.isEmpty) errs += "topic_pattern: must be non-empty"
     val o = sub.fbOptions
-    if (!AllowedSyncModes.contains(o.syncMode))
-      errs += s"fb_options.sync_mode: '${o.syncMode}' not in ${AllowedSyncModes.mkString(",")}"
+    if (!allowedSyncModes.contains(o.syncMode))
+      errs += s"fb_options.sync_mode: '${o.syncMode}' not in ${allowedSyncModes.mkString(",")}"
     if (o.filterRequired) {
       if (o.filterFieldPath.isEmpty)
         errs += "fb_options.filter_field_path: required when filter_required"

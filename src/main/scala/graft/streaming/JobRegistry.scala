@@ -19,7 +19,11 @@ import graft.sources.DocumentSink
   * lifecycle events. Tenancy: every job's topics/checkpoints are
   * prefixed with the tenant (artifacts.py:226,293-295).
   */
-final class JobRegistry(spark: SparkSession, tenant: String) {
+final class JobRegistry(spark: SparkSession, tenant: String,
+    /** Sync modes accepted on addSubscription. Defaults to the modes
+      * this engine implements; pass [[Validation.SchemaSyncModes]] for
+      * the reference's strict schema contract (schemas.py:284). */
+    allowedSyncModes: Set[String] = Validation.EngineSyncModes) {
   private val firebases = mutable.Map[String, FirebaseInstance]()
   private val subscriptions = mutable.Map[String, Subscription]()
   private val jobs = mutable.Map[String, FirebaseJob]()
@@ -44,7 +48,7 @@ final class JobRegistry(spark: SparkSession, tenant: String) {
   }
 
   def addSubscription(sub: Subscription): Either[Seq[String], String] = synchronized {
-    val errs = Validation.validateSubscription(sub)
+    val errs = Validation.validateSubscription(sub, allowedSyncModes)
     if (errs.nonEmpty) Left(errs) else { subscriptions(sub.id) = sub; Right(sub.id) }
   }
 
@@ -67,6 +71,10 @@ final class JobRegistry(spark: SparkSession, tenant: String) {
                workDir: String): Either[Seq[String], StreamingQuery] = synchronized {
     jobs.get(jobId) match {
       case None => Left(Seq(s"job: unknown '$jobId'"))
+      // a second start would silently orphan the running query's handle,
+      // leaving two queries contending on one checkpoint/hash-store dir
+      case Some(_) if queries.get(jobId).exists(_.isActive) =>
+        Left(Seq(s"job: '$jobId' already running"))
       case Some(job) =>
         val subsForJob = job.subscriptions.map(subscriptions)
         val sj = new StreamingJob(spark, subsForJob, tenant, mkSink,

@@ -226,4 +226,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(logs.length == 100 && logs.last == "line 150" && logs.head == "line 51")
     assert(reg.getStatus("nope") == "UNKNOWN")
   }
+
+  test("registry: SYNC mode runs end-to-end; double start rejected; strict schema optional") {
+    val input = tmp(); val sinkRoot = tmp(); val work = tmp()
+    val reg = new graft.streaming.JobRegistry(spark, "tnt")
+    val sub = Subscription("ssync", "ssync", "t?", FbOptions(
+      syncMode = "sync", targetPath = "_aether/entities/{topic}"))
+    assert(reg.addSubscription(sub).isRight) // engine modes accepted by default
+    assert(reg.addFirebase(FirebaseInstance("fb", "fb", "http://emulator")).isRight)
+    assert(reg.addJob(FirebaseJob("js", "js", "fb", Seq("ssync"))).isRight)
+
+    val batch = Seq(("tnt.t1", 1L, "a", 1.0), ("tnt.t1", 2L, "b", 2.0))
+      .toDF("kafka_topic", "id", "name", "score")
+    batch.coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema(batch.schema).parquet(input)
+    val started = reg.startJob("js", stream, () => new JsonFileSink(sinkRoot), work)
+    assert(started.isRight)
+    val q = started.toOption.get
+    try {
+      // second start while running must be rejected, not silently
+      // replace the tracked handle
+      assert(reg.startJob("js", stream, () => new JsonFileSink(sinkRoot), work)
+        == Left(Seq("job: 'js' already running")))
+      q.processAllAvailable()
+      assert(reg.getStatus("js") == "NORMAL")
+      val dir = new java.io.File(s"$sinkRoot/_aether/entities/t1")
+      assert(dir.list().count(_.endsWith(".json")) == 2)
+      // the SYNC gate merged hashes — the flagship path ran through the registry
+      assert(new java.io.File(s"$work/hashstore-tnt-js/_manifest").exists())
+    } finally q.stop()
+    assert(reg.getStatus("js") == "STOPPED") // inactive ⇒ restart allowed again
+
+    // schema-strict contract (schemas.py:284) still available
+    val strict = new graft.streaming.JobRegistry(spark, "tnt", Validation.SchemaSyncModes)
+    assert(strict.addSubscription(sub).isLeft)
+    assert(strict.addSubscription(Subscription("f1", "f1", "t*")).isRight)
+  }
 }
