@@ -43,10 +43,22 @@ object Pipeline {
   def decodeAvro(df: DataFrame, avroSchemaJson: String,
                  valueCol: String = "value"): DataFrame = {
     val struct = graft.sources.AvroSchemaBridge.parse(avroSchemaJson)
-    val others = df.columns.filterNot(_ == valueCol).map(col).toIndexedSeq
+    val others = df.columns.filterNot(_ == valueCol).toIndexedSeq
+    // fail fast on name collisions — downstream compile/masking would
+    // otherwise hit ambiguous-reference errors far from the cause
+    val collisions = struct.fields.map(_.name).toSet
+      .intersect(others.toSet + "_payload")
+    require(collisions.isEmpty,
+      s"decoded Avro field(s) ${collisions.mkString(", ")} collide with " +
+        "carried-through column(s); rename or drop them upstream of decodeAvro")
     val decoded = graft.functions.AvroColumns.avro_decode(col(valueCol), avroSchemaJson)
-    df.select(others ++ struct.fields.map(f =>
-      decoded.getField(f.name).as(f.name, f.metadata)): _*)
+    // two projections on purpose: CollapseProject refuses to merge them
+    // because merging would duplicate the non-cheap decode expression —
+    // guaranteeing exactly ONE Avro decode per row even on interpreted /
+    // subexpression-elimination-disabled paths
+    df.select(others.map(col) :+ decoded.as("_payload"): _*)
+      .select(others.map(col) ++ struct.fields.map(f =>
+        col("_payload").getField(f.name).as(f.name, f.metadata)): _*)
   }
 
   /** Input contract: `kafka_topic` string column + an `id` column +
@@ -105,13 +117,14 @@ object Pipeline {
   /** Multi-subscription compile (reference: one consumer serves N
     * subscriptions, first glob match after id sort wins —
     * artifacts.py:250-256): route once against ALL subscriptions,
-    * then branch per subscription for its own filter/mask config and
-    * union the branches. NB: Catalyst does not share the routed
-    * subplan across union branches, so a job with many subscriptions
-    * re-reads the micro-batch once per branch — cheap for the
-    * reference's 1-2 subscriptions per job; persist the batch upstream
-    * if running wide fan-outs. `extraCols` (e.g. a source offset
-    * column) are carried through for downstream ordering. */
+    * then evaluate every per-subscription filter/mask as ONE
+    * conditional projection keyed by `sub_id` — a single scan of the
+    * micro-batch regardless of fan-out (no per-branch union, which
+    * Catalyst would not share, re-reading the batch once per
+    * subscription). CaseWhen evaluates only the matched branch, so a
+    * row pays exactly its own subscription's mask/hash cost.
+    * `extraCols` (e.g. a source offset column) are carried through for
+    * downstream ordering. */
   def compileMulti(subs: Seq[Subscription], tenant: String, df: DataFrame,
                    extraCols: Seq[String] = Nil): DataFrame = {
     require(subs.nonEmpty, "at least one subscription")
@@ -119,17 +132,52 @@ object Pipeline {
       SubscriptionRoute(s.id, s.topicPattern, s.fbOptions.targetPath))
     val routed = Routing.route(df, col("kafka_topic"), tenant, routes)
       .filter(col("sub_id").isNotNull)
-    val outCols = (Seq("doc_id", "topic", "sub_id", "target_path",
-      "doc_json", "doc_hash") ++ extraCols).map(col)
     val payloadCols = df.columns
       .filterNot(c => c == "kafka_topic" || extraCols.contains(c)).toIndexedSeq
-    subs.map { sub =>
-      // branches have per-subscription masked schemas; narrow to the
-      // common sink contract before the union
-      compileBranch(sub, routed.filter(col("sub_id") === sub.id),
-          payloadCols, extraCols)
-        .select(outCols: _*)
-    }.reduce(_ unionByName _)
+    val payloadSchema = StructType(
+      routed.schema.fields.filter(f => payloadCols.contains(f.name)))
+
+    // row passes iff ITS subscription's filter passes (rows are owned
+    // by exactly one sub_id after first-match-wins routing)
+    val pass = subs.map { sub =>
+      val o = sub.fbOptions
+      val cond =
+        if (o.filterRequired)
+          col(o.filterFieldPath).cast("string").isin(o.filterPassValues: _*)
+        else lit(true)
+      (col("sub_id") === sub.id) && cond
+    }.reduce(_ || _)
+
+    // the subscription's masked document as a struct expression (same
+    // pruned expressions compileBranch selects — nested masked fields
+    // stay pruned; the id is the upsert key and always survives)
+    def docStruct(sub: Subscription): Column = {
+      val o = sub.fbOptions
+      val kept: Seq[Column] =
+        if (o.maskingEmitLevel.nonEmpty && o.maskingLevels.nonEmpty) {
+          val pruned = Masking.maskProjection(payloadSchema,
+            o.maskingEmitLevel, o.maskingLevels, o.maskingAnnotation)
+          if (pruned.exists(_._1 == "id")) pruned.map(_._2)
+          else {
+            val byName = pruned.toMap
+            payloadCols.flatMap(c =>
+              if (c == "id") Some(col("id").as("id")) else byName.get(c))
+          }
+        } else payloadCols.map(col)
+      struct(kept: _*)
+    }
+
+    def perSub(f: Subscription => Column): Column =
+      subs.tail.foldLeft(when(col("sub_id") === subs.head.id, f(subs.head))) {
+        (acc, s) => acc.when(col("sub_id") === s.id, f(s))
+      }
+
+    routed.filter(pass)
+      .withColumn("doc_id", col("id").cast("string"))
+      .withColumn("doc_json", perSub(s => to_json(docStruct(s))))
+      .withColumn("doc_hash", perSub(s => canonical_hash(docStruct(s))))
+      .select((Seq("doc_id", "topic", "sub_id", "target_path",
+        "doc_json", "doc_hash") ++ extraCols).map(col): _*)
   }
 
   /** One surviving row per doc_id within a micro-batch. A batch can

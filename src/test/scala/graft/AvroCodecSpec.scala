@@ -120,6 +120,42 @@ class AvroCodecSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, "alice"), (2L, "bob")))
   }
 
+  test("decodeAvro plans exactly one decode regardless of field count") {
+    val schemaJson =
+      """{"type":"record","name":"Doc","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"name","type":["null","string"]},
+        |  {"name":"ssn","type":["null","string"]}
+        |]}""".stripMargin
+    // a file-backed input: over a LocalRelation the optimizer would
+    // evaluate the whole decode eagerly and leave nothing to count
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    Seq((1L, "alice", "x")).toDF("id", "name", "ssn")
+      .select(lit("tnt.people").as("kafka_topic"),
+        avro_encode(struct($"id", $"name", $"ssn"), schemaJson).as("value"))
+      .write.mode("overwrite").parquet(dir)
+    val decoded = Pipeline.decodeAvro(spark.read.parquet(dir), schemaJson)
+    val nDecodes = decoded.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case e: graft.functions.AvroDecodeExpr => e
+      })
+    }.flatten.size
+    assert(nDecodes == 1, s"expected 1 AvroDecodeExpr in the plan, got $nDecodes")
+  }
+
+  test("decodeAvro rejects payload fields colliding with carried columns") {
+    val schemaJson =
+      """{"type":"record","name":"Doc","fields":[
+        |  {"name":"kafka_topic","type":"string"},
+        |  {"name":"id","type":"long"}
+        |]}""".stripMargin
+    val raw = Seq((1L, "t")).toDF("id", "t")
+      .select(lit("tnt.x").as("kafka_topic"),
+        avro_encode(struct(lit("a").as("kafka_topic"), $"id"), schemaJson).as("value"))
+    val e = intercept[IllegalArgumentException](Pipeline.decodeAvro(raw, schemaJson))
+    assert(e.getMessage.contains("kafka_topic"))
+  }
+
   test("q_avro_decode: decoded values equal the original parquet columns") {
     val direct = Tables.documents(spark, sf)
       .select($"doc_id", $"lang", $"source", $"n_chars",

@@ -227,6 +227,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(reg.getStatus("nope") == "UNKNOWN")
   }
 
+  test("compileMulti scans the micro-batch once for a 4-subscription job") {
+    import graft.streaming.Pipeline
+    val input = tmp()
+    val raw = Seq(
+      ("tnt.alpha", 1L, "keep", 1.0), ("tnt.alpha", 2L, "drop", 2.0),
+      ("tnt.beta", 3L, "x", 3.0), ("tnt.gamma", 4L, "y", 4.0),
+      ("tnt.delta", 5L, "z", 5.0), ("tnt.other", 6L, "w", 6.0))
+      .toDF("kafka_topic", "id", "name", "score")
+    graft.operators.Masking.annotate(raw, Map("score" -> "private"),
+        "aether_masking")
+      .coalesce(1).write.mode("overwrite").parquet(input)
+    val batch = spark.read.parquet(input)
+    val subs = Seq(
+      Subscription("s1", "s1", "alpha*", FbOptions(filterRequired = true,
+        filterFieldPath = "name", filterPassValues = Seq("keep"))),
+      Subscription("s2", "s2", "beta*", FbOptions(maskingEmitLevel = "public",
+        maskingLevels = Seq("public", "private"))),
+      Subscription("s3", "s3", "gamma*", FbOptions(syncMode = "sync")),
+      Subscription("s4", "s4", "delta*"))
+
+    val out = Pipeline.compileMulti(subs, "tnt", batch)
+    // one scan, no per-subscription union re-reading the batch
+    val plan = out.queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size == 1, "multi-sub compile must scan the batch once")
+    assert(!plan.toString.contains("Union"), "no per-subscription union branches")
+
+    // semantics match the per-subscription single compiles
+    val contract = Seq("doc_id", "topic", "sub_id", "target_path", "doc_json", "doc_hash")
+    val expected = subs.map(sub => Pipeline.compile(sub, "tnt", batch)
+      .select(contract.map(col): _*)).reduce(_ unionByName _).collect().toSet
+    assert(out.collect().toSet == expected)
+    // the masked branch really masked (score pruned from s2's doc only)
+    val bySub = out.collect().map(r => r.getString(2) -> r.getString(4)).toMap
+    assert(!bySub("s2").contains("score"))
+    assert(bySub("s3").contains("score"))
+  }
+
   test("registry: SYNC mode runs end-to-end; double start rejected; strict schema optional") {
     val input = tmp(); val sinkRoot = tmp(); val work = tmp()
     val reg = new graft.streaming.JobRegistry(spark, "tnt")
