@@ -259,13 +259,25 @@ object Pipeline {
   *
   * Commit protocol (object-store-safe, no directory renames on the
   * read path): bucket data lives in immutable uniquely-named dirs; the
-  * single `_manifest` file maps bucket → current dir and is swapped
-  * atomically (FileContext rename with OVERWRITE — atomic on HDFS and
-  * local FS; a single small PUT on object stores). Readers resolve the
-  * manifest first, so they see the old or the new store, never a mix;
-  * a crash mid-merge leaves only orphan dirs, garbage-collected on the
-  * next merge. All I/O goes through the Hadoop FileSystem API — no
-  * java.io.File local-FS assumptions. */
+  * single `_manifest` file maps bucket → (current dir, previous dir)
+  * and is swapped atomically (FileContext rename with OVERWRITE —
+  * atomic on HDFS and local FS; a single small PUT on object stores).
+  * Readers resolve the manifest first, so they see the old or the new
+  * store, never a mix. Each bucket's PREVIOUS generation is kept until
+  * the bucket's next merge (GC is N-2), so a `load()` DataFrame that
+  * was planned before a merge can still materialize afterwards; a
+  * crash mid-merge leaves only orphan dirs, garbage-collected later.
+  * The manifest also records the store's bucket count: reopening an
+  * existing store derives the modulus from the manifest, so a caller
+  * passing a different `numBuckets` cannot split a key across two
+  * bucket dirs. All I/O goes through the Hadoop FileSystem API — no
+  * java.io.File local-FS assumptions.
+  *
+  * Concurrency: `merge` is synchronized per instance, and a store path
+  * must have a SINGLE writer (one StreamingJob — the registry enforces
+  * one query per job). Two concurrent writers on one path would race
+  * the last-writer-wins manifest flip and drop each other's updates;
+  * readers are safe at any concurrency. */
 final class HashStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
   import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
   import org.apache.spark.sql.types._
@@ -280,28 +292,42 @@ final class HashStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
   private lazy val hadoopConf = spark.sessionState.newHadoopConf()
   private def fs = root.getFileSystem(hadoopConf)
 
-  private def bucketCol: Column =
-    pmod(hash(col("target_path"), col("doc_id")), lit(numBuckets))
+  private def bucketCol(buckets: Int): Column =
+    pmod(hash(col("target_path"), col("doc_id")), lit(buckets))
 
-  /** bucket index → current data dir name (relative to root). */
-  private def readManifest(): Map[Int, String] = {
-    if (!fs.exists(manifestFile)) return Map.empty
+  /** Manifest snapshot: recorded bucket count + per-bucket current and
+    * previous (pending-GC) dir names, all relative to root. */
+  private case class Manifest(buckets: Int, cur: Map[Int, String],
+                              prev: Map[Int, String])
+
+  private def readManifest(): Manifest = {
+    if (!fs.exists(manifestFile)) return Manifest(numBuckets, Map.empty, Map.empty)
     val in = fs.open(manifestFile)
     try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty)
-        .map { line =>
-          val Array(b, dir) = line.split('\t'); b.toInt -> dir
-        }.toMap
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      val buckets = lines.headOption.filter(_.startsWith("#buckets="))
+        .map(_.stripPrefix("#buckets=").toInt).getOrElse(numBuckets)
+      val entries = lines.filterNot(_.startsWith("#")).map { line =>
+        line.split('\t') match {
+          case Array(b, dir)       => (b.toInt, dir, "")
+          case Array(b, dir, prev) => (b.toInt, dir, prev)
+        }
+      }
+      Manifest(buckets,
+        entries.map(e => e._1 -> e._2).toMap,
+        entries.collect { case (b, _, p) if p.nonEmpty => b -> p }.toMap)
     } finally in.close()
   }
 
-  private def writeManifest(m: Map[Int, String]): Unit = {
+  private def writeManifest(m: Manifest): Unit = {
     val tmp = new HPath(root, s"_manifest.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(m.toSeq.sorted.map { case (b, d) => s"$b\t$d" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    try {
+      val body = m.cur.toSeq.sorted
+        .map { case (b, d) => s"$b\t$d\t${m.prev.getOrElse(b, "")}" }
+      out.write((s"#buckets=${m.buckets}" +: body).mkString("\n").getBytes("UTF-8"))
+    } finally out.close()
     FileContext.getFileContext(root.toUri, hadoopConf)
       .rename(tmp, manifestFile, Options.Rename.OVERWRITE)
   }
@@ -314,7 +340,7 @@ final class HashStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
     else spark.read.schema(schema)
       .parquet(dirs.map(d => new HPath(root, d).toString): _*)
 
-  def load(): DataFrame = readDirs(readManifest().values.toSeq)
+  def load(): DataFrame = readDirs(readManifest().cur.values.toSeq)
 
   /** Upsert new hashes: new rows win over stored rows per
     * (target_path, doc_id). Callers must pass at most one row per key
@@ -322,22 +348,23 @@ final class HashStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
     * line of defense, since a key with TWO stored hashes would
     * permanently suppress legitimate future writes. */
   def merge(updates: DataFrame): Unit = synchronized {
+    val manifest = readManifest()
+    val buckets = manifest.buckets // existing store's modulus wins
     val deduped = updates.select(col("target_path"),
         col("doc_id").cast("string"), col("doc_hash"))
       .dropDuplicates(keys)
-      .withColumn("bucket", bucketCol)
+      .withColumn("bucket", bucketCol(buckets))
       .cache()
     try {
       val touched = deduped.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSet
       if (touched.isEmpty) return
-      val manifest = readManifest()
 
       // current rows of ONLY the touched buckets, keys beaten by updates
       val survivors = readDirs(
-          touched.toSeq.sorted.flatMap(manifest.get))
+          touched.toSeq.sorted.flatMap(manifest.cur.get))
         .join(deduped.select(keys.map(col): _*), keys, "left_anti")
-        .withColumn("bucket", bucketCol)
+        .withColumn("bucket", bucketCol(buckets))
       val next = deduped.unionByName(survivors)
 
       // stage the new bucket data, then publish each bucket dir under a
@@ -350,12 +377,18 @@ final class HashStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
         if (!fs.rename(new HPath(staging, s"bucket=$b"), new HPath(root, dir)))
           throw new java.io.IOException(s"cannot publish bucket $b of $root")
         b -> dir
-      }
-      writeManifest(manifest ++ replaced)
+      }.toMap
+      // replaced buckets retire their current dir to prev (kept one more
+      // generation); untouched buckets keep both entries as-is
+      val nextManifest = Manifest(buckets,
+        manifest.cur ++ replaced,
+        manifest.prev ++ replaced.keys.map(b =>
+          b -> manifest.cur.getOrElse(b, "")).filter(_._2.nonEmpty))
+      writeManifest(nextManifest)
 
-      // GC: previous dirs of replaced buckets, stage leftovers, and any
-      // orphans from crashed merges (everything unreferenced)
-      val live = (manifest ++ replaced).values.toSet
+      // GC: anything unreferenced by the new manifest (incl. its prev
+      // generation), stage leftovers, and manifest temp files
+      val live = nextManifest.cur.values.toSet ++ nextManifest.prev.values.toSet
       fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName
         val dead = (st.isDirectory && !live.contains(name)) ||

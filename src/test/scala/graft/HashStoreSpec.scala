@@ -14,9 +14,14 @@ class HashStoreSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(): String = Files.createTempDirectory("graft-hashstore").toString
 
+  /** bucket → CURRENT dir from the manifest (ignores header + prev). */
   private def manifest(root: String): Map[Int, String] =
-    Files.readString(Paths.get(root, "_manifest")).split('\n').filter(_.nonEmpty)
-      .map { l => val Array(b, d) = l.split('\t'); b.toInt -> d }.toMap
+    Files.readString(Paths.get(root, "_manifest")).split('\n')
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val parts = l.split('\t'); parts(0).toInt -> parts(1) }.toMap
+
+  private def ls(root: String): Set[String] =
+    Files.list(Paths.get(root)).iterator().asScala.map(_.getFileName.toString).toSet
 
   /** (bucket dir → (file name → mtime)) snapshot of the published store. */
   private def snapshot(root: String): Map[String, Map[String, Long]] =
@@ -76,6 +81,49 @@ class HashStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(!names.contains(".stage-deadbeef"))
     assert(!names.contains("_manifest.tmp-dead"))
     assert(store.load().count() == 2)
+  }
+
+  test("reopening with a different numBuckets derives the modulus from the manifest") {
+    val root = tmp()
+    val s1 = new HashStore(spark, root, numBuckets = 4)
+    s1.merge(rows((1 to 40).map(i => s"id-$i" -> s"h$i"): _*))
+    assert(Files.readString(Paths.get(root, "_manifest"))
+      .linesIterator.next() == "#buckets=4")
+
+    val s2 = new HashStore(spark, root, numBuckets = 16) // wrong on purpose
+    s2.merge(rows("id-1" -> "h1-CHANGED"))
+    // still a 4-bucket store: no key may land in two bucket dirs, which
+    // would permanently suppress legitimate future writes
+    assert(Files.readString(Paths.get(root, "_manifest"))
+      .linesIterator.next() == "#buckets=4")
+    val loaded = s2.load()
+    assert(loaded.count() == 40)
+    assert(loaded.groupBy("target_path", "doc_id").count()
+      .filter($"count" > 1).count() == 0)
+    assert(loaded.filter($"doc_id" === "id-1").select("doc_hash")
+      .as[String].head() == "h1-CHANGED")
+  }
+
+  test("a replaced bucket's previous generation survives exactly one more merge") {
+    val root = tmp()
+    val store = new HashStore(spark, root, numBuckets = 1) // every merge replaces bucket 0
+    store.merge(rows("a" -> "h1"))
+    val gen1 = manifest(root)(0)
+    store.merge(rows("a" -> "h2"))
+    val gen2 = manifest(root)(0)
+    assert(ls(root).contains(gen1), "previous generation kept for in-flight readers")
+
+    store.merge(rows("a" -> "h3"))
+    assert(!ls(root).contains(gen1), "N-2 generation GC'd on the next merge")
+    assert(ls(root).contains(gen2))
+
+    // the guarantee in action: a load() planned before a merge still
+    // materializes afterwards (its dirs live one more generation)
+    val pre = store.load()
+    store.merge(rows("a" -> "h4"))
+    assert(pre.filter($"doc_id" === "a").select("doc_hash").as[String].head() == "h3")
+    assert(store.load().filter($"doc_id" === "a").select("doc_hash")
+      .as[String].head() == "h4")
   }
 
   test("empty store loads empty; empty merge is a no-op") {
