@@ -70,6 +70,35 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** A4 deep — the full jsonpath-ng filter subset (wildcards, indexes,
+    * bracketed predicates, recursive descent) over a nested document
+    * built deterministically from `events`: items = 1-3 line structs,
+    * meta.user carries id/vip. Each flag is a JSONPath membership
+    * filter compiled to pure Catalyst expressions (functions.JsonPath);
+    * the oracle mirrors the same semantics with DuckDB list lambdas. */
+  def qFilterJsonpathDeep(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JsonPath
+    val doc = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("items", expr(
+        "transform(sequence(0, CAST(event_id % 3 AS INT)), i -> " +
+          "named_struct('id', CAST(i AS BIGINT), " +
+          "'amount', CAST((event_id % 97) * (i + 1) AS BIGINT)))"))
+      .withColumn("meta", struct(
+        struct(col("user_id").as("id"), (col("user_id") % 7 === 0).as("vip")).as("user"),
+        col("event_type").as("kind")))
+    val schema = doc.schema
+    doc.select(
+      col("event_id"),
+      JsonPath.passPredicate(schema, "$.meta.user.id", (1 to 9).map(_.toString)).as("f_dotted"),
+      JsonPath.passPredicate(schema, "$.items[*].amount", Seq("96", "192")).as("f_wild"),
+      JsonPath.passPredicate(schema, "$.items[1].amount", Seq("48", "96")).as("f_index"),
+      JsonPath.passPredicate(schema, "$.items[?(@.amount > 150)].id", Seq("1", "2")).as("f_pred"),
+      JsonPath.passPredicate(schema, "$..id", Seq("2")).as("f_rec"),
+      JsonPath.passPredicate(schema, "$.meta.user.vip", Seq("true")).as("f_vip"))
+      .orderBy(col("event_id"))
+  }
+
   /** A5 — classification masking: source=confidential, n_chars=secret;
     * emit level public ⇒ both pruned out of the scan entirely. */
   def qMaskProject(s: SparkSession, dir: String): DataFrame = {
@@ -695,6 +724,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
+    "q_filter_jsonpath_deep" -> (qFilterJsonpathDeep _),
     "q_mask_project" -> (qMaskProject _),
     "q_route_topics" -> (qRouteTopics _),
     "q_hash_canonical" -> (qHashCanonical _),
@@ -792,6 +822,23 @@ object Queries {
         |FROM events
         |WHERE event_type IN ('purchase','click')
         |  AND json_extract_string(props, '$.k') IN ('1','2','3')
+        |ORDER BY event_id""".stripMargin,
+
+    // Mirrors qFilterJsonpathDeep's nested doc arithmetically: items[i] has
+    // id=i, amount=(event_id%97)*(i+1) for i in 0..event_id%3; meta.user =
+    // (user_id, user_id%7==0). Each JSONPath flag reduces to the same
+    // membership test computed with DuckDB list lambdas.
+    "q_filter_jsonpath_deep" ->
+      """SELECT event_id,
+        |  user_id IN (1,2,3,4,5,6,7,8,9) AS f_dotted,
+        |  len(list_filter(generate_series(0, event_id % 3),
+        |      i -> (event_id % 97) * (i + 1) IN (96, 192))) > 0 AS f_wild,
+        |  (event_id % 3 >= 1) AND (event_id % 97) * 2 IN (48, 96) AS f_index,
+        |  len(list_filter(generate_series(0, event_id % 3),
+        |      i -> (event_id % 97) * (i + 1) > 150 AND i IN (1, 2))) > 0 AS f_pred,
+        |  (event_id % 3 = 2) OR (user_id = 2) AS f_rec,
+        |  user_id % 7 = 0 AS f_vip
+        |FROM events
         |ORDER BY event_id""".stripMargin,
 
     "q_mask_project" ->

@@ -143,7 +143,7 @@ object Pipeline {
       val o = sub.fbOptions
       val cond =
         if (o.filterRequired)
-          col(o.filterFieldPath).cast("string").isin(o.filterPassValues: _*)
+          Filters.fieldPathCondition(routed.schema, o.filterFieldPath, o.filterPassValues)
         else lit(true)
       (col("sub_id") === sub.id) && cond
     }.reduce(_ || _)
