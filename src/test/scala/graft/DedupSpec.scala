@@ -57,11 +57,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val base = Tables.embeddings(spark, sf).limit(20)
     val q = graft.operators.Similarity.quantized(base)
       .select($"vec_id", $"qv", $"norm2")
-    val banded = graft.operators.Similarity.withHyperplaneBands(q, Queries.dedupPlanes, 4)
+    val banded = graft.operators.Similarity.withHyperplaneBands(q, Queries.dedupPlanes, 12)
     val dup = banded.unionAll(banded.withColumn("vec_id", $"vec_id" + 10000L))
     val cand = Dedup.lshCandidatePairs(dup, "vec_id")
       .filter($"id_b" === $"id_a" + 10000L)
     assert(cand.count() == 20L)
+  }
+
+  test("embedding LSH candidate volume is bounded on the uncorrelated corpus") {
+    // The 16×12 banding must prune quadratically: on this corpus
+    // (avg cos ≈ 0) measured candidates are ~n²/350; assert the
+    // n²/50 ceiling so a parameter regression (narrow keys) fails.
+    val q = graft.operators.Similarity.quantized(Tables.embeddings(spark, sf))
+      .select($"vec_id", $"qv", $"norm2")
+    val banded = graft.operators.Similarity.withHyperplaneBands(q, Queries.dedupPlanes, 12)
+    val n = q.count()
+    val cands = Dedup.lshCandidatePairs(banded, "vec_id").count()
+    assert(cands < n * n / 50, s"candidates=$cands not < n^2/50=${n * n / 50}")
   }
 
   test("jaccard of disjoint and identical sets") {

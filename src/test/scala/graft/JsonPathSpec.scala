@@ -83,6 +83,40 @@ class JsonPathSpec extends AnyFunSuite with SparkTestBase {
     assert(!pass("$.store.bicycle", "red"))
   }
 
+  test("map-typed fields: key lookup, wildcard values, recursive descent") {
+    // Avro `map` payloads decode to MapType — jsonpath-ng matches dict
+    // keys, so field steps must be key lookups, not silent no-matches
+    val mapDdl = "doc_id BIGINT, attrs MAP<STRING, STRING>, " +
+      "nested STRUCT<inner: MAP<STRING, BIGINT>>, " +
+      "items ARRAY<MAP<STRING, STRING>>"
+    val mdf = spark.read.schema(StructType.fromDDL(mapDdl)).json(Seq(
+      """{"doc_id":1,"attrs":{"color":"red","size":"xl"},
+        |"nested":{"inner":{"count":5}},
+        |"items":[{"k":"a"},{"k":"b"},{"j":"c"}]}""".stripMargin.replace("\n", "")).toDS)
+    def m(path: String): Seq[String] =
+      mdf.select(JsonPath.matchStrings(mdf.schema, path).as("m"))
+        .as[Seq[String]].head().sorted
+    assert(m("$.attrs.color") == Seq("red"))
+    assert(m("$.attrs.missing") == Seq()) // missing key: no match, not error
+    assert(m("$.attrs.*") == Seq("red", "xl"))
+    assert(m("$.nested.inner.count") == Seq("5"))
+    assert(m("$..count") == Seq("5")) // recursive descent through map values
+    assert(m("$.items[*].k") == Seq("a", "b"))
+    assert(m("$.items[?(@.k == 'b')].k") == Seq("b")) // predicate over array of maps
+    // passPredicate over a map path
+    val p = mdf.select(JsonPath.passPredicate(mdf.schema, "$.attrs.color", Seq("red")).as("p"))
+      .as[Boolean].head()
+    assert(p)
+  }
+
+  test("quoted predicate literal containing an operator substring parses") {
+    // the op scan must skip quoted regions: != here, not the == inside
+    val got = df.select(
+        JsonPath.matchStrings(df.schema, "$.store.book[?(@.category != 'a==b')].author").as("m"))
+      .as[Seq[String]].head().sorted
+    assert(got == Seq("A", "B", "C", "D"))
+  }
+
   test("unsupported syntax fails at parse, not silently") {
     intercept[IllegalArgumentException](JsonPath.parse("$.a[0,1]"))
     intercept[IllegalArgumentException](JsonPath.parse("$.a[0:9:2]"))
