@@ -172,6 +172,10 @@ object CodepointOrdering extends Ordering[String] {
   * round-trips (the same result CPython's shortest-repr produces). */
 object PyFloat {
   def repr(d: Double): String = {
+    // Non-finite values follow Python json.dumps ("NaN"/"Infinity"/
+    // "-Infinity"), NOT repr ("nan"/"inf"/"-inf"): the consumer is the
+    // canonical-JSON hash, whose reference serializer is json.dumps
+    // (utils.py:29-33). tools/ReprCheck special-cases these.
     if (d.isNaN) return "NaN"
     if (d == Double.PositiveInfinity) return "Infinity"
     if (d == Double.NegativeInfinity) return "-Infinity"

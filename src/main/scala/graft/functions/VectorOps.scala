@@ -54,7 +54,80 @@ case class DotLongExpr(left: Expression, right: Expression)
     })
 }
 
+/** All banded-LSH keys of a quantized vector in ONE fused expression.
+  *
+  * Equivalent to `bands × bandSize` separate `dot_long(qv, planeLit) >
+  * 0` trees — but those inline one 64-element array literal per plane,
+  * so at production widths (192 planes for the near-dup blocker) the
+  * plan carries ~12k literal nodes and analysis/codegen dominates the
+  * query. Here the ±1 plane matrix rides along as ONE referenced
+  * constant (flattened row-major) and the whole signature is a single
+  * fused loop: key `b` has bit `j` set iff
+  * `dot(qv, plane[b*bandSize+j]) > 0`.
+  */
+case class BandKeysExpr(child: Expression, planesFlat: Array[Long],
+    dim: Int, bandSize: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val nPlanes = planesFlat.length / dim
+  require(nPlanes % bandSize == 0, s"$nPlanes planes not divisible into bands of $bandSize")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val qv = input.asInstanceOf[ArrayData]
+    val n = math.min(qv.numElements(), dim)
+    val keys = new Array[Long](nPlanes / bandSize)
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0L
+      var d = 0
+      while (d < n) {
+        dot += qv.getLong(d) * planesFlat(p * dim + d)
+        d += 1
+      }
+      if (dot > 0) keys(p / bandSize) |= (1L << (p % bandSize))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planesFlat", planesFlat, "long[]")
+    nullSafeCodeGen(ctx, ev, qv => {
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($qv.numElements(), $dim);
+         |long[] $keys = new long[${nPlanes / bandSize}];
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  long $dot = 0L;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $dot += $qv.getLong($d) * $planesRef[$p * $dim + $d];
+         |  }
+         |  if ($dot > 0) $keys[$p / $bandSize] |= (1L << ($p % $bandSize));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+}
+
 object VectorOps {
   def dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(DotLongExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Banded hyperplane LSH keys (see [[BandKeysExpr]]). */
+  def band_keys(qv: Column, planes: Seq[Seq[Int]], bandSize: Int): Column = {
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim), "ragged plane matrix")
+    ColumnBridge.column(BandKeysExpr(ColumnBridge.expression(qv),
+      planes.flatten.map(_.toLong).toArray, dim, bandSize))
+  }
 }

@@ -69,22 +69,16 @@ object Similarity {
     * dots (exact — integer dots on the quantized vector). Pairs that
     * agree on ANY band become near-dup candidates, so recall rises
     * with the number of bands while each band key stays selective.
-    * Output column names match [[Dedup.lshCandidatePairs]] so the
-    * candidate join is shared with the MinHash pipeline. */
-  def withHyperplaneBands(df: DataFrame, planes: Seq[Seq[Int]], bandSize: Int): DataFrame = {
-    val bands = planes.grouped(bandSize).toSeq.zipWithIndex.map { case (grp, bi) =>
-      val v = grp.zipWithIndex.map { case (p, j) =>
-        val lits = expr(p.mkString("array(", ", ", ")")).cast("array<bigint>")
-        when(graft.functions.VectorOps.dot_long(col("qv"), lits) > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(bi).as("band_idx"), v.as("band_key"))
-    }
-    df.withColumn("band", explode(array(bands: _*)))
-      .withColumn("band_idx", col("band.band_idx"))
-      .withColumn("band_key", col("band.band_key"))
-      .drop("band")
-  }
+    * All keys come from ONE fused [[graft.functions.BandKeysExpr]]
+    * (the plane matrix is a single referenced constant, not
+    * per-plane array literals — at 192 planes the literal form costs
+    * seconds of analysis/codegen per query). Output column names
+    * match [[Dedup.lshCandidatePairs]] so the candidate join is
+    * shared with the MinHash pipeline. */
+  def withHyperplaneBands(df: DataFrame, planes: Seq[Seq[Int]], bandSize: Int): DataFrame =
+    df.withColumn("bk", graft.functions.VectorOps.band_keys(col("qv"), planes, bandSize))
+      .select(col("*"), posexplode(col("bk")).as(Seq("band_idx", "band_key")))
+      .drop("bk")
 
   /** IVF-style cell assignment: every vector goes to its nearest
     * centroid by quantized cosine (broadcast centroids, windowed

@@ -69,6 +69,59 @@ object AvroSchemaBridge {
     case other => throw new UnsupportedOperationException(s"avro type $other")
   }
 
+  // ---- extended-type mapping (A-table gap #5) --------------------------
+
+  /** Aether extended-type mapping (reference: AETHER_TYPES,
+    * firebase/app/config.py:56-62): `dateTime` → date/timestamp,
+    * `geopoint`/`group` → object (already structs here), `select`/
+    * `select1` → keyword (already string/array-of-string). Only
+    * `dateTime` changes the Spark type, so the mapping is exposed as
+    * an OPT-IN cast — the reference itself ships ISO strings through
+    * untouched (the consumer never applies its own table), and parity
+    * with it requires default-off. */
+  def isDateTime(m: Metadata): Boolean =
+    m.contains("aether_extended_type") &&
+      m.getString("aether_extended_type") == "dateTime"
+
+  /** The schema [[castExtendedTypes]] produces: dateTime-annotated
+    * strings become TimestampType, recursively through structs and
+    * arrays; all metadata survives. */
+  def extendedTarget(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      val dt = f.dataType match {
+        case StringType if isDateTime(f.metadata) => TimestampType
+        case st: StructType => extendedTarget(st)
+        case ArrayType(st: StructType, n) => ArrayType(extendedTarget(st), n)
+        case other => other
+      }
+      f.copy(dataType = dt)
+    })
+
+  /** Apply the extended-type mapping to a decoded DataFrame:
+    * ANSI-cast every dateTime-annotated string column (ISO-8601, the
+    * reference's wire format — tests/__init__.py:291-299) to
+    * TimestampType, walking nested structs and arrays of structs. */
+  def castExtendedTypes(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    def conv(c: Column, f: StructField): Column = f.dataType match {
+      case StringType if isDateTime(f.metadata) => c.cast(TimestampType)
+      case st: StructType =>
+        val rebuilt = struct(st.fields.toIndexedSeq.map(sf =>
+          conv(c.getField(sf.name), sf).as(sf.name, sf.metadata)): _*)
+        when(c.isNull, lit(null).cast(extendedTarget(st))).otherwise(rebuilt)
+      case ArrayType(st: StructType, _) =>
+        transform(c, x => {
+          val rebuilt = struct(st.fields.toIndexedSeq.map(sf =>
+            conv(x.getField(sf.name), sf).as(sf.name, sf.metadata)): _*)
+          when(x.isNull, lit(null).cast(extendedTarget(st))).otherwise(rebuilt)
+        })
+      case _ => c
+    }
+    df.select(df.schema.fields.toIndexedSeq.map(f =>
+      conv(col(f.name), f).as(f.name, f.metadata)): _*)
+  }
+
   /** Schema fingerprint for the per-topic plan cache / change
     * detection (A17): canonical parsing-form fingerprint. */
   def fingerprint(avroJson: String): Long =

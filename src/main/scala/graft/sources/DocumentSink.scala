@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 /** Destination abstraction for the Firestore/RTDB write path
   * (reference A14/A15: micro-batched WriteBatch upserts,
   * firebase/app/artifacts.py:302-327, doc ref = {target_path}/{id},
@@ -39,11 +41,23 @@ object DocumentSink {
   final case class Doc(targetPath: String, docId: String, json: String)
 }
 
+/** CFS read surface (reference A16: `read_cfs`, helpers.py:106-110 —
+  * a single document's dict with a doc id, the whole collection's
+  * dicts without one; `cfs_ref` alternation helpers.py:98-103). Read
+  * APIs live on a separate trait so write-only sinks (a real
+  * Firestore WriteBatch wrapper) aren't forced to implement reads. */
+trait DocumentReader {
+  /** read_cfs(path, doc_id): the document's JSON, None when absent. */
+  def readDoc(targetPath: String, docId: String): Option[String]
+  /** read_cfs(path): every (docId, json) in the collection. */
+  def readCollection(targetPath: String): Seq[(String, String)]
+}
+
 /** Filesystem document store emulating Firestore's collection/document
   * layout: {root}/{target_path}/{doc_id}.json. Writes are atomic
   * (tmp + move) so replays/overwrites are safe; doc id is the file
   * name, making the upsert idempotent by construction. */
-final class JsonFileSink(root: String) extends DocumentSink {
+final class JsonFileSink(root: String) extends DocumentSink with DocumentReader {
   override def testConnection(): Either[String, Unit] = {
     val dir = new java.io.File(root)
     if ((dir.exists || dir.mkdirs()) && dir.canWrite) Right(())
@@ -62,16 +76,39 @@ final class JsonFileSink(root: String) extends DocumentSink {
       case s => s
     }
 
+  private def collectionDir(targetPath: String): java.nio.file.Path = {
+    val rootPath = Paths.get(root).toAbsolutePath.normalize
+    val dir = targetPath.split("/").filter(_.nonEmpty)
+      .foldLeft(rootPath)((p, seg) => p.resolve(sanitize(seg))).normalize
+    require(dir.startsWith(rootPath), s"path escapes sink root: $targetPath")
+    dir
+  }
+
   override def commitBatch(docs: Seq[DocumentSink.Doc]): Unit =
     docs.foreach { d =>
-      val rootPath = Paths.get(root).toAbsolutePath.normalize
-      val dir = d.targetPath.split("/").filter(_.nonEmpty)
-        .foldLeft(rootPath)((p, seg) => p.resolve(sanitize(seg))).normalize
-      require(dir.startsWith(rootPath), s"path escapes sink root: ${d.targetPath}")
+      val dir = collectionDir(d.targetPath)
       Files.createDirectories(dir)
       val tmp = Files.createTempFile(dir, ".doc", ".tmp")
       Files.write(tmp, d.json.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, dir.resolve(s"${sanitize(d.docId)}.json"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     }
+
+  override def readDoc(targetPath: String, docId: String): Option[String] = {
+    val f = collectionDir(targetPath).resolve(s"${sanitize(docId)}.json")
+    if (Files.exists(f)) Some(Files.readString(f)) else None
+  }
+
+  override def readCollection(targetPath: String): Seq[(String, String)] = {
+    val dir = collectionDir(targetPath)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val files = Files.list(dir)
+      try files.iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".json"))
+        .map(f => f.getFileName.toString.stripSuffix(".json") -> Files.readString(f))
+        .toSeq.sortBy(_._1)
+      finally files.close()
+    }
+  }
 }

@@ -1,9 +1,13 @@
 package graft.streaming
 
+import java.util.UUID
+import java.util.concurrent.{Executors, ThreadFactory, TimeUnit}
+
 import scala.collection.mutable
+import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 
 import graft.model.{FirebaseInstance, FirebaseJob, Subscription, Validation}
 import graft.sources.DocumentSink
@@ -16,28 +20,154 @@ import graft.sources.DocumentSink
   * Resources are validated on add (errors returned, not thrown — the
   * validate_pretty contract) and jobs map 1:1 to StreamingQueries;
   * status comes from the live query, logs from a bounded ring fed by
-  * lifecycle events. Tenancy: every job's topics/checkpoints are
-  * prefixed with the tenant (artifacts.py:226,293-295).
+  * a [[StreamingQueryListener]] plus lifecycle events. Tenancy: every
+  * job's topics/checkpoints are prefixed with the tenant
+  * (artifacts.py:226,293-295).
+  *
+  * Error recovery mirrors the reference's poll loop
+  * (artifacts.py:263-285): a failure flips the job to RECONFIGURE and
+  * the supervisor retries after a backoff (the reference sleeps
+  * 10×sleep_delay = 5 s and polls again, forever; here the backoff
+  * doubles per consecutive failure up to [[maxBackoffMs]], and resets
+  * once a restarted query makes progress). Intentional stop
+  * (pause/remove) never triggers a restart.
   */
 final class JobRegistry(spark: SparkSession, tenant: String,
     /** Sync modes accepted on addSubscription. Defaults to the modes
       * this engine implements; pass [[Validation.SchemaSyncModes]] for
       * the reference's strict schema contract (schemas.py:284). */
-    allowedSyncModes: Set[String] = Validation.EngineSyncModes) {
+    allowedSyncModes: Set[String] = Validation.EngineSyncModes,
+    /** First-retry delay after a query failure; doubles per
+      * consecutive failure. Reference: sleep(self.sleep_delay * 10)
+      * = 5 s, artifacts.py:281. */
+    restartBackoffMs: Long = 5000,
+    /** Backoff ceiling (the "bounded" in bounded backoff). */
+    maxBackoffMs: Long = 60000,
+    /** Give up after this many consecutive failed restarts (the
+      * reference retries forever; Int.MaxValue reproduces that). */
+    maxRestarts: Int = Int.MaxValue,
+    /** Broker topic discovery (A20) — a fake in tests, an
+      * [[graft.sources.AdminTopicCatalog]] at deploy time. */
+    topicCatalog: graft.sources.TopicCatalog = graft.sources.TopicCatalog.empty) {
   private val firebases = mutable.Map[String, FirebaseInstance]()
   private val subscriptions = mutable.Map[String, Subscription]()
-  private val jobs = mutable.Map[String, FirebaseJob]()
+  // TrieMap: read by the listener without the registry monitor
+  private val jobs = scala.collection.concurrent.TrieMap[String, FirebaseJob]()
   private val queries = mutable.Map[String, StreamingQuery]()
   private val logRing = mutable.Map[String, mutable.ArrayDeque[String]]()
   private val MaxLogs = 100 // callback_logger('JOB', stack, 100), artifacts.py:225
 
-  def log(jobId: String, msg: String): Unit = synchronized {
+  // ---- supervisor state --------------------------------------------------
+  // CONCURRENT, not monitor-guarded: Spark delivers QueryStartedEvent
+  // to listeners SYNCHRONOUSLY on the thread inside
+  // DataStreamWriter.start — while startJob/doRestart hold this
+  // registry's monitor awaiting the startup latch. A listener that
+  // takes the monitor would deadlock the start; lock-free reads keep
+  // the listener safe from any delivery context.
+  private final class Runtime(val restart: () => StreamingQuery) {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0) // consecutive failures; reset on progress
+  }
+  private val runtimes = scala.collection.concurrent.TrieMap[String, Runtime]()
+  private val queryToJob = scala.collection.concurrent.TrieMap[UUID, String]()
+  /** Non-query-derived status (RECONFIGURE while awaiting restart,
+    * STOPPED after giving up). */
+  private val statusOverride = scala.collection.concurrent.TrieMap[String, String]()
+
+  private lazy val scheduler = Executors.newSingleThreadScheduledExecutor(
+    new ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-job-supervisor-$tenant")
+        t.setDaemon(true); t
+      }
+    })
+
+  /** Listener feeding the per-job log ring and driving crash
+    * recovery (reference: the job thread's own poll-loop logging +
+    * RECONFIGURE handling, artifacts.py:263-285,434-443). */
+  /** Reference-style consumer-group name for a job's query
+    * (group_name = f'{tenant}.firebaseconsumer.{id}',
+    * artifacts.py:226) — also how started/progress events (which fire
+    * before/without the query-id registration) resolve their job. */
+  private def queryNameOf(jobId: String) = s"$tenant.firebaseconsumer.$jobId"
+  private def jobOfName(name: String): Option[String] = {
+    val prefix = s"$tenant.firebaseconsumer."
+    Option(name).filter(_.startsWith(prefix)).map(_.substring(prefix.length))
+      .filter(jobs.contains)
+  }
+
+  private val listener: StreamingQueryListener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      jobOfName(e.name).orElse(jobFor(e.id))
+        .foreach(j => log(j, s"query started (run ${e.runId})"))
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      jobOfName(e.progress.name).orElse(jobFor(e.progress.id)).foreach { j =>
+        runtimes.get(j).foreach(_.attempts.set(0))
+        log(j, s"progress: batch ${e.progress.batchId}, ${e.progress.numInputRows} rows")
+      }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      jobFor(e.id).foreach { j =>
+        e.exception match {
+          case Some(err) =>
+            log(j, s"query failed: ${err.linesIterator.nextOption().getOrElse(err)}")
+            scheduleRestart(j)
+          case None => log(j, "query terminated")
+        }
+      }
+  }
+  spark.streams.addListener(listener)
+
+  private def jobFor(queryId: UUID): Option[String] = queryToJob.get(queryId)
+
+  private def scheduleRestart(jobId: String): Unit = synchronized {
+    runtimes.get(jobId) match {
+      case Some(rt) if jobs.contains(jobId) =>
+        if (rt.attempts.get() >= maxRestarts) {
+          statusOverride(jobId) = "STOPPED"
+          log(jobId, s"giving up after ${rt.attempts.get()} failed restarts")
+        } else {
+          val attempt = rt.attempts.incrementAndGet()
+          // status RECONFIGURE + delayed retry (artifacts.py:278-281)
+          statusOverride(jobId) = "RECONFIGURE"
+          val delay = math.min(
+            restartBackoffMs * (1L << math.min(attempt - 1, 16)), maxBackoffMs)
+          log(jobId, s"status RECONFIGURE; restart #$attempt in $delay ms")
+          scheduler.schedule(new Runnable { def run(): Unit = doRestart(jobId) },
+            delay, TimeUnit.MILLISECONDS): Unit
+        }
+      case _ => // paused/removed meanwhile: no restart
+    }
+  }
+
+  private def doRestart(jobId: String): Unit = synchronized {
+    val rt = runtimes.get(jobId)
+    if (rt.nonEmpty && jobs.contains(jobId) && !queries.get(jobId).exists(_.isActive)) {
+      try {
+        val q = rt.get.restart()
+        queries(jobId) = q
+        queryToJob(q.id) = jobId
+        statusOverride.remove(jobId): Unit
+        log(jobId, s"job $jobId restarted")
+      } catch {
+        case NonFatal(err) =>
+          log(jobId, s"restart failed: ${err.getMessage}")
+          scheduleRestart(jobId)
+      }
+    }
+  }
+
+  // The ring has its own lock: the listener appends from the STREAM
+  // thread during the synchronous QueryStartedEvent — while startJob
+  // holds the registry monitor awaiting the start latch. Logging
+  // through the registry monitor would deadlock every start.
+  private val logLock = new Object
+
+  def log(jobId: String, msg: String): Unit = logLock.synchronized {
     val ring = logRing.getOrElseUpdate(jobId, mutable.ArrayDeque.empty[String])
     ring.append(msg)
     while (ring.size > MaxLogs) { ring.removeHead(): Unit }
   }
 
-  def getLogs(jobId: String): Seq[String] = synchronized {
+  def getLogs(jobId: String): Seq[String] = logLock.synchronized {
     logRing.get(jobId).map(_.toSeq).getOrElse(Nil)
   }
 
@@ -59,6 +189,24 @@ final class JobRegistry(spark: SparkSession, tenant: String,
     if (errs.nonEmpty) Left(errs) else { jobs(job.id) = job; Right(job.id) }
   }
 
+  // resource accessors for the REST control plane (A28)
+  def getFirebase(id: String): Option[FirebaseInstance] = synchronized(firebases.get(id))
+  def getSubscription(id: String): Option[Subscription] = synchronized(subscriptions.get(id))
+  def getJob(id: String): Option[FirebaseJob] = jobs.get(id)
+  def listFirebases(): Seq[String] = synchronized(firebases.keys.toSeq.sorted)
+  def listSubscriptions(): Seq[String] = synchronized(subscriptions.keys.toSeq.sorted)
+  def listJobs(): Seq[String] = jobs.keys.toSeq.sorted
+  def removeFirebase(id: String): Unit = synchronized { firebases.remove(id): Unit }
+  def removeSubscription(id: String): Unit = synchronized { subscriptions.remove(id): Unit }
+
+  /** Topics this tenant could subscribe to: broker metadata filtered
+    * to the tenant prefix, prefix stripped (list_topics,
+    * artifacts.py:409-424). Broker failure → Left (the reference
+    * wraps KafkaException into an HTTP 500). */
+  def listTopics(): Either[String, Seq[String]] =
+    try Right(graft.sources.TopicCatalog.tenantTopics(topicCatalog.allTopics(), tenant))
+    catch { case NonFatal(e) => Left(s"$e @timeout: 5") }
+
   def listSubscribedTopics(jobId: String): Seq[String] = synchronized {
     jobs.get(jobId).toSeq.flatMap(_.subscriptions)
       .flatMap(subscriptions.get).map(s => s"$tenant.${s.topicPattern}")
@@ -66,7 +214,8 @@ final class JobRegistry(spark: SparkSession, tenant: String,
 
   /** Start a job over the given stream (test/file/kafka source built
     * by the caller); all of the job's subscriptions run in one query,
-    * first glob match winning (reference consumer semantics). */
+    * first glob match winning (reference consumer semantics). The
+    * supervisor restarts the query from its checkpoint on failure. */
   def startJob(jobId: String, stream: DataFrame, mkSink: () => DocumentSink,
                workDir: String): Either[Seq[String], StreamingQuery] = synchronized {
     jobs.get(jobId) match {
@@ -79,26 +228,40 @@ final class JobRegistry(spark: SparkSession, tenant: String,
         val subsForJob = job.subscriptions.map(subscriptions)
         val sj = new StreamingJob(spark, subsForJob, tenant, mkSink,
           s"$workDir/hashstore-$tenant-$jobId", s"$workDir/checkpoint-$tenant-$jobId")
-        val q = sj.start(stream)
+        val q = sj.start(stream, Some(queryNameOf(jobId)))
         queries(jobId) = q
+        queryToJob(q.id) = jobId
+        runtimes(jobId) = new Runtime(() => sj.start(stream, Some(queryNameOf(jobId))))
+        statusOverride.remove(jobId): Unit
         log(jobId, s"job $jobId started")
         Right(q)
     }
   }
 
-  /** Status surface (get_status, artifacts.py / README.md:151-160). */
+  /** Status surface (get_status, artifacts.py / README.md:151-160).
+    * RECONFIGURE = failed and awaiting supervised restart
+    * (JobStatus.RECONFIGURE, artifacts.py:280). */
   def getStatus(jobId: String): String = synchronized {
-    queries.get(jobId) match {
-      case Some(q) if q.isActive => "NORMAL"
-      case Some(_) => "STOPPED"
-      case None if jobs.contains(jobId) => "PAUSED"
-      case None => "UNKNOWN"
+    statusOverride.get(jobId) match {
+      case Some(s) => s
+      case None => queries.get(jobId) match {
+        case Some(q) if q.isActive => "NORMAL"
+        case Some(_) => "STOPPED"
+        case None if jobs.contains(jobId) => "PAUSED"
+        case None => "UNKNOWN"
+      }
     }
   }
 
   /** pause = stop the query, keep the definition (resume restarts). */
   def pauseJob(jobId: String): Unit = synchronized {
-    queries.remove(jobId).foreach { q => q.stop(); log(jobId, s"job $jobId paused") }
+    runtimes.remove(jobId): Unit // intentional stop: no supervised restart
+    statusOverride.remove(jobId): Unit
+    queries.remove(jobId).foreach { q =>
+      queryToJob.remove(q.id): Unit
+      q.stop()
+      log(jobId, s"job $jobId paused")
+    }
   }
 
   def removeJob(jobId: String): Unit = synchronized {

@@ -141,9 +141,13 @@ object Pipeline {
     // by exactly one sub_id after first-match-wins routing)
     val pass = subs.map { sub =>
       val o = sub.fbOptions
+      // compile against the payload-only schema: wildcard/recursive
+      // paths ($.*, $..id) must see message fields, never the engine's
+      // routing metadata (sub_id/topic/target_path) — the reference
+      // filters the message dict alone
       val cond =
         if (o.filterRequired)
-          Filters.fieldPathCondition(routed.schema, o.filterFieldPath, o.filterPassValues)
+          Filters.fieldPathCondition(payloadSchema, o.filterFieldPath, o.filterPassValues)
         else lit(true)
       (col("sub_id") === sub.id) && cond
     }.reduce(_ || _)
@@ -306,15 +310,22 @@ final class HashStore(spark: SparkSession, path: String, numBuckets: Int = 16) {
     try {
       val lines = scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
-      val buckets = lines.headOption.filter(_.startsWith("#buckets="))
-        .map(_.stripPrefix("#buckets=").toInt).getOrElse(numBuckets)
+      val header = lines.headOption.filter(_.startsWith("#buckets="))
+        .map(_.stripPrefix("#buckets=").toInt)
       val entries = lines.filterNot(_.startsWith("#")).map { line =>
         line.split('\t') match {
           case Array(b, dir)       => (b.toInt, dir, "")
           case Array(b, dir, prev) => (b.toInt, dir, prev)
         }
       }
-      Manifest(buckets,
+      // headerless (pre-pinning) manifest: the constructor value is a
+      // guess. If an entry's bucket index disproves it, refuse rather
+      // than split keys across two moduli and then pin the wrong one.
+      if (header.isEmpty && entries.exists(_._1 >= numBuckets))
+        throw new IllegalStateException(
+          s"legacy manifest at $manifestFile has bucket indexes >= numBuckets=$numBuckets; " +
+            "reopen the store with its original bucket count to migrate the header")
+      Manifest(header.getOrElse(numBuckets),
         entries.map(e => e._1 -> e._2).toMap,
         entries.collect { case (b, _, p) if p.nonEmpty => b -> p }.toMap)
     } finally in.close()
@@ -426,9 +437,15 @@ final class StreamingJob(
     subs.filter(s => SyncGate.parseMode(s.fbOptions.syncMode) == SyncGate.Sync).map(_.id)
 
   /** Start the pipeline over any streaming DataFrame honoring the
-    * input contract (kafka stream, file stream, or MemoryStream). */
-  def start(stream: DataFrame): StreamingQuery =
-    stream.writeStream
+    * input contract (kafka stream, file stream, or MemoryStream).
+    * `queryName` (optional) names the StreamingQuery so listeners can
+    * attribute lifecycle events that fire before the query handle is
+    * registered (the registry's consumer-group-style name,
+    * artifacts.py:226). */
+  def start(stream: DataFrame, queryName: Option[String] = None): StreamingQuery = {
+    val base = stream.writeStream
+    queryName.foreach(n => base.queryName(n))
+    base
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -446,4 +463,5 @@ final class StreamingJob(
         } finally { prepared.unpersist(): Unit }
       }
       .start()
+  }
 }

@@ -14,7 +14,13 @@ object ReprCheck {
     try src.getLines().foreach { line =>
       val Array(bitsHex, expected) = line.split(",", 2)
       val d = java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(bitsHex, 16))
-      val got = PyFloat.repr(d)
+      // PyFloat renders non-finite values as json.dumps does
+      // ("NaN"/"Infinity"), not as repr ("nan"/"inf") — normalize the
+      // CPython-repr expectation so only finite digits are compared
+      val got =
+        if (d.isNaN || d.isInfinite)
+          (if (d.isNaN) "nan" else if (d > 0) "inf" else "-inf")
+        else PyFloat.repr(d)
       n += 1
       if (got != expected) {
         bad += 1

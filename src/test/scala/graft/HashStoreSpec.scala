@@ -126,6 +126,24 @@ class HashStoreSpec extends AnyFunSuite with SparkTestBase {
       .as[String].head() == "h4")
   }
 
+  test("legacy headerless manifest with disproving bucket index is refused, not split") {
+    val root = tmp()
+    // simulate a pre-pinning store: no '#buckets=' header, entries up
+    // to bucket 5 — a 4-bucket reopen would hash keys with the wrong
+    // modulus and then pin it into the header on the next merge
+    Files.createDirectories(Paths.get(root, "b5-old"))
+    Files.writeString(Paths.get(root, "_manifest"), "5\tb5-old\t")
+    val store = new HashStore(spark, root, numBuckets = 4)
+    val e = intercept[IllegalStateException](store.merge(rows("a" -> "h1")))
+    assert(e.getMessage.contains("legacy manifest"))
+    // with a plausible bucket count the store opens (header written on
+    // the next merge pins it going forward)
+    val ok = new HashStore(spark, root, numBuckets = 8)
+    ok.merge(rows("a" -> "h1"))
+    assert(Files.readString(Paths.get(root, "_manifest"))
+      .linesIterator.next() == "#buckets=8")
+  }
+
   test("empty store loads empty; empty merge is a no-op") {
     val root = tmp()
     val store = new HashStore(spark, root, numBuckets = 2)

@@ -69,4 +69,27 @@ class SchemaBridgeSpec extends AnyFunSuite with SparkTestBase {
     val spaced = avro.replace("\n", "\n  ")
     assert(AvroSchemaBridge.fingerprint(avro) == AvroSchemaBridge.fingerprint(spaced))
   }
+
+  test("extended-type mapping: dateTime casts to timestamp behind the flag (config.py:56-62)") {
+    import scala.jdk.CollectionConverters._
+    val st = AvroSchemaBridge.parse(avro)
+    val rows = Seq(
+      org.apache.spark.sql.Row("a", Integer.valueOf(1), "2020-03-11T11:14:32Z",
+        "s", null, null),
+      org.apache.spark.sql.Row("b", null, null, null, null, null))
+    val df = spark.createDataFrame(rows.asJava, st)
+    // default path: untouched (parity with the reference, which ships
+    // ISO strings through)
+    assert(df.schema("created").dataType == StringType)
+    val mapped = AvroSchemaBridge.castExtendedTypes(df)
+    assert(mapped.schema("created").dataType == TimestampType)
+    assert(mapped.schema == AvroSchemaBridge.extendedTarget(st))
+    // value parses to the real instant; nulls stay null
+    val got = mapped.select("created").collect().map(r => Option(r.get(0)))
+    assert(got(0).get.toString.startsWith("2020-03-11"))
+    assert(got(1).isEmpty)
+    // geopoint struct and annotations survive
+    assert(mapped.schema("geometry").metadata.getString("aether_extended_type") == "geopoint")
+    assert(mapped.schema("created").metadata.getString("aether_extended_type") == "dateTime")
+  }
 }

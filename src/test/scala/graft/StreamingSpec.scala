@@ -264,6 +264,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(bySub("s3").contains("score"))
   }
 
+  test("compileMulti wildcard filter paths see only the payload, not routing metadata") {
+    import graft.streaming.Pipeline
+    // `$.*` matches every top-level PAYLOAD field; the reference
+    // filters the message dict alone, so engine metadata (sub_id,
+    // topic, target_path) must be invisible to the path compiler.
+    val batch = Seq(("tnt.alpha", 1L, "keep"), ("tnt.alpha", 2L, "drop"))
+      .toDF("kafka_topic", "id", "name")
+    val subs = Seq(Subscription("s1", "s1", "alpha*", FbOptions(
+      filterRequired = true, filterFieldPath = "$.*",
+      // "alpha" is the routed topic value and "s1" the sub_id: if
+      // metadata leaked into the match set these would pass rows
+      filterPassValues = Seq("alpha", "s1", "_aether/entities/alpha", "keep"))))
+    val out = Pipeline.compileMulti(subs, "tnt", batch).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("1"), "only the 'keep' row passes")
+  }
+
   test("registry: SYNC mode runs end-to-end; double start rejected; strict schema optional") {
     val input = tmp(); val sinkRoot = tmp(); val work = tmp()
     val reg = new graft.streaming.JobRegistry(spark, "tnt")
@@ -298,5 +314,87 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val strict = new graft.streaming.JobRegistry(spark, "tnt", Validation.SchemaSyncModes)
     assert(strict.addSubscription(sub).isLeft)
     assert(strict.addSubscription(Subscription("f1", "f1", "t*")).isRight)
+  }
+
+  test("topic discovery: tenant filter + prefix strip; broker failure surfaces as Left") {
+    import graft.sources.{StaticTopicCatalog, TopicCatalog}
+    // list_topics semantics (artifacts.py:409-424): only this tenant's
+    // topics, prefix stripped; other tenants and non-matching names out
+    val broker = new StaticTopicCatalog(Seq(
+      "tnt.alpha", "tnt.beta", "other.gamma", "tntx", "unprefixed"))
+    val reg = new graft.streaming.JobRegistry(spark, "tnt", topicCatalog = broker)
+    assert(reg.listTopics() == Right(Seq("alpha", "beta")))
+    // wildcard-capturable names survive the strip intact
+    assert(TopicCatalog.tenantTopics(Seq("t.Name1", "t.Name2", "t2.Name3"), "t")
+      == Seq("Name1", "Name2"))
+    // broker failure → Left (reference: KafkaException → HTTP 500 wrap)
+    val down = new graft.streaming.JobRegistry(spark, "tnt",
+      topicCatalog = new TopicCatalog {
+        def allTopics(): Seq[String] = throw new RuntimeException("broker down")
+      })
+    assert(down.listTopics().isLeft)
+  }
+
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(100)
+    }
+    cond
+  }
+
+  test("supervisor: failed query flips to RECONFIGURE, restarts with backoff, recovers") {
+    val input = tmp(); val sinkRoot = tmp(); val work = tmp()
+    val marker = s"$work/fail-once-marker"
+    val reg = new graft.streaming.JobRegistry(spark, "tnt",
+      restartBackoffMs = 200, maxBackoffMs = 1000)
+    assert(reg.addSubscription(Subscription("sr", "sr", "t?")).isRight)
+    assert(reg.addFirebase(FirebaseInstance("fb", "fb", "http://emulator")).isRight)
+    assert(reg.addJob(FirebaseJob("jr", "jr", "fb", Seq("sr"))).isRight)
+
+    val batch = Seq(("tnt.t1", 1L, "a"), ("tnt.t1", 2L, "b"))
+      .toDF("kafka_topic", "id", "name")
+    batch.coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema(batch.schema).parquet(input)
+    // first commit throws (reference analog: ConsumerHttpException mid
+    // poll, artifacts.py:276-281); replays succeed after the marker
+    val started = reg.startJob("jr", stream, () => new FailOnceSink(sinkRoot, marker), work)
+    assert(started.isRight)
+    try {
+      // the injected failure kills the first run
+      try started.toOption.get.processAllAvailable()
+      catch { case _: Exception => }
+      // supervisor notices, flags RECONFIGURE, restarts, and the
+      // replayed batch lands in the sink
+      assert(eventually(30000) {
+        val dir = new java.io.File(s"$sinkRoot/_aether/entities/t1")
+        dir.exists() && dir.list().count(_.endsWith(".json")) == 2
+      }, s"sink never recovered; logs: ${reg.getLogs("jr").mkString(" | ")}")
+      assert(eventually(30000)(reg.getStatus("jr") == "NORMAL"),
+        s"status ${reg.getStatus("jr")}; logs: ${reg.getLogs("jr").mkString(" | ")}")
+      val logs = reg.getLogs("jr")
+      assert(logs.exists(_.contains("query failed")), logs.mkString(" | "))
+      assert(logs.exists(_.contains("status RECONFIGURE")), logs.mkString(" | "))
+      assert(logs.exists(_.contains("restarted")), logs.mkString(" | "))
+      // listener-fed entries (started/progress) reach the ring too;
+      // progress events are posted asynchronously, so wait for one
+      assert(logs.exists(_.startsWith("query started")), logs.mkString(" | "))
+      assert(eventually(30000)(reg.getLogs("jr").exists(_.startsWith("progress:"))),
+        reg.getLogs("jr").mkString(" | "))
+    } finally reg.pauseJob("jr")
+    // paused: supervisor must not resurrect it
+    assert(reg.getStatus("jr") == "PAUSED")
+  }
+}
+
+/** Sink whose FIRST commit throws (marker file arbitrates across
+  * executor threads/replays) — everything after succeeds. */
+final class FailOnceSink(root: String, marker: String) extends graft.sources.DocumentSink {
+  private def inner = new JsonFileSink(root)
+  override def commitBatch(docs: Seq[graft.sources.DocumentSink.Doc]): Unit = {
+    val m = new java.io.File(marker)
+    if (m.createNewFile()) throw new RuntimeException("injected sink failure (test)")
+    inner.commitBatch(docs)
   }
 }
