@@ -23,15 +23,17 @@ import graft.model._
   * against the verbatim-ported draft-07 schemas so presence-based
   * `dependencies` blocks behave exactly as in the SDK.
   *
-  * `resume` needs to rebuild a job's stream, which only the embedding
-  * application can do — inject `resumeJob` for it (the reference gets
-  * this for free from its Redis-backed job store; a Spark stream is
-  * not serializable config).
+  * `resume` rebuilds the query from the registry's stored start
+  * arguments (checkpoint-recovered); inject `resumeJob` to override
+  * how a job's stream is rebuilt.
   */
 final class ControlPlane(reg: JobRegistry,
     allowedSyncModes: Set[String] = Validation.EngineSyncModes,
     resumeJob: Option[String => Either[Seq[String], Unit]] = None,
     port: Int = 0) {
+
+  private val doResume: String => Either[Seq[String], Unit] =
+    resumeJob.getOrElse(id => reg.resumeJob(id).map(_ => ()))
 
   private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
@@ -142,14 +144,12 @@ final class ControlPlane(reg: JobRegistry,
     case "pause" if kind == "job" =>
       param(ex, "id").foreach(reg.pauseJob); respond(ex, 200, JBool(true))
     case "resume" if kind == "job" =>
-      (param(ex, "id"), resumeJob) match {
-        case (Some(id), Some(r)) => r(id) match {
+      param(ex, "id") match {
+        case Some(id) => doResume(id) match {
           case Right(_) => respond(ex, 200, JBool(true))
           case Left(es) => respond(ex, 400, errs(es))
         }
-        case (_, None) => respond(ex, 501,
-          JObject("error" -> JString("no resume launcher configured")))
-        case _ => respond(ex, 400, JObject("error" -> JString("id required")))
+        case None => respond(ex, 400, JObject("error" -> JString("id required")))
       }
     case "list_topics" if kind == "job" =>
       reg.listTopics() match {

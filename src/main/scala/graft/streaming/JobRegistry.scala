@@ -68,6 +68,11 @@ final class JobRegistry(spark: SparkSession, tenant: String,
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0) // consecutive failures; reset on progress
   }
   private val runtimes = scala.collection.concurrent.TrieMap[String, Runtime]()
+  /** Last successful start's arguments, kept across pause so `resume`
+    * (the reference's job action, README.md:151-160) can rebuild the
+    * query from its checkpoint without the caller re-supplying them. */
+  private val lastStart =
+    mutable.Map[String, (DataFrame, () => DocumentSink, String)]()
   private val queryToJob = scala.collection.concurrent.TrieMap[UUID, String]()
   /** Non-query-derived status (RECONFIGURE while awaiting restart,
     * STOPPED after giving up). */
@@ -232,9 +237,19 @@ final class JobRegistry(spark: SparkSession, tenant: String,
         queries(jobId) = q
         queryToJob(q.id) = jobId
         runtimes(jobId) = new Runtime(() => sj.start(stream, Some(queryNameOf(jobId))))
+        lastStart(jobId) = (stream, mkSink, workDir)
         statusOverride.remove(jobId): Unit
         log(jobId, s"job $jobId started")
         Right(q)
+    }
+  }
+
+  /** Resume a paused job from its checkpoint using the stored start
+    * arguments (the SDK's `resume` action). */
+  def resumeJob(jobId: String): Either[Seq[String], StreamingQuery] = synchronized {
+    lastStart.get(jobId) match {
+      case None => Left(Seq(s"job: '$jobId' was never started"))
+      case Some((stream, mkSink, workDir)) => startJob(jobId, stream, mkSink, workDir)
     }
   }
 
@@ -267,6 +282,7 @@ final class JobRegistry(spark: SparkSession, tenant: String,
   def removeJob(jobId: String): Unit = synchronized {
     pauseJob(jobId)
     jobs.remove(jobId): Unit
+    lastStart.remove(jobId): Unit
     log(jobId, s"job $jobId removed")
   }
 }

@@ -79,13 +79,14 @@ class ControlPlaneSpec extends AnyFunSuite with SparkTestBase {
     assert(c == 200 && s.contains("http://json-schema.org/draft-07/schema#"))
   }
 
-  test("job actions: status, logs, topics; resume without launcher is 501") {
+  test("job actions: status, logs, topics; resume of a never-started job is rejected") {
     assert(get("/job/get_status?id=default") == (200, "\"PAUSED\""))
     reg.log("default", "hello ring")
     assert(get("/job/get_logs?id=default")._2.contains("hello ring"))
     assert(get("/job/list_topics")._2 == """["a","b"]""")
     assert(get("/job/list_subscribed_topics?id=default")._2 == """["tnt.*"]""")
-    assert(get("/job/resume?id=default")._1 == 501)
+    val (rc, rbody) = get("/job/resume?id=default")
+    assert(rc == 400 && rbody.contains("never started"))
     assert(get("/job/pause?id=default")._1 == 200)
   }
 

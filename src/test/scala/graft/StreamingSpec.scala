@@ -385,6 +385,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally reg.pauseJob("jr")
     // paused: supervisor must not resurrect it
     assert(reg.getStatus("jr") == "PAUSED")
+    // resume rebuilds the query from the stored start args + checkpoint
+    val resumed = reg.resumeJob("jr")
+    assert(resumed.isRight, resumed)
+    try assert(eventually(30000)(reg.getStatus("jr") == "NORMAL"))
+    finally reg.pauseJob("jr")
   }
 }
 
