@@ -744,7 +744,39 @@ object Queries {
       .orderBy(col("custkey"))
   }
 
+  /** Skew-resilient aggregation: two-phase salted groupBy — partials
+    * on (keys, salt) spread a hot key over 8 reducers, the final
+    * combine sees ≤ 8 rows per key. Salt-invariant by construction
+    * (oracle = the plain unsalted aggregate). DECIMAL partials keep
+    * the double cast exact-last, per the determinism rules. */
+  def qSkewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(Tables.lineitem(s, dir), Seq("l_returnflag", "l_linestatus"),
+        Skew.saltCol(col("l_orderkey"), 8), 8,
+        Seq(
+          "sum_qty" -> (sum(col("l_quantity").cast(dec)),
+            (c: org.apache.spark.sql.Column) => sum(c).cast("double")),
+          "count_order" -> (count(lit(1)),
+            (c: org.apache.spark.sql.Column) => sum(c))))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Skew-resilient equi-join: the (skewed) lineitem side is salted 8
+    * ways and orders is replicated across the salt values, so a hot
+    * l_orderkey spreads over 8 reducers instead of one. Oracle = the
+    * plain join — salting never changes the result set. */
+  def qSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, ord, Seq("l_orderkey"), Skew.saltCol(col("l_quantity"), 8), 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_agg" -> (qSkewSaltedAgg _),
+    "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
     "q_filter_jsonpath_deep" -> (qFilterJsonpathDeep _),
@@ -1341,6 +1373,23 @@ object Queries {
         |  SELECT user_id FROM events WHERE event_type = 'error')
         |SELECT user_id, COUNT(*) AS multiplicity FROM m
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the salted plans must produce EXACTLY the unsalted results —
+    // that invariance is the point of the oracle pair
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_date_fns" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
