@@ -774,7 +774,18 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Engine-deterministic approximate distinct (KMV sketch): distinct
+    * user_id estimate per event_type with k=256 minima. Unlike HLL++
+    * (engine-internal, band-tested only in ApproxAggSpec), the KMV
+    * estimate is pure md5 order statistics — the oracle computes the
+    * IDENTICAL estimate, so the approximate path gets a hash-exact
+    * correctness row. */
+  def qApproxDistinctKmv(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinct(Tables.events(s, dir), Seq("event_type"), col("user_id"), 256)
+      .orderBy(col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q1_agg" -> (q1Agg _),
@@ -1373,6 +1384,20 @@ object Queries {
         |  SELECT user_id FROM events WHERE event_type = 'error')
         |SELECT user_id, COUNT(*) AS multiplicity FROM m
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // KMV mirror: identical hash (first 8 md5 hex digits), identical
+    // order statistics, identical double expression — bit-exact
+    "q_approx_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS _h
+        |  FROM events),
+        |r AS (SELECT event_type, _h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY _h) rn FROM h)
+        |SELECT event_type,
+        |  CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE 255.0 / (MAX(_h) / 4294967296.0) END AS n_distinct_est
+        |FROM r WHERE rn <= 256
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the salted plans must produce EXACTLY the unsalted results —
     // that invariance is the point of the oracle pair

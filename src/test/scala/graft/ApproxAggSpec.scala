@@ -16,6 +16,26 @@ class ApproxAggSpec extends AnyFunSuite with SparkTestBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("KMV distinct estimate is within ~3 std errors of exact; exact below k") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, sf)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Queries.qApproxDistinctKmv(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    est.foreach { case (et, e) =>
+      val x = exact(et).toDouble
+      // KMV relative std error ≈ 1/sqrt(k-2) ≈ 6.3% at k=256
+      assert(math.abs(e - x) / x < 0.20, s"$et est=$e exact=$x")
+    }
+    // a low-cardinality column stays exact (fewer than k distinct)
+    val small = Sketches.kmvDistinct(ev, Seq.empty[String].:+("event_type"),
+      col("event_type"), 256)
+    // grouped by event_type, counting distinct event_type per group = 1
+    small.collect().foreach(r => assert(r.getDouble(1) == 1.0))
+  }
+
   test("approx_percentile brackets the exact median") {
     val ev = Tables.events(spark, sf)
     val apx = ev.select(percentile_approx(col("value"), lit(0.5), lit(1000)))
