@@ -172,10 +172,22 @@ object AvroCodec {
     }
 }
 
-/** binary (Avro datum bytes) → struct, schema fixed at plan time.
-  * Heterogeneous topics branch per topic upstream (same branching the
-  * reference does by caching one schema per topic). */
-case class AvroDecodeExpr(child: Expression, schemaJson: String)
+/** binary (Avro datum bytes) → struct. The READER schema
+  * (`schemaJson`) is fixed at plan time and determines the output
+  * struct; heterogeneous topics branch per topic upstream (same
+  * branching the reference does by caching one schema per topic).
+  *
+  * Schema evolution (A17): when the bytes were WRITTEN under an older
+  * schema, pass it as `writerSchemaJson` — Avro schema resolution
+  * reads old bytes under the new contract (added fields take their
+  * defaults, removed fields are skipped). The streaming flow is:
+  * `SchemaRegistry.observe` surfaces `Changed`, the supervisor
+  * restarts the query with the re-derived plan, and in-flight batches
+  * written under the previous schema decode through this resolution
+  * path. (The reference re-caches the carried schema per message and
+  * its `_update_topic` is a no-op — artifacts.py:314-318,378-380.) */
+case class AvroDecodeExpr(child: Expression, schemaJson: String,
+    writerSchemaJson: Option[String] = None)
     extends UnaryExpression with CodegenFallback {
 
   override lazy val dataType: DataType = AvroSchemaBridge.parse(schemaJson)
@@ -189,9 +201,10 @@ case class AvroDecodeExpr(child: Expression, schemaJson: String)
     * is safe; ThreadLocal because an expression instance may be shared
     * by the driver and task threads. */
   @transient private lazy val local = ThreadLocal.withInitial { () =>
-    val schema = new Schema.Parser().parse(schemaJson)
-    new AvroDecodeExpr.State(new GenericDatumReader[GenericRecord](schema),
-      AvroCodec.decoder(schema))
+    val reader = new Schema.Parser().parse(schemaJson)
+    val writer = writerSchemaJson.map(new Schema.Parser().parse(_)).getOrElse(reader)
+    new AvroDecodeExpr.State(new GenericDatumReader[GenericRecord](writer, reader),
+      AvroCodec.decoder(reader))
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -254,6 +267,13 @@ object AvroColumns {
     * schema, with `@aether_*` annotations on the struct fields. */
   def avro_decode(value: Column, schemaJson: String): Column =
     ColumnBridge.column(AvroDecodeExpr(ColumnBridge.expression(value), schemaJson))
+
+  /** Evolution-aware decode: bytes written under `writerSchemaJson`,
+    * read under `readerSchemaJson` via Avro schema resolution. */
+  def avro_decode_evolved(value: Column, readerSchemaJson: String,
+      writerSchemaJson: String): Column =
+    ColumnBridge.column(AvroDecodeExpr(ColumnBridge.expression(value),
+      readerSchemaJson, Some(writerSchemaJson)))
 
   /** to_avro equivalent: struct column → Avro datum bytes. */
   def avro_encode(record: Column, schemaJson: String): Column =

@@ -82,6 +82,37 @@ class AvroCodecSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getSeq[String](12) == Seq("a", "b"))
   }
 
+  test("schema evolution: old-writer bytes decode under the new reader contract") {
+    // v1 producer schema; v2 adds a defaulted field and drops one —
+    // the reference handles this by re-caching the carried schema per
+    // message (artifacts.py:314-318); here Avro schema resolution
+    // reads v1 bytes under the v2 contract
+    val v1 = """{"type":"record","name":"E","fields":[
+      |{"name":"id","type":"string"},
+      |{"name":"legacy","type":["null","string"],"default":null},
+      |{"name":"n","type":"long"}]}""".stripMargin.replace("\n", "")
+    val v2 = """{"type":"record","name":"E","fields":[
+      |{"name":"id","type":"string"},
+      |{"name":"n","type":"long"},
+      |{"name":"added","type":["null","string"],"default":null}]}"""
+      .stripMargin.replace("\n", "")
+    val s1 = new Schema.Parser().parse(v1)
+    val rec = new GenericData.Record(s1)
+    rec.put("id", "doc-1"); rec.put("legacy", "bye"); rec.put("n", 9L)
+    val buf = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().directBinaryEncoder(buf, null)
+    new GenericDatumWriter[GenericData.Record](s1).write(rec, enc)
+    enc.flush()
+
+    val row = Seq(buf.toByteArray).toDF("value")
+      .select(graft.functions.AvroColumns
+        .avro_decode_evolved(col("value"), v2, v1).as("r"))
+      .select($"r.id", $"r.n", $"r.added").head()
+    assert(row.getString(0) == "doc-1")
+    assert(row.getLong(1) == 9L)
+    assert(row.isNullAt(2)) // added field takes its default
+  }
+
   test("encode → decode round-trips every supported shape incl. nulls") {
     val df = Seq(
       (1, 2L, 0.5f, 0.25, false, "x", Array[Byte](9), Option("y"),
