@@ -30,6 +30,11 @@ import graft.model._
 final class ControlPlane(reg: JobRegistry,
     allowedSyncModes: Set[String] = Validation.EngineSyncModes,
     resumeJob: Option[String => Either[Seq[String], Unit]] = None,
+    /** Builds the sink a Firebase instance's `test_connection` pings
+      * (reference: lazily builds the app + RTDB/CFS clients and maps
+      * failure to HTTP 500, artifacts.py:112-124). */
+    sinkFor: FirebaseInstance => graft.sources.DocumentSink =
+      fb => new graft.sources.JsonFileSink(fb.rootPath),
     port: Int = 0) {
 
   private val doResume: String => Either[Seq[String], Unit] =
@@ -151,6 +156,28 @@ final class ControlPlane(reg: JobRegistry,
         }
         case None => respond(ex, 400, JObject("error" -> JString("id required")))
       }
+    case "test_connection" if kind == "firebase" =>
+      param(ex, "id").flatMap(reg.getFirebase) match {
+        case None => respond(ex, 404, JObject("error" -> JString("not found")))
+        case Some(fb) =>
+          (try sinkFor(fb).testConnection()
+          catch { case scala.util.control.NonFatal(e) => Left(String.valueOf(e.getMessage)) }) match {
+            case Right(_) => respond(ex, 200, JBool(true))
+            case Left(msg) => respond(ex, 500, JObject("error" -> JString(msg)))
+          }
+      }
+    case "describe" =>
+      // self-documenting action list (README.md:36-59)
+      val common = Seq("describe", "get_schema", "validate_pretty",
+        "add", "get", "list", "delete")
+      val extra = kind match {
+        case "job" => Seq("pause", "resume", "get_status", "get_logs",
+          "list_topics", "list_subscribed_topics")
+        case "firebase" => Seq("test_connection")
+        case _ => Nil
+      }
+      respond(ex, 200, JArray((common ++ extra).map(m =>
+        JObject("method" -> JString(m))).toList))
     case "list_topics" if kind == "job" =>
       reg.listTopics() match {
         case Right(ts) => respond(ex, 200, JArray(ts.map(JString(_)).toList))

@@ -90,6 +90,18 @@ class ControlPlaneSpec extends AnyFunSuite with SparkTestBase {
     assert(get("/job/pause?id=default")._1 == 200)
   }
 
+  test("firebase test_connection pings the instance's sink; describe lists actions") {
+    // the registered instance's sink root must answer the ping with a
+    // definite verdict (200 writable / 500 with an error body), and an
+    // unknown id is 404 — the reference's CHE → HTTP 500 contract
+    val (c, b) = get("/firebase/test_connection?id=default")
+    assert(c == 200 || (c == 500 && b.contains("error")), s"$c $b")
+    assert(get("/firebase/test_connection?id=ghost")._1 == 404)
+    val (dc, db) = get("/job/describe")
+    assert(dc == 200 && db.contains("list_topics") && db.contains("validate_pretty"))
+    assert(get("/firebase/describe")._2.contains("test_connection"))
+  }
+
   test("delete removes resources; server stops") {
     assert(get("/subscription/delete?id=sub-test")._1 == 200)
     assert(get("/subscription/list")._2 == "[]")
