@@ -362,6 +362,18 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup CLUSTERS: the step after pair generation a real dedup
+    * needs — connected components over the verified (jaccard >= 0.5)
+    * pair graph, each doc labeled with its component's min id (the
+    * canonical keep-representative). Non-clustered docs are absent:
+    * clustering only touches docs that appeared in a verified pair. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNgram(s, dir).select(col("doc_a"), col("doc_b"))
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup: 32-bit simhash over 3-gram shingles (custom
     * one-pass expression), pigeonhole blocking on the 4 byte-chunks
     * (any pair at hamming≤3 must share a chunk — exact, no misses),
@@ -786,6 +798,7 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q1_agg" -> (q1Agg _),
@@ -1384,6 +1397,25 @@ object Queries {
         |  SELECT user_id FROM events WHERE event_type = 'error')
         |SELECT user_id, COUNT(*) AS multiplicity FROM m
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // connected components mirrored as a recursive reachability
+    // closure: rep(d) = min over everything reachable from d in the
+    // verified-pair graph (tiny at sf0.01: ~50 nodes) — identical to
+    // the min-label-propagation fixpoint by definition
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |verified AS (SELECT id_a, id_b
+         |  FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+         |edges AS (SELECT id_a u, id_b v FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT u AS src, u AS node FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u)
+         |SELECT src AS doc_id, MIN(node) AS cluster_rep
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     // KMV mirror: identical hash (first 8 md5 hex digits), identical
     // order statistics, identical double expression — bit-exact

@@ -78,4 +78,45 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Connected components over verified near-dup pairs → the cluster
+    * step a dedup pipeline needs after pair generation: every doc maps
+    * to its component's MIN id (the canonical keep-representative;
+    * drop rows where node != label to dedup).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels —
+    * which converges in O(component diameter) rounds; near-dup
+    * components are overwhelmingly small/star-shaped, so rounds stay
+    * in the low single digits at any corpus size (the guard caps
+    * pathological chains). Each round is one shuffle on node id;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * does not replay rounds 1..N-1. Deterministic: min() is
+    * associative/commutative, so the fixpoint is partition-order
+    * independent. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vlabel")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -76,6 +76,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cands < n * n / 50, s"candidates=$cands not < n^2/50=${n * n / 50}")
   }
 
+  test("connected components: transitive chains collapse to the min id") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("cluster query: every verified pair lands in one cluster; reps are members") {
+    val pairs = Queries.qDedupNgram(spark, sf).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val clusters = Queries.qDedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.values.foreach(rep => assert(clusters(rep) == rep, s"rep $rep not canonical"))
+  }
+
   test("jaccard of disjoint and identical sets") {
     val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
       .toDF("x", "y").select(Dedup.jaccard($"x", $"y").as("j"))
