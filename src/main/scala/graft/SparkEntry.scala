@@ -796,7 +796,24 @@ object Queries {
     Sketches.kmvDistinct(Tables.events(s, dir), Seq("event_type"), col("user_id"), 256)
       .orderBy(col("event_type"))
 
+  /** Deterministic 10% sample of documents: keep rows whose md5-hash
+    * falls under the rate threshold. Unlike `df.sample(seed)` —
+    * whose output depends on partition layout, so it changes under
+    * repartition/AQE — the hash rule is a pure row property: the
+    * same rows are sampled at any scale, any partitioning, any
+    * engine (the oracle draws the identical sample). This is the
+    * idiom for carving reproducible eval/holdout splits out of a
+    * 100 TB corpus. */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(Sketches.hash32(col("doc_id")) < lit((0.10 * 4294967296.0).toLong))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("text")).cast("long")).as("sampled_chars"))
+      .orderBy(col("source"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash" -> (qSampleHash _),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
@@ -1397,6 +1414,14 @@ object Queries {
         |  SELECT user_id FROM events WHERE event_type = 'error')
         |SELECT user_id, COUNT(*) AS multiplicity FROM m
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // identical hash rule ⇒ identical sample on any engine
+    "q_sample_hash" ->
+      """SELECT source, COUNT(*) AS n_sampled,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sampled_chars
+        |FROM documents
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT < 429496729
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // connected components mirrored as a recursive reachability
     // closure: rep(d) = min over everything reachable from d in the

@@ -36,6 +36,20 @@ class ApproxAggSpec extends AnyFunSuite with SparkTestBase {
     small.collect().foreach(r => assert(r.getDouble(1) == 1.0))
   }
 
+  test("hash sampling is partition-invariant and near the target rate") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    val thresh = (0.10 * 4294967296.0).toLong
+    def sampleIds(parts: Int): Set[Long] =
+      docs.repartition(parts)
+        .filter(Sketches.hash32(col("doc_id")) < thresh)
+        .collect().map(_.getLong(0)).toSet
+    val a = sampleIds(1); val b = sampleIds(7)
+    assert(a == b, "hash sample must not depend on partitioning")
+    val rate = a.size.toDouble / docs.count()
+    assert(rate > 0.05 && rate < 0.15, s"rate=$rate") // ~10% of 500 docs
+  }
+
   test("approx_percentile brackets the exact median") {
     val ev = Tables.events(spark, sf)
     val apx = ev.select(percentile_approx(col("value"), lit(0.5), lit(1000)))
