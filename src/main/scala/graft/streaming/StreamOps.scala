@@ -49,6 +49,19 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop repeats of `idCols` arriving within
+    * the watermark bound — the streaming analog of the batch dedup
+    * family, and the idiom for at-least-once sources whose replays
+    * land close together in event time. State is keyed by `idCols`
+    * and EVICTED once the watermark passes (unbounded
+    * `dropDuplicates` state is the classic streaming OOM at scale;
+    * the watermark bound is what makes this 100 TB-safe). */
+  def dedupStream(df: DataFrame, nsCol: String, lateness: String,
+      idCols: Seq[String]): DataFrame =
+    eventTime(df, nsCol)
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Convenience: run sessionize as an update-mode memory-sink query
     * (used by tests and demos). */
   def startSessionQuery(spark: SparkSession, events: DataFrame, name: String) =

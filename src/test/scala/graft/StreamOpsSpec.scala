@@ -45,6 +45,28 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops watermark-window repeats across micro-batches") {
+    val input = Files.createTempDirectory("dedup-in").toString
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    // batch 1: two copies of doc 1 (one replayed), doc 2 once
+    val b1 = Seq((1L, 1L * hourNs), (1L, 1L * hourNs + 1), (2L, 1L * hourNs))
+      .toDF("doc_id", "ts")
+    b1.coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema(b1.schema).parquet(input)
+    val q = StreamOps.dedupStream(stream, "ts", "1 hour", Seq("doc_id"))
+      .select("doc_id").writeStream
+      .outputMode("append").format("memory").queryName("dedup_test").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 1 replayed again (same window), doc 3 new
+      Seq((1L, 1L * hourNs + 2), (3L, 1L * hourNs)).toDF("doc_id", "ts")
+        .coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("nested path get/replace") {
     val df = Seq((1L, ("a", 2))).toDF("id", "s")
       .select($"id", struct($"s._1".as("x"), struct($"s._2".as("y")).as("inner")).as("s"))
