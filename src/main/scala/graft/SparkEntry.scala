@@ -812,7 +812,22 @@ object Queries {
         sum(length(col("text")).cast("long")).as("sampled_chars"))
       .orderBy(col("source"))
 
+  /** Exact per-group quantiles (linear interpolation, the ANSI
+    * percentile_cont surface). Scale note: exact percentile buffers
+    * each group's values (ObjectHashAggregate) — correct for
+    * bounded-size groups like these flags; unbounded groups at corpus
+    * scale take the sketch path (approx_percentile/KLL, band-tested
+    * in ApproxAggSpec) — same trade as exact vs KMV distinct. */
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.1, 0.25, 0.5, 0.75, 0.9))").as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")))
+      .select(col("l_returnflag"), col("pos").cast("long").as("q_idx"),
+        col("col").as("q_value"))
+      .orderBy(col("l_returnflag"), col("q_idx"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantiles" -> (qQuantiles _),
     "q_sample_hash" -> (qSampleHash _),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1414,6 +1429,14 @@ object Queries {
         |  SELECT user_id FROM events WHERE event_type = 'error')
         |SELECT user_id, COUNT(*) AS multiplicity FROM m
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_quantiles" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    quantile_cont(l_quantity, [0.1, 0.25, 0.5, 0.75, 0.9]) qs
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(i - 1 AS BIGINT) AS q_idx, qs[i] AS q_value
+        |FROM q, (SELECT unnest([1, 2, 3, 4, 5]) i)
+        |ORDER BY l_returnflag, q_idx""".stripMargin,
 
     // identical hash rule ⇒ identical sample on any engine
     "q_sample_hash" ->
