@@ -362,6 +362,28 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Edit-distance verify over the SAME LSH candidate set the MinHash
+    * pipeline blocks on: levenshtein is O(len²) per pair, so it can
+    * only ever run on candidates, never all pairs — the blocking key
+    * stays the only shuffle. Normalized similarity = 1 - dist/maxlen,
+    * kept at >= 0.8 (integer distance and lengths ⇒ exact doubles). */
+  def qDedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigned(s, dir)
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig, 8, 2), "doc_id")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("t_a")), length(col("t_b"))).cast("double"))
+      .filter(col("edit_sim") >= 0.8)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("edit_dist"), col("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -828,6 +850,7 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantiles" -> (qQuantiles _),
+    "q_dedup_editdist" -> (qDedupEditDistance _),
     "q_sample_hash" -> (qSampleHash _),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1429,6 +1452,19 @@ object Queries {
         |  SELECT user_id FROM events WHERE event_type = 'error')
         |SELECT user_id, COUNT(*) AS multiplicity FROM m
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_dedup_editdist" ->
+      s"""WITH $minhashCte
+         |SELECT id_a AS doc_a, id_b AS doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |  1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS edit_sim
+         |FROM cand
+         |JOIN documents da ON id_a = da.doc_id
+         |JOIN documents db ON id_b = db.doc_id
+         |WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_quantiles" ->
       """WITH q AS (SELECT l_returnflag,
