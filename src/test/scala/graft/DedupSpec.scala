@@ -76,6 +76,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cands < n * n / 50, s"candidates=$cands not < n^2/50=${n * n / 50}")
   }
 
+  test("edit-distance verify recovers the planted near-dup pairs on LSH candidates") {
+    val rows = Queries.qDedupEditDistance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // canonical pair order
+      assert(r.getDouble(3) >= 0.8 && r.getDouble(3) <= 1.0)
+    }
+    // the two verify lenses run on the SAME blocking and must agree on
+    // the strongly-duplicated core (planted pairs are >= 0.9 jaccard)
+    val ngramPairs = Queries.qDedupNgram(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val editPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(editPairs.intersect(ngramPairs).nonEmpty)
+  }
+
   test("connected components: transitive chains collapse to the min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
       .toDF("doc_a", "doc_b")
