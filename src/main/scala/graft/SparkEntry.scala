@@ -324,24 +324,26 @@ object Queries {
   private def minhashSigned(s: SparkSession, dir: String): DataFrame =
     Dedup.withMinhashSignature(
       Dedup.withShingles(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text"), 8)
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text"))
       .cache()
 
-  /** MinHash+LSH near-duplicate candidates: 8 hash family, 4 bands of
-    * 2; banding is the global blocking key (no n² stage); sim_est =
-    * fraction of matching minhashes. */
+  /** MinHash+LSH near-duplicate candidates: k=64 hash family, 16
+    * bands of 4 (threshold ≈ 0.5, background-0.2 collision ≈ 2.5% —
+    * see DEDUP_TUNING.md); banding is the global blocking key (no n²
+    * stage); sim_est = fraction of matching minhashes (1/64 steps). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val k = Dedup.MinhashK
     val sig = minhashSigned(s, dir)
-    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig, 8, 2), "doc_id")
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     val a = sig.select(Seq(col("doc_id").as("id_a")) ++
-      (0 until 8).map(i => col(s"m$i").as(s"a$i")): _*)
+      (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
     val b = sig.select(Seq(col("doc_id").as("id_b")) ++
-      (0 until 8).map(i => col(s"m$i").as(s"b$i")): _*)
-    val matches = (0 until 8).map(i =>
+      (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until k).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
     cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        (matches.cast("double") / 8.0).as("sim_est"))
+        (matches.cast("double") / k.toDouble).as("sim_est"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -350,7 +352,7 @@ object Queries {
     * exact set similarity only on candidates). */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigned(s, dir)
-    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig, 8, 2), "doc_id")
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     val sh = Dedup.withShingles(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
@@ -369,7 +371,7 @@ object Queries {
     * kept at >= 0.8 (integer distance and lengths ⇒ exact doubles). */
   def qDedupEditDistance(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigned(s, dir)
-    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig, 8, 2), "doc_id")
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     cands
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
@@ -914,12 +916,17 @@ object Queries {
       |  ELSE [] END AS sh FROM w)""".stripMargin
 
   private val minhashCte = {
-    val mins = (0 until 8)
+    val r = Dedup.LshRows
+    val mins = (0 until Dedup.MinhashK)
       .map(i => s"list_min(list_transform(hs, h -> (${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP})) m$i")
       .mkString(",\n  ")
-    val bandKeys = (0 until 4)
-      .map(b => s"WHEN $b THEN md5(CAST(m${2 * b} AS VARCHAR)||CAST(m${2 * b + 1} AS VARCHAR))")
+    val bandKeys = (0 until Dedup.LshBands)
+      .map { b =>
+        val cat = (b * r until (b + 1) * r).map(i => s"CAST(m$i AS VARCHAR)").mkString("||")
+        s"WHEN $b THEN md5($cat)"
+      }
       .mkString(" ")
+    val bandIdxs = (0 until Dedup.LshBands).mkString(",")
     s"""$shingleCte,
        |hsh AS (SELECT doc_id,
        |  list_transform(sh, t -> ('0x'||substr(md5(t),1,8))::BIGINT) hs FROM sh),
@@ -927,7 +934,7 @@ object Queries {
        |  $mins FROM hsh),
        |bands AS (SELECT doc_id, band_idx,
        |  CASE band_idx $bandKeys END band_key
-       |  FROM sig, (SELECT unnest([0,1,2,3]) band_idx)),
+       |  FROM sig, (SELECT unnest([$bandIdxs]) band_idx)),
        |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
@@ -1113,12 +1120,12 @@ object Queries {
         |ORDER BY keeper_id""".stripMargin,
 
     "q_dedup_minhash" -> {
-      val matches = (0 until 8)
+      val matches = (0 until Dedup.MinhashK)
         .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH $minhashCte
          |SELECT id_a AS doc_a, id_b AS doc_b,
-         |  CAST($matches AS DOUBLE) / 8 AS sim_est
+         |  CAST($matches AS DOUBLE) / ${Dedup.MinhashK} AS sim_est
          |FROM cand
          |JOIN sig sa ON id_a = sa.doc_id
          |JOIN sig sb ON id_b = sb.doc_id

@@ -31,26 +31,53 @@ object Dedup {
   /** Universal-hash family for minhash: h_i(x) = (a_i·x + b_i) mod p
     * over a 32-bit md5-derived base hash. ONE md5 per shingle instead
     * of k — the md5 is the cost center at scale; the k derived hashes
-    * are three integer ops each. No overflow: a_i·x < 2^63. */
+    * are three integer ops each. No overflow: a_i < 2^30, x < 2^32 ⇒
+    * a_i·x + b_i < 2^63.
+    *
+    * Operating point (see DEDUP_TUNING.md): k=64 hashes banded as
+    * b=16 bands × r=4 rows. S-curve threshold (1/b)^(1/r) =
+    * (1/16)^(1/4) = 0.5 — matched to the 0.5-jaccard verify filter —
+    * with collision prob at background jaccard 0.2 of
+    * 1-(1-0.2⁴)^16 ≈ 2.5% (the old 4×2 banding collided at ~15%,
+    * which goes quadratic on Zipfian-vocabulary corpora). sim_est
+    * granularity is 1/64. */
   val MinhashP: Long = 2147483647L // 2^31 - 1
-  val MinhashA: Seq[Long] = Seq(1299721L, 15485863L, 32452843L, 49979687L,
-    67867967L, 86028121L, 104395301L, 122949823L)
-  val MinhashB: Seq[Long] = Seq(11L, 101L, 1009L, 10007L, 100003L,
-    1000003L, 10000019L, 100000007L)
+  val MinhashK: Int = 64
+  val LshRows: Int = 4
+  val LshBands: Int = MinhashK / LshRows // 16
 
-  /** df + m0..m{k-1} bigint minhash columns over the `sh` column. */
-  def withMinhashSignature(df: DataFrame, k: Int = 8): DataFrame = {
+  /** splitmix64 finalizer — a fixed, public mixing constant set; used
+    * only to derive the 64 (a_i, b_i) coefficient literals below, so
+    * both the Spark plan and the generated DuckDB oracle SQL embed
+    * identical decimal constants. */
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  /** a_i: odd, in [1, 2^30) — nonzero mod p, no 64-bit overflow. */
+  val MinhashA: Seq[Long] = (0 until MinhashK).map(i => (mix64(i.toLong) & 0x3FFFFFFFL) | 1L)
+  /** b_i: in [0, p). */
+  val MinhashB: Seq[Long] = (0 until MinhashK).map(i => (mix64(1000L + i.toLong) & 0x7FFFFFFFL) % MinhashP)
+  require(MinhashA.distinct.size == MinhashK && MinhashB.distinct.size == MinhashK,
+    "minhash coefficient collision — change the mixer seeds")
+
+  /** df + m0..m{k-1} bigint minhash columns over the `sh` column. One
+    * wide projection (not k chained withColumns) keeps analysis cost
+    * flat at k=64. */
+  def withMinhashSignature(df: DataFrame, k: Int = MinhashK): DataFrame = {
     val withBase = df.withColumn("_hs",
       expr("transform(sh, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
-    (0 until k).foldLeft(withBase) { (d, i) =>
-      d.withColumn(s"m$i",
-        expr(s"array_min(transform(_hs, h -> (${MinhashA(i)}L * h + ${MinhashB(i)}L) % ${MinhashP}L))"))
-    }.drop("_hs")
+    val minCols = (0 until k).map(i =>
+      expr(s"array_min(transform(_hs, h -> (${MinhashA(i)}L * h + ${MinhashB(i)}L) % ${MinhashP}L))")
+        .as(s"m$i"))
+    withBase.select(col("*") +: minCols: _*).drop("_hs")
   }
 
   /** df + (band_idx, band_key) exploded rows: bands of `rows` adjacent
     * minhashes, keyed by md5 of their concatenation. */
-  def withLshBands(df: DataFrame, k: Int = 8, rows: Int = 2): DataFrame = {
+  def withLshBands(df: DataFrame, k: Int = MinhashK, rows: Int = LshRows): DataFrame = {
     val nBands = k / rows
     val bandKeys = (0 until nBands).map { b =>
       val ms = (b * rows until (b + 1) * rows).map(i => col(s"m$i").cast("string"))

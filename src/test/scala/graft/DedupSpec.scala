@@ -27,6 +27,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ests.exists(_ >= 0.9))
   }
 
+  test("minhash LSH candidate volume is bounded (16 bands x 4 rows prunes quadratically)") {
+    // Mirror of the embedding-side bound: with b=16, r=4 the collision
+    // prob at background jaccard is tiny, so candidates must stay far
+    // below n² — a parameter regression (shallow bands) fails this.
+    val sig = Dedup.withMinhashSignature(Dedup.withShingles(
+      Tables.documents(spark, sf).select($"doc_id", $"text"), "text"))
+    val n = sig.count()
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id").count()
+    assert(cands < n * n / 200, s"candidates=$cands not < n^2/200=${n * n / 200}")
+  }
+
+  test("minhash signature is k=64 wide and sim_est has 1/64 granularity") {
+    assert(Dedup.MinhashK == 64 && Dedup.LshBands * Dedup.LshRows == 64)
+    val ests = Queries.qDedupMinhash(spark, sf).select("sim_est").as[Double].collect()
+    assert(ests.nonEmpty)
+    ests.foreach { e =>
+      val steps = e * Dedup.MinhashK
+      assert(math.abs(steps - math.round(steps)) < 1e-9, s"sim_est $e not a 1/64 multiple")
+    }
+  }
+
   test("simhash of identical token sets is identical; hamming pairs are symmetric-free") {
     val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")), (3L, Seq("x", "y", "z")))
       .toDF("id", "toks").select($"id", SimHash.simhash($"toks").as("h"))
