@@ -435,7 +435,8 @@ object Queries {
     * (collision ≈ 2^-12 per band) is ~16·n²/2·2^-12 ≈ n²/512
     * (measured n²/350 on the testdata vs n²/4 with the old 4-bit
     * keys) — the verify stage stays linear-ish in n at fixed
-    * similarity structure instead of quadratic. */
+    * similarity structure instead of quadratic. Operating points for
+    * all LSH schemes are tabulated in DEDUP_TUNING.md. */
   private[graft] lazy val dedupPlanes = Similarity.hyperplanes(192, 64)
 
   /** Embedding near-dup via banded random-hyperplane LSH: candidate
@@ -507,7 +508,8 @@ object Queries {
     * generation. Per-band collision ≈ 2^-10 on uncorrelated vectors,
     * so per-query candidate work ≈ 16·n/1024 ≈ n/64 — a fixed 64×
     * prune that holds at any n — while 16 bands keep recall high for
-    * genuinely-close neighbors (R = 1-(1-p^10)^16: cos 0.9 → 98.6%). */
+    * genuinely-close neighbors (R = 1-(1-p^10)^16: cos 0.9 → 98.6%).
+    * Operating points for all LSH schemes: DEDUP_TUNING.md. */
   private[graft] lazy val lshPlanes = Similarity.hyperplanes(160, 64)
 
   /** LSH-banded ANN: candidates are the union over 16 bands of
