@@ -111,39 +111,71 @@ object Dedup {
     * to its component's MIN id (the canonical keep-representative;
     * drop rows where node != label to dedup).
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * node takes the min of its own label and its neighbors' labels —
-    * which converges in O(component diameter) rounds; near-dup
-    * components are overwhelmingly small/star-shaped, so rounds stay
-    * in the low single digits at any corpus size (the guard caps
-    * pathological chains). Each round is one shuffle on node id;
-    * `localCheckpoint` truncates the growing lineage so round N's plan
-    * does not replay rounds 1..N-1. Deterministic: min() is
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (1) every node takes the min of its own and its neighbors'
+    * labels, then (2) relabels through its label's label
+    * (label := label(label), valid because a node's label is always
+    * the id of a node in the same component and labels only
+    * decrease). The jump makes chain-shaped components — which DO
+    * occur in templated corpora — converge in O(log diameter) rounds
+    * instead of O(diameter), so maxIters=20 covers any realistic
+    * component (2^20-diameter chains) rather than silently splitting
+    * long chains. If the fixpoint is still not reached at maxIters the
+    * method THROWS instead of returning partial labels: callers hold
+    * an oracle-exact contract and a split component is a wrong answer,
+    * not a degraded one.
+    *
+    * Each round is two shuffles on node id (neighbor-min + jump) plus
+    * a scalar convergence count. Lineage is truncated per round:
+    * `localCheckpoint` by default (fast, executor-local blocks — fine
+    * single-node); pass `reliableCheckpointDir` on a real cluster so
+    * an executor loss mid-iteration replays from durable storage
+    * instead of killing the job. Deterministic: min() is
     * associative/commutative, so the fixpoint is partition-order
     * independent. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    reliableCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def persistRound(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().cache()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+    var labels = persistRound(edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vlabel")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
+      // cached: it feeds both sides of the jump self-join below
+      val relabeled = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .cache()
+      // pointer jump: label := min(label, label(label)); label(label)
+      // exists whenever label != node and is always in-component
+      val next = persistRound(
+        relabeled.join(
+            relabeled.select(col("node").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+      relabeled.unpersist()
       changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
         .filter(col("label") =!= col("old")).count()
       labels = next
       iters += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still moving): component diameter exceeds 2^$maxIters " +
+          "or the pair graph is pathological; raise maxIters")
     labels
   }
 }

@@ -121,6 +121,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("connected components: pointer jumping collapses a 64-chain within log-bounded rounds") {
+    // A 64-node chain has diameter 63: plain min propagation needs 63
+    // rounds, pointer jumping O(log n). maxIters=10 only passes if the
+    // jump is doing its job.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 64)
+    assert(cc.forall(_._2 == 0L))
+  }
+
+  test("connected components: non-convergence throws instead of returning split labels") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connected components: reliable checkpoint path yields identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        reliableCheckpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == reliable)
+    assert(new java.io.File(dir).exists) // checkpoints actually landed on disk
+  }
+
   test("cluster query: every verified pair lands in one cluster; reps are members") {
     val pairs = Queries.qDedupNgram(spark, sf).select("doc_a", "doc_b")
       .as[(Long, Long)].collect()
