@@ -48,7 +48,16 @@ final class JobRegistry(spark: SparkSession, tenant: String,
     maxRestarts: Int = Int.MaxValue,
     /** Broker topic discovery (A20) — a fake in tests, an
       * [[graft.sources.AdminTopicCatalog]] at deploy time. */
-    topicCatalog: graft.sources.TopicCatalog = graft.sources.TopicCatalog.empty) {
+    topicCatalog: graft.sources.TopicCatalog = graft.sources.TopicCatalog.empty,
+    /** Durable registry state (the reference persists every resource
+      * per-tenant in Redis via the consumer SDK, consumer.py:9-18,
+      * docker-compose.yml:27-33). When set, resource definitions and
+      * job start specs are mirrored into this store on every mutation
+      * and re-read on construction, so a new registry over the same
+      * store sees every definition — and `resume` can rebuild a job's
+      * query from its persisted [[JobStartSpec]] + checkpoint after a
+      * JVM restart. None = in-memory only (tests, throwaway runs). */
+    store: Option[graft.sources.RtdbStore] = None) {
   private val firebases = mutable.Map[String, FirebaseInstance]()
   private val subscriptions = mutable.Map[String, Subscription]()
   // TrieMap: read by the listener without the registry monitor
@@ -106,10 +115,13 @@ final class JobRegistry(spark: SparkSession, tenant: String,
         .foreach(j => log(j, s"query started (run ${e.runId})"))
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
       jobOfName(e.progress.name).orElse(jobFor(e.progress.id)).foreach { j =>
-        runtimes.get(j).foreach(_.attempts.set(0))
+        // reset backoff only past batch 0: a crash-looping job that
+        // always squeezes one batch in before failing must still see
+        // the exponential delay engage
+        if (e.progress.batchId > 0) runtimes.get(j).foreach(_.attempts.set(0))
         log(j, s"progress: batch ${e.progress.batchId}, ${e.progress.numInputRows} rows")
       }
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
       jobFor(e.id).foreach { j =>
         e.exception match {
           case Some(err) =>
@@ -118,6 +130,10 @@ final class JobRegistry(spark: SparkSession, tenant: String,
           case None => log(j, "query terminated")
         }
       }
+      // the run is dead: drop its id mapping so supervised restarts
+      // don't accumulate one stale entry per replaced query
+      queryToJob.remove(e.id): Unit
+    }
   }
   spark.streams.addListener(listener)
 
@@ -176,22 +192,51 @@ final class JobRegistry(spark: SparkSession, tenant: String,
     logRing.get(jobId).map(_.toSeq).getOrElse(Nil)
   }
 
+  // ---- durable state -----------------------------------------------------
+  // Mirrors every resource definition + job start spec into the
+  // attached RtdbStore tree under registry/{tenant}/{kind}/{id}; the
+  // constructor tail re-reads them so a registry rebuilt after a JVM
+  // restart starts with every definition (jobs come back PAUSED —
+  // their checkpoints and specs make `resume` continue where the old
+  // process stopped).
+  import org.json4s.{JValue, JNothing, JObject}
+  private def rpath(kind: String, id: String) = s"registry/$tenant/$kind/$id"
+  private def persist(kind: String, id: String, defn: => JValue): Unit =
+    store.foreach(_.set(rpath(kind, id), defn))
+  private def unpersist(kind: String, id: String): Unit =
+    store.foreach(_.set(rpath(kind, id), JNothing))
+
   /** add → Right(id) or Left(validation errors). */
   def addFirebase(fb: FirebaseInstance): Either[Seq[String], String] = synchronized {
     val errs = Validation.validateFirebase(fb)
-    if (errs.nonEmpty) Left(errs) else { firebases(fb.id) = fb; Right(fb.id) }
+    if (errs.nonEmpty) Left(errs)
+    else {
+      firebases(fb.id) = fb
+      persist("firebase", fb.id, Validation.firebaseDefinition(fb))
+      Right(fb.id)
+    }
   }
 
   def addSubscription(sub: Subscription): Either[Seq[String], String] = synchronized {
     val errs = Validation.validateSubscription(sub, allowedSyncModes)
-    if (errs.nonEmpty) Left(errs) else { subscriptions(sub.id) = sub; Right(sub.id) }
+    if (errs.nonEmpty) Left(errs)
+    else {
+      subscriptions(sub.id) = sub
+      persist("subscription", sub.id, Validation.subscriptionDefinition(sub))
+      Right(sub.id)
+    }
   }
 
   def addJob(job: FirebaseJob): Either[Seq[String], String] = synchronized {
     val errs = Validation.validateJob(job) ++
       (if (!firebases.contains(job.firebase)) Seq(s"firebase: unknown '${job.firebase}'") else Nil) ++
       job.subscriptions.filterNot(subscriptions.contains).map(s => s"subscriptions: unknown '$s'")
-    if (errs.nonEmpty) Left(errs) else { jobs(job.id) = job; Right(job.id) }
+    if (errs.nonEmpty) Left(errs)
+    else {
+      jobs(job.id) = job
+      persist("job", job.id, Validation.jobDefinition(job))
+      Right(job.id)
+    }
   }
 
   // resource accessors for the REST control plane (A28)
@@ -201,8 +246,14 @@ final class JobRegistry(spark: SparkSession, tenant: String,
   def listFirebases(): Seq[String] = synchronized(firebases.keys.toSeq.sorted)
   def listSubscriptions(): Seq[String] = synchronized(subscriptions.keys.toSeq.sorted)
   def listJobs(): Seq[String] = jobs.keys.toSeq.sorted
-  def removeFirebase(id: String): Unit = synchronized { firebases.remove(id): Unit }
-  def removeSubscription(id: String): Unit = synchronized { subscriptions.remove(id): Unit }
+  def removeFirebase(id: String): Unit = synchronized {
+    firebases.remove(id): Unit
+    unpersist("firebase", id)
+  }
+  def removeSubscription(id: String): Unit = synchronized {
+    subscriptions.remove(id): Unit
+    unpersist("subscription", id)
+  }
 
   /** Topics this tenant could subscribe to: broker metadata filtered
     * to the tenant prefix, prefix stripped (list_topics,
@@ -244,12 +295,28 @@ final class JobRegistry(spark: SparkSession, tenant: String,
     }
   }
 
-  /** Resume a paused job from its checkpoint using the stored start
-    * arguments (the SDK's `resume` action). */
+  /** Start a job from a persistable spec: stream and sink are built
+    * from config, and (when a store is attached) the spec is recorded
+    * durably so `resume` still works after a JVM restart. */
+  def startJob(jobId: String, spec: JobStartSpec): Either[Seq[String], StreamingQuery] =
+    synchronized {
+      startJob(jobId, spec.source.build(spark), () => spec.sink.build(), spec.workDir) match {
+        case r @ Right(_) => persist("jobspec", jobId, spec.toJson); r
+        case l => l
+      }
+    }
+
+  /** Resume a paused job from its checkpoint using the in-memory
+    * start arguments (the SDK's `resume` action) — or, after a JVM
+    * restart, the persisted [[JobStartSpec]]. */
   def resumeJob(jobId: String): Either[Seq[String], StreamingQuery] = synchronized {
     lastStart.get(jobId) match {
-      case None => Left(Seq(s"job: '$jobId' was never started"))
       case Some((stream, mkSink, workDir)) => startJob(jobId, stream, mkSink, workDir)
+      case None =>
+        store.map(_.get(rpath("jobspec", jobId))).filter(_ != JNothing) match {
+          case Some(specJson) => startJob(jobId, JobStartSpec.fromJson(specJson))
+          case _ => Left(Seq(s"job: '$jobId' was never started"))
+        }
     }
   }
 
@@ -283,6 +350,39 @@ final class JobRegistry(spark: SparkSession, tenant: String,
     pauseJob(jobId)
     jobs.remove(jobId): Unit
     lastStart.remove(jobId): Unit
+    unpersist("job", jobId)
+    unpersist("jobspec", jobId)
     log(jobId, s"job $jobId removed")
+  }
+
+  /** Detach this registry from the shared SparkSession: stop active
+    * queries (checkpoints stay intact), cancel pending supervised
+    * restarts, and remove the streaming listener — so a later registry
+    * over the same store is the only supervisor. Definitions, the
+    * durable store, and every checkpoint are untouched: this is the
+    * clean half of the kill-and-rebuild path ([[resumeJob]] continues
+    * from the persisted spec + checkpoint). */
+  def shutdown(): Unit = synchronized {
+    runtimes.clear()
+    statusOverride.clear()
+    queries.values.foreach(q => if (q.isActive) q.stop())
+    queries.clear()
+    queryToJob.clear()
+    scheduler.shutdownNow(): Unit
+    spark.streams.removeListener(listener)
+  }
+
+  // ---- rehydration (constructor tail: all maps above are initialized) ----
+  store.foreach { st =>
+    def each(kind: String)(f: JValue => Unit): Unit =
+      st.get(s"registry/$tenant/$kind") match {
+        case JObject(entries) => entries.foreach { case (_, defn) => f(defn) }
+        case _ =>
+      }
+    // definitions were validated when first added; trust the mirror so
+    // a schema-contract tweak can never strand persisted state
+    each("firebase") { d => val fb = Validation.firebaseFromJson(d); firebases(fb.id) = fb }
+    each("subscription") { d => val s = Validation.subscriptionFromJson(d); subscriptions(s.id) = s }
+    each("job") { d => val j = Validation.jobFromJson(d); jobs(j.id) = j }
   }
 }
