@@ -26,6 +26,14 @@ import graft.model._
   * `resume` rebuilds the query from the registry's stored start
   * arguments (checkpoint-recovered); inject `resumeJob` to override
   * how a job's stream is rebuilt.
+  *
+  * Tenancy: every request is dispatched by its `x-oauth-realm` header
+  * to that tenant's registry (the reference fronts the SDK server
+  * with a realm-dispatching gateway — docker-compose.yml:13, test
+  * clients always send the header, tests/__init__.py:131-134). A
+  * request without the header lands on the default registry; an
+  * unknown realm is a 404, so tenants cannot see — or guess at —
+  * each other's resources.
   */
 final class ControlPlane(reg: JobRegistry,
     allowedSyncModes: Set[String] = Validation.EngineSyncModes,
@@ -35,10 +43,14 @@ final class ControlPlane(reg: JobRegistry,
       * failure to HTTP 500, artifacts.py:112-124). */
     sinkFor: FirebaseInstance => graft.sources.DocumentSink =
       fb => new graft.sources.JsonFileSink(fb.rootPath),
-    port: Int = 0) {
+    port: Int = 0,
+    /** realm → tenant registry. The default `reg` serves requests
+      * without a realm header (and may also be listed here under its
+      * own realm name). */
+    realms: Map[String, JobRegistry] = Map.empty) {
 
-  private val doResume: String => Either[Seq[String], Unit] =
-    resumeJob.getOrElse(id => reg.resumeJob(id).map(_ => ()))
+  private def doResume(r: JobRegistry, id: String): Either[Seq[String], Unit] =
+    resumeJob.map(f => f(id)).getOrElse(r.resumeJob(id).map(_ => ()))
 
   private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
@@ -89,13 +101,23 @@ final class ControlPlane(reg: JobRegistry,
     case "job" => ResourceSchemas.FbJob
   }
 
-  private def getDefinition(kind: String, id: String): Option[JValue] = kind match {
-    case "subscription" => reg.getSubscription(id).map(Validation.subscriptionDefinition)
-    case "firebase" => reg.getFirebase(id).map(Validation.firebaseDefinition)
-    case "job" => reg.getJob(id).map(Validation.jobDefinition)
-  }
+  private def getDefinition(reg: JobRegistry, kind: String, id: String): Option[JValue] =
+    kind match {
+      case "subscription" => reg.getSubscription(id).map(Validation.subscriptionDefinition)
+      case "firebase" => reg.getFirebase(id).map(Validation.firebaseDefinition)
+      case "job" => reg.getJob(id).map(Validation.jobDefinition)
+    }
 
-  private def handle(kind: String, action: String, ex: HttpExchange): Unit = action match {
+  /** Tenant dispatch (docker-compose.yml:13): realm header → that
+    * tenant's registry; no header → the default; unknown → None. */
+  private def registryFor(ex: HttpExchange): Option[JobRegistry] =
+    Option(ex.getRequestHeaders.getFirst("x-oauth-realm")) match {
+      case None => Some(reg)
+      case Some(realm) => realms.get(realm)
+    }
+
+  private def handle(reg: JobRegistry, kind: String, action: String,
+      ex: HttpExchange): Unit = action match {
     case "add" =>
       val defn = body(ex)
       val schemaErrs = validate(kind, defn)
@@ -118,7 +140,7 @@ final class ControlPlane(reg: JobRegistry,
       }
     case "get_schema" => respond(ex, 200, JsonMethods.parse(schemaOf(kind)))
     case "get" =>
-      param(ex, "id").flatMap(getDefinition(kind, _)) match {
+      param(ex, "id").flatMap(getDefinition(reg, kind, _)) match {
         case Some(d) => respond(ex, 200, d)
         case None => respond(ex, 404, JObject("error" -> JString("not found")))
       }
@@ -150,7 +172,7 @@ final class ControlPlane(reg: JobRegistry,
       param(ex, "id").foreach(reg.pauseJob); respond(ex, 200, JBool(true))
     case "resume" if kind == "job" =>
       param(ex, "id") match {
-        case Some(id) => doResume(id) match {
+        case Some(id) => doResume(reg, id) match {
           case Right(_) => respond(ex, 200, JBool(true))
           case Left(es) => respond(ex, 400, errs(es))
         }
@@ -194,7 +216,11 @@ final class ControlPlane(reg: JobRegistry,
     server.createContext(s"/$kind", (ex: HttpExchange) => {
       try {
         val action = ex.getRequestURI.getPath.stripPrefix(s"/$kind").stripPrefix("/")
-        handle(kind, action, ex)
+        registryFor(ex) match {
+          case Some(tenantReg) => handle(tenantReg, kind, action, ex)
+          case None => respond(ex, 404, JObject("error" -> JString(
+            s"unknown realm '${ex.getRequestHeaders.getFirst("x-oauth-realm")}'")))
+        }
       } catch {
         case scala.util.control.NonFatal(e) =>
           respond(ex, 500, JObject("error" -> JString(String.valueOf(e.getMessage))))

@@ -102,6 +102,42 @@ class ControlPlaneSpec extends AnyFunSuite with SparkTestBase {
     assert(get("/firebase/describe")._2.contains("test_connection"))
   }
 
+  test("x-oauth-realm header isolates tenants; unknown realm is 404") {
+    // Two tenants, same resource ids — the reference dispatches every
+    // call by realm header (docker-compose.yml:13,
+    // tests/__init__.py:131-134); nothing may leak across.
+    val regA = new JobRegistry(spark, "realm-a")
+    val regB = new JobRegistry(spark, "realm-b")
+    val mt = new ControlPlane(regA, realms = Map("a" -> regA, "b" -> regB)).start()
+    def call(path: String, realm: Option[String], body: Option[String] = None): (Int, String) = {
+      var b = HttpRequest.newBuilder(URI.create(s"${mt.address}$path"))
+      realm.foreach(r => b = b.header("x-oauth-realm", r))
+      b = body.map(s => b.POST(HttpRequest.BodyPublishers.ofString(s))).getOrElse(b.GET())
+      val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      // same-id firebase added under both realms, different urls
+      val fbA = fbExample.replace("local-test", "url-a")
+      val fbB = fbExample.replace("local-test", "url-b")
+      assert(call("/firebase/add", Some("a"), Some(fbA)) == (200, """{"id":"default"}"""))
+      assert(call("/firebase/add", Some("b"), Some(fbB)) == (200, """{"id":"default"}"""))
+      // each realm reads back only its own definition
+      assert(call("/firebase/get?id=default", Some("a"))._2.contains("url-a"))
+      assert(call("/firebase/get?id=default", Some("b"))._2.contains("url-b"))
+      // a subscription added only under realm a is invisible to b
+      assert(call("/subscription/add", Some("a"), Some(subExample))._1 == 200)
+      assert(call("/subscription/list", Some("a"))._2 == """["sub-test"]""")
+      assert(call("/subscription/list", Some("b"))._2 == "[]")
+      // deleting under b must not touch a's same-id resource
+      assert(call("/firebase/delete?id=default", Some("b"))._1 == 200)
+      assert(call("/firebase/get?id=default", Some("a"))._1 == 200)
+      // no header → default registry (regA); unknown realm → 404
+      assert(call("/firebase/list", None)._2 == """["default"]""")
+      assert(call("/firebase/list", Some("nobody"))._1 == 404)
+    } finally { mt.stop(); regA.shutdown(); regB.shutdown() }
+  }
+
   test("delete removes resources; server stops") {
     assert(get("/subscription/delete?id=sub-test")._1 == 200)
     assert(get("/subscription/list")._2 == "[]")
