@@ -61,6 +61,69 @@ object Pipeline {
         col("_payload").getField(f.name).as(f.name, f.metadata)): _*)
   }
 
+  /** Mid-stream schema evolution for the decode stage — the consumer
+    * of [[graft.sources.SchemaRegistry]]'s change surface (reference:
+    * the poll loop checks each message's schema against the topic
+    * cache and carries on — detect, never reject —
+    * artifacts.py:314-318,378-380). `generations()` is re-read every
+    * micro-batch, newest LAST (= the reader contract); when the newest
+    * schema's fingerprint differs from the registry's cached one, the
+    * decode projection is rebuilt on that very batch — no restart, no
+    * rejection, and `onChange` fires once per evolution (wired to the
+    * job log by the registry layer).
+    *
+    * Rows are decoded by their WRITER generation: a `schema_fp` column
+    * (the stand-in for the reference's per-message schema) selects the
+    * generation via a CaseWhen over [[graft.functions.AvroColumns
+    * .avro_decode_evolved]] branches, all resolving to the newest
+    * reader schema — so one batch straddling the evolution decodes
+    * both generations into the SAME evolved shape. Rows with an
+    * unknown fingerprint (or streams without the column) decode
+    * optimistically with the newest schema, mirroring the reference's
+    * cached-schema fallback. */
+  final class SchemaAwareDecoder(
+      registry: graft.sources.SchemaRegistry,
+      topic: String,
+      generations: () => Seq[String],
+      valueCol: String = "value",
+      fpCol: String = "schema_fp",
+      onChange: (StructType, StructType) => Unit = (_, _) => ())
+    extends (DataFrame => DataFrame) {
+
+    def apply(batch: DataFrame): DataFrame = {
+      val gens = generations()
+      require(gens.nonEmpty, "schema generations must be non-empty")
+      val reader = gens.last
+      val readerStruct = graft.sources.AvroSchemaBridge.parse(reader)
+      registry.observe(topic, reader) match {
+        case registry.Changed(previous) => onChange(previous, readerStruct)
+        case _ =>
+      }
+      val hasFp = batch.columns.contains(fpCol)
+      val decoded: Column =
+        if (hasFp) {
+          val branches = gens.map { g =>
+            (col(fpCol) === lit(graft.sources.AvroSchemaBridge.fingerprint(g).toString),
+              graft.functions.AvroColumns.avro_decode_evolved(col(valueCol), reader, g))
+          }
+          branches.foldRight(
+              graft.functions.AvroColumns.avro_decode(col(valueCol), reader): Column) {
+            case ((cond, dec), acc) => when(cond, dec).otherwise(acc)
+          }
+        } else graft.functions.AvroColumns.avro_decode(col(valueCol), reader)
+      val others = batch.columns
+        .filterNot(c => c == valueCol || (hasFp && c == fpCol)).toIndexedSeq
+      val collisions = readerStruct.fields.map(_.name).toSet
+        .intersect(others.toSet + "_payload")
+      require(collisions.isEmpty,
+        s"decoded Avro field(s) ${collisions.mkString(", ")} collide with " +
+          "carried-through column(s)")
+      batch.select(others.map(col) :+ decoded.as("_payload"): _*)
+        .select(others.map(col) ++ readerStruct.fields.map(f =>
+          col("_payload").getField(f.name).as(f.name, f.metadata)): _*)
+    }
+  }
+
   /** Input contract: `kafka_topic` string column + an `id` column +
     * payload columns. Output: surviving rows with `doc_id`,
     * `target_path`, `doc_json`, `doc_hash`. */
@@ -424,7 +487,12 @@ final class StreamingJob(
     /** Source-order column (e.g. the Kafka offset) so the LAST message
       * for a document wins within a micro-batch; without it the
       * deterministic max-hash tie-break applies. */
-    orderCol: Option[String] = None) {
+    orderCol: Option[String] = None,
+    /** Per-micro-batch pre-stage, re-evaluated every batch — the hook
+      * a [[Pipeline.SchemaAwareDecoder]] plugs into so a schema change
+      * re-plans the decode projection mid-stream instead of freezing
+      * the projection at start time. */
+    preBatch: Option[DataFrame => DataFrame] = None) {
 
   def this(spark: SparkSession, sub: Subscription, tenant: String,
            mkSink: () => DocumentSink, hashStorePath: String, checkpoint: String) =
@@ -450,8 +518,9 @@ final class StreamingJob(
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inBatch = preBatch.map(_(batch)).getOrElse(batch)
         val prepared = Pipeline.dedupeBatch(
-          Pipeline.compileMulti(subs, tenant, batch, orderCol.toSeq), orderCol).cache()
+          Pipeline.compileMulti(subs, tenant, inBatch, orderCol.toSeq), orderCol).cache()
         try {
           val gated = Pipeline.gateMulti(prepared, subs, hashStore.load()).cache()
           try {

@@ -280,6 +280,79 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_.getString(0)).toSeq == Seq("1"), "only the 'keep' row passes")
   }
 
+  test("schema change mid-stream re-plans the decode; both generations land") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+    import graft.sources.{AvroSchemaBridge, SchemaRegistry}
+    import graft.streaming.Pipeline
+
+    val input = tmp(); val sinkRoot = tmp(); val work = tmp()
+    val v1 = """{"type":"record","name":"E","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"}]}""".stripMargin.replace("\n", "")
+    val v2 = """{"type":"record","name":"E","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"extra","type":["null","string"],"default":null}]}"""
+      .stripMargin.replace("\n", "")
+
+    def encode(schemaJson: String, fields: Map[String, Any]): Array[Byte] = {
+      val s = new Schema.Parser().parse(schemaJson)
+      val rec = new GenericData.Record(s)
+      fields.foreach { case (k, v) => rec.put(k, v) }
+      val buf = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().directBinaryEncoder(buf, null)
+      new GenericDatumWriter[GenericData.Record](s).write(rec, enc)
+      enc.flush(); buf.toByteArray
+    }
+    def fp(s: String) = AvroSchemaBridge.fingerprint(s).toString
+
+    // the "current schema" side-channel a real deploy reads from its
+    // registry — the test evolves it mid-stream
+    @volatile var gens: Seq[String] = Seq(v1)
+    @volatile var changes = 0
+    val decoder = new Pipeline.SchemaAwareDecoder(new SchemaRegistry(), "t1",
+      () => gens, onChange = (_, _) => changes += 1)
+
+    val sub = Subscription("sv", "sv", "t?", FbOptions(targetPath = "_aether/entities/{topic}"))
+    val job = new StreamingJob(spark, Seq(sub), "tnt", () => new JsonFileSink(sinkRoot),
+      s"$work/hashes", s"$work/ckpt", preBatch = Some(decoder))
+
+    val gen1 = (1L to 3L).map(i =>
+      ("tnt.t1", fp(v1), encode(v1, Map("id" -> i, "name" -> s"n$i"))))
+      .toDF("kafka_topic", "schema_fp", "value")
+    gen1.coalesce(1).write.mode("append").parquet(input)
+    val q = job.start(spark.readStream.schema(gen1.schema).parquet(input))
+    try {
+      q.processAllAvailable()
+      val dir = new java.io.File(s"$sinkRoot/_aether/entities/t1")
+      assert(dir.list().count(_.endsWith(".json")) == 3)
+
+      // EVOLVE: new generation appears; next batch carries v2 bytes
+      // plus one v1-encoded straggler — all must decode
+      gens = Seq(v1, v2)
+      val gen2 = Seq(
+        ("tnt.t1", fp(v2), encode(v2, Map("id" -> 4L, "name" -> "n4", "extra" -> "x4"))),
+        ("tnt.t1", fp(v2), encode(v2, Map("id" -> 5L, "name" -> "n5", "extra" -> "x5"))),
+        ("tnt.t1", fp(v1), encode(v1, Map("id" -> 6L, "name" -> "n6"))))
+        .toDF("kafka_topic", "schema_fp", "value")
+      gen2.coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+
+      assert(changes == 1, s"expected exactly one observed evolution, got $changes")
+      assert(dir.list().count(_.endsWith(".json")) == 6)
+      val doc4 = Files.readString(new java.io.File(dir, "4.json").toPath)
+      assert(doc4.contains("\"extra\":\"x4\""), doc4)
+      // the straggler decoded under the evolved reader: defaulted field
+      val doc6 = Files.readString(new java.io.File(dir, "6.json").toPath)
+      assert(doc6.contains("\"id\":6") && doc6.contains("\"name\":\"n6\""), doc6)
+      // pre-evolution docs were produced under v1 and are untouched
+      val doc1 = Files.readString(new java.io.File(dir, "1.json").toPath)
+      assert(doc1.contains("\"name\":\"n1\"") && !doc1.contains("extra"), doc1)
+    } finally q.stop()
+  }
+
   test("registry: SYNC mode runs end-to-end; double start rejected; strict schema optional") {
     val input = tmp(); val sinkRoot = tmp(); val work = tmp()
     val reg = new graft.streaming.JobRegistry(spark, "tnt")
