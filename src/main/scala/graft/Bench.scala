@@ -8,10 +8,13 @@ import org.apache.spark.sql.SparkSession
   * Methodology: each query is fully materialized through the `noop`
   * sink (count() would let Catalyst prune expensive projections away).
   * Every query first runs ONCE unmeasured — warming JVM/JIT profiles,
-  * classloading, codegen, and every table's parquet footers — because
-  * a single roaming GC/JIT stall (historically 5-14 s, landing on a
-  * random query) otherwise contaminates one measured number per
-  * round. The measured pass then reflects steady-state latency.
+  * classloading, codegen, and every table's parquet footers — then
+  * TWO measured passes run and the per-query MIN is reported. One
+  * pass cannot defend against a contended host: a roaming stall
+  * (historically 5-30 s, landing on random queries) inflates whatever
+  * it hits, but it cannot hit the same query in both passes — the min
+  * self-certifies. Both pass totals are emitted so a disagreement
+  * (>±1 s) flags a noisy window instead of silently shipping it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,7 +33,7 @@ object Bench {
       spark.catalog.clearCache() // query-local caches must not leak across measurements
       val t0 = System.nanoTime()
       try Queries.all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -38,17 +41,24 @@ object Bench {
 
     // optional args: bench only the named queries (repeated per arg)
     val names = if (args.nonEmpty) args.toSeq else Queries.all.keys.toSeq.sorted
-    // full unmeasured pass: every query (hence every table) once
+    // full unmeasured pass: every query (hence every table) once.
+    // NonFatal only — an OOM/linkage error must abort the bench here,
+    // not resurface confusingly inside a measured pass
     names.foreach { n =>
       spark.catalog.clearCache()
       try Queries.all(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      catch { case scala.util.control.NonFatal(_) => }
     }
-    val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val passes = Seq.fill(2)(names.map(n => n -> run(n)).toMap)
+    val best = names.map { n =>
+      val valid = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (valid.isEmpty) -1.0 else valid.min)
+    }
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = best.map(_._2).filter(_ >= 0).sum
+    val passTotals = passes.map(_.values.filter(_ >= 0).sum).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
