@@ -65,9 +65,16 @@ case class DotLongExpr(left: Expression, right: Expression)
   * fused loop: key `b` has bit `j` set iff
   * `dot(qv, plane[b*bandSize+j]) > 0`.
   */
-case class BandKeysExpr(child: Expression, planesFlat: Array[Long],
+case class BandKeysExpr(child: Expression, planesFlat: IndexedSeq[Long],
     dim: Int, bandSize: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  // the case-class parameter is an immutable Seq (element-wise
+  // equals/hashCode) so Catalyst canonicalization and plan-equality
+  // caching recognize two instances built from the same planes; a
+  // bare Array would compare by reference and defeat both. The
+  // primitive array below is what eval/codegen actually index.
+  private lazy val planesArr: Array[Long] = planesFlat.toArray
 
   private val nPlanes = planesFlat.length / dim
   require(nPlanes % bandSize == 0, s"$nPlanes planes not divisible into bands of $bandSize")
@@ -86,7 +93,7 @@ case class BandKeysExpr(child: Expression, planesFlat: Array[Long],
       var dot = 0L
       var d = 0
       while (d < n) {
-        dot += qv.getLong(d) * planesFlat(p * dim + d)
+        dot += qv.getLong(d) * planesArr(p * dim + d)
         d += 1
       }
       if (dot > 0) keys(p / bandSize) |= (1L << (p % bandSize))
@@ -96,7 +103,7 @@ case class BandKeysExpr(child: Expression, planesFlat: Array[Long],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planesFlat", planesFlat, "long[]")
+    val planesRef = ctx.addReferenceObj("planesFlat", planesArr, "long[]")
     nullSafeCodeGen(ctx, ev, qv => {
       val n = ctx.freshName("n")
       val keys = ctx.freshName("keys")
@@ -128,6 +135,6 @@ object VectorOps {
     val dim = planes.head.length
     require(planes.forall(_.length == dim), "ragged plane matrix")
     ColumnBridge.column(BandKeysExpr(ColumnBridge.expression(qv),
-      planes.flatten.map(_.toLong).toArray, dim, bandSize))
+      planes.flatten.map(_.toLong).toIndexedSeq, dim, bandSize))
   }
 }

@@ -54,6 +54,24 @@ class TextSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("band_keys expressions over equal plane matrices canonicalize equal") {
+    // Catalyst CSE/plan-cache lookups compare expressions structurally;
+    // two band_keys built from the same (rebuilt) plane Seq must be
+    // equal, not reference-distinct.
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.graft.ColumnBridge
+    val planes = graft.operators.Similarity.hyperplanes(24, 8)
+    val again = graft.operators.Similarity.hyperplanes(24, 8)
+    // share the child column: Spark 4 ColumnNodes embed their call-site
+    // origin, which is not what this test is about — the regression
+    // guarded here is the plane payload comparing by reference
+    val qv = col("qv")
+    val a = ColumnBridge.expression(VectorOps.band_keys(qv, planes, 12))
+    val b = ColumnBridge.expression(VectorOps.band_keys(qv, again, 12))
+    assert(a == b)
+    assert(a.semanticEquals(b))
+  }
+
   test("hyperplanes are ±1 and deterministic") {
     val p1 = Similarity.hyperplanes(4, 64)
     val p2 = Similarity.hyperplanes(4, 64)
