@@ -852,7 +852,66 @@ object Queries {
         col("col").as("q_value"))
       .orderBy(col("l_returnflag"), col("q_idx"))
 
+  /** Fixed-window token chunking with overlap (64-token chunks,
+    * 16-token overlap): the long-document split for a context-bounded
+    * model. Pure projection + posexplode — zero shuffles. */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    operators.TextPrep.withChunks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", 64, 16)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
+        col("chunk_tokens"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Concat-and-cut sequence packing at a 256-token budget over 8
+    * deterministic hash shards: each document's pack is the training
+    * sequence its first token falls into. The running-total window is
+    * per-shard — never a global single-reducer window. */
+  def qPackDocs(s: SparkSession, dir: String): DataFrame =
+    operators.TextPrep.withPacks(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("size(split(text, ' '))").cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 256, 8)
+      .select(col("doc_id"), col("shard"), col("pack_idx"),
+        col("pack_offset"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus balancing: cap every source at 40 documents, selected by
+    * deterministic hash rank — reproducible uniform per-group
+    * downsampling (one window per group key). */
+  def qQuotaSample(s: SparkSession, dir: String): DataFrame =
+    operators.TextPrep.quotaSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id", 40)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+
+  /** Top-3 TF-IDF keywords per document with the exact-rational IDF
+    * (tf·N/df in one integer-operand double division — `ln` is not
+    * cross-engine bit-stable, this is). */
+  def qTfidfTopk(s: SparkSession, dir: String): DataFrame =
+    operators.TextPrep.topTfIdf(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+
+  /** Engine-deterministic HyperLogLog (p=8) distinct users per event
+    * type — the fixed-size (256-counter) sketch companion to the KMV
+    * query, raw estimator only (corrections need `ln`). */
+  def qApproxDistinctHll(s: SparkSession, dir: String): DataFrame =
+    operators.Sketches.hllDistinct(
+        Tables.events(s, dir).select(col("event_type"), col("user_id")),
+        Seq("event_type"), col("user_id"))
+      .orderBy(col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_pack_docs" -> (qPackDocs _),
+    "q_quota_sample" -> (qQuotaSample _),
+    "q_tfidf_topk" -> (qTfidfTopk _),
+    "q_approx_distinct_hll" -> (qApproxDistinctHll _),
     "q_quantiles" -> (qQuantiles _),
     "q_dedup_editdist" -> (qDedupEditDistance _),
     "q_sample_hash" -> (qSampleHash _),
@@ -1474,6 +1533,80 @@ object Queries {
          |WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
          |    CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // chunk windows mirrored index-for-index; the generate_series
+    // bound (4095) caps docs at ~196k tokens — far above the corpus
+    "q_chunk_docs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |d AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 64 THEN 1
+        |       ELSE (len(toks) - 64 + 47) // 48 + 1 END nc FROM w)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(nc AS BIGINT) AS n_chunks,
+        |  CAST(len(array_slice(toks, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(array_slice(toks, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+        |FROM d, (SELECT unnest(generate_series(0, 4095)) AS i) g
+        |WHERE i < nc
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_pack_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS strt
+        |  FROM t)
+        |SELECT doc_id, shard, strt // 256 AS pack_idx, strt % 256 AS pack_offset,
+        |  n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_quota_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 40
+        |ORDER BY source, rk""".stripMargin,
+
+    "q_tfidf_topk" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) tf FROM terms
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS BIGINT) rk FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    // HLL mirror: identical hash, identical rho CASE ladder, exact
+    // powers of two (1/(1<<rho)) so every partial sum is exact and
+    // addition order cannot matter; numerator and the linear-counting
+    // table are SHARED literals (ln is not cross-engine bit-stable)
+    "q_approx_distinct_hll" -> {
+      import graft.operators.Sketches
+      val lcTable = Sketches.HllLinearTable.mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT event_type, (_h >> 24) AS bucket,
+         |    ${Sketches.hllRhoSql("(_h & 16777215)")} AS rho
+         |  FROM (SELECT event_type,
+         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS _h
+         |    FROM events)),
+         |m AS (SELECT event_type, bucket, MAX(rho) AS maxrho
+         |  FROM b GROUP BY event_type, bucket),
+         |agg AS (SELECT event_type, COUNT(*) AS n_buckets_hit,
+         |    ${Sketches.HllNumerator} /
+         |      (SUM(1.0 / CAST(1::BIGINT << maxrho AS DOUBLE)) + (256 - COUNT(*))) AS raw
+         |  FROM m GROUP BY event_type)
+         |SELECT event_type, n_buckets_hit,
+         |  CASE WHEN raw <= ${2.5 * Sketches.HllM} AND n_buckets_hit < 256
+         |       THEN ($lcTable)[256 - n_buckets_hit]
+         |       ELSE raw END AS hll_est
+         |FROM agg ORDER BY event_type""".stripMargin
+    },
 
     "q_quantiles" ->
       """WITH q AS (SELECT l_returnflag,

@@ -23,6 +23,77 @@ object Sketches {
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
 
+  // ---- HyperLogLog (engine-deterministic) --------------------------------
+
+  /** HLL precision: 2^8 = 256 buckets (~6.5% standard error). */
+  val HllP: Int = 8
+  val HllM: Int = 1 << HllP
+  /** α_m·m² for the raw HLL estimator, computed ONCE so the Spark plan
+    * and the generated oracle SQL inline the identical double literal
+    * (JDK Double.toString round-trips; DuckDB parses correctly
+    * rounded). */
+  val HllNumerator: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+
+  /** Small-range (linear counting) correction table: m·ln(m/V) for
+    * V = 1..m empty buckets. `ln` itself is NOT cross-engine
+    * bit-stable, so the 256 possible values are precomputed HERE and
+    * inlined as literals into both the Spark plan and the oracle SQL —
+    * the engines index the same table instead of each calling their
+    * own libm. */
+  val HllLinearTable: IndexedSeq[Double] =
+    (1 to HllM).map(v => HllM.toDouble * math.log(HllM.toDouble / v))
+
+  /** ρ(v): 1 + leading zeros of the hash remainder in its
+    * (32 - p)-bit space; v = 0 ⇒ 25. A chained CASE ladder (not
+    * floor(log2): float log is not bit-stable at powers of two) that
+    * [[hllRhoSql]] mirrors branch for branch. */
+  private[operators] def hllRho(v: Column): Column = {
+    val bits = 32 - HllP
+    val first = when(v >= lit(1L << (bits - 1)), lit(1))
+    (2 to bits).foldLeft(first) { (acc, r) =>
+      acc.when(v >= lit(1L << (bits - r)), lit(r))
+    }.otherwise(lit(bits + 1))
+  }
+
+  /** The DuckDB mirror of [[hllRho]] over a column reference. */
+  def hllRhoSql(v: String): String = {
+    val bits = 32 - HllP
+    val branches = (1 to bits)
+      .map(r => s"WHEN $v >= ${1L << (bits - r)} THEN $r").mkString(" ")
+    s"CASE $branches ELSE ${bits + 1} END"
+  }
+
+  /** HyperLogLog distinct-count estimate of `c` grouped by `keys`,
+    * reproducible bit-for-bit by an independent engine: md5-derived
+    * 32-bit hash, top p bits = bucket, ρ of the remainder via the
+    * CASE ladder, and the raw estimator α_m·m²/Σ2^(−maxρ) built from
+    * exact powers of two (1/(1<<ρ), every partial sum exact in 53
+    * mantissa bits) — so addition order cannot matter. State is m=256
+    * counters per group, two shuffles (bucket max, then group agg);
+    * per-partition partial maxima combine map-side. The standard
+    * small-range regime (raw ≤ 2.5m with empty buckets) switches to
+    * linear counting via the shared [[HllLinearTable]] literals. */
+  def hllDistinct(df: DataFrame, keys: Seq[String], c: Column): DataFrame = {
+    val h = hash32(c)
+    val prepared = df.select((keys.map(col) :+ h.as("_h")): _*)
+      .withColumn("_bucket", shiftright(col("_h"), 32 - HllP))
+      .withColumn("_rho", hllRho(col("_h").bitwiseAND(lit((1L << (32 - HllP)) - 1))))
+    val perBucket = prepared.groupBy((keys.map(col) :+ col("_bucket")): _*)
+      .agg(max(col("_rho")).as("_maxrho"))
+    perBucket.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets_hit"),
+        sum(expr("1.0 / cast(shiftleft(cast(1 as bigint), _maxrho) as double)")).as("_sum_hit"))
+      .withColumn("_raw",
+        lit(HllNumerator) /
+          (col("_sum_hit") + (lit(HllM) - col("n_buckets_hit")).cast("double")))
+      .withColumn("hll_est",
+        when(col("_raw") <= lit(2.5 * HllM) && col("n_buckets_hit") < HllM,
+          element_at(array(HllLinearTable.map(lit): _*),
+            (lit(HllM) - col("n_buckets_hit")).cast("int")))
+          .otherwise(col("_raw")))
+      .drop("_sum_hit", "_raw")
+  }
+
   /** KMV (k-minimum-values) distinct-count estimate of `c` grouped by
     * `keys`: with h(k) the k-th smallest DISTINCT normalized hash,
     * estimate = (k-1) / (h(k)/2^32); exact when the group has fewer

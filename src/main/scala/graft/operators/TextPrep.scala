@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: document chunking, sequence
+  * packing, and corpus balancing — the steps between a cleaned corpus
+  * and a tokenizer at 100 TB (reference analog: the consumer's
+  * document-shaping stage, artifacts.py:359-376, generalized from
+  * per-message masking to per-corpus restructuring).
+  *
+  * Scale design: chunking is a pure per-row projection + posexplode
+  * (no shuffle); packing shards the corpus by a deterministic hash and
+  * runs the running-total window WITHIN each shard, so no global
+  * single-partition window exists anywhere; balancing is one window
+  * per group key. Everything is engine-deterministic (md5-derived
+  * hashes, integer token counts) so the DuckDB oracle reproduces
+  * results bit-exactly.
+  */
+object TextPrep {
+
+  /** Fixed-window token chunking with overlap — the standard long-
+    * document split for a context-bounded model. Chunk i covers
+    * tokens [i·stride, i·stride + chunkTokens) with
+    * stride = chunkTokens - overlap; every document yields at least
+    * one chunk (short docs pass through whole). Pure projection +
+    * posexplode: no shuffle, no state. */
+  def withChunks(df: DataFrame, textCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    val chunked = df
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_nc",
+        when(size(col("_toks")) <= chunkTokens, lit(1))
+          .otherwise(expr(s"(size(_toks) - $chunkTokens + $stride - 1) div $stride + 1")))
+      .withColumn("_chunks", expr(
+        s"transform(sequence(0, _nc - 1), i -> array_join(slice(_toks, i * $stride + 1, $chunkTokens), ' '))"))
+    chunked
+      .select(col("*"), posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("n_chunks", col("_nc").cast("long"))
+      .withColumn("chunk_tokens", expr("size(split(chunk_text, ' '))").cast("long"))
+      .drop("_toks", "_nc", "_chunks")
+  }
+
+  /** Concat-and-cut sequence packing: documents are laid out in
+    * doc-id order within `nShards` hash shards, and a document's pack
+    * is the training sequence its FIRST token falls into at the given
+    * token budget — the standard "concatenate the corpus, cut every
+    * `budget` tokens" batching. The running total is a window WITHIN
+    * each shard (shards are the parallelism unit — no global-order
+    * single-reducer window), so the layout is deterministic AND
+    * distributed; a pack is globally identified by (shard, pack_idx).
+    */
+  def withPacks(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Int = 256, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sharded = df.withColumn("shard",
+      pmod(Sketches.hash32(col(idCol)), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("_cum", sum(col(tokensCol)).over(w))
+      .withColumn("_start", col("_cum") - col(tokensCol))
+      .withColumn("pack_idx", expr(s"_start div $budget"))
+      .withColumn("pack_offset", col("_start") % budget)
+      .drop("_cum", "_start")
+  }
+
+  /** Per-group quota balancing: keep at most `quota` rows per value of
+    * `groupCol`, chosen by deterministic hash rank (md5 of the id) so
+    * the kept set is a uniform, reproducible sample of each group —
+    * the "cap every source/domain at N documents" corpus-balancing
+    * step. One window per group key; no global ordering. */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+  }
+
+  /** Per-document TF-IDF keyword extraction (top `k` terms). The IDF
+    * is kept as the exact rational tf·N/df — integer-valued operands
+    * in one IEEE double division, so both engines produce identical
+    * bits (a log-based IDF would rank identically but `ln` is not
+    * cross-engine bit-stable). Plan: explode → per-(doc,term) count
+    * (map-side combine) → per-term doc frequency → join back on term
+    * (vocabulary ≪ corpus, broadcast-able) → per-doc top-k window. */
+  def topTfIdf(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .drop("n_docs")
+  }
+}

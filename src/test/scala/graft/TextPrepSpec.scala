@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sketches, TextPrep}
+
+class TextPrepSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("chunking: overlapped windows reconstruct the original token stream") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text").limit(50)
+    val chunks = TextPrep.withChunks(docs, "text", 64, 16)
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val originals = docs.as[(Long, String)].collect().toMap
+    val stride = 48
+    originals.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val cs = chunks(id)
+      // stitch: every chunk contributes its first `stride` tokens, the
+      // last chunk contributes everything
+      val stitched = cs.dropRight(1).flatMap(_.split(" ", -1).take(stride)) ++
+        cs.last.split(" ", -1)
+      assert(stitched.toSeq == toks.toSeq, s"doc $id does not reconstruct")
+      cs.foreach(c => assert(c.split(" ", -1).length <= 64))
+    }
+  }
+
+  test("chunking is a pure projection: no shuffle in the plan") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val plan = TextPrep.withChunks(docs, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("packing: offsets stay inside the budget and shards are consistent") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+    val packed = TextPrep.withPacks(docs, "doc_id", "n_tokens", 256, 8)
+      .select($"doc_id", $"shard", $"pack_idx", $"pack_offset", $"n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(packed.length == 500)
+    packed.foreach { case (_, shard, packIdx, off, _) =>
+      assert(shard >= 0 && shard < 8)
+      assert(off >= 0 && off < 256)
+      assert(packIdx >= 0)
+    }
+    // within a shard, pack start positions are the running token sum
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, packIdx, off, n) =>
+        assert(packIdx == cum / 256 && off == cum % 256)
+        cum += n
+      }
+    }
+  }
+
+  test("quota sampling caps every group, ranks densely, and is reproducible") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
+    def run() = TextPrep.quotaSample(docs, "source", "doc_id", 40)
+      .select($"doc_id", $"source", $"rk").as[(Long, String, Long)].collect().toSeq
+    val kept = run()
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length <= 40, s"source $src over quota")
+      assert(rows.map(_._3).sorted == (1L to rows.length).toSeq, s"ranks not dense for $src")
+    }
+    assert(run() == kept) // hash-ranked: identical on re-run
+  }
+
+  test("tf-idf: rare terms outrank ubiquitous ones at equal term frequency") {
+    val docs = Seq(
+      (1L, "common rare1 filler1"),
+      (2L, "common rare2 filler2"),
+      (3L, "common rare3 filler3"))
+      .toDF("doc_id", "text")
+    val rows = TextPrep.topTfIdf(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"term", $"tfidf", $"rk")
+      .as[(Long, String, Double, Long)].collect()
+    // 'common' has df=3, every other term df=1 with the same tf=1:
+    // common must rank LAST in every doc
+    rows.groupBy(_._1).foreach { case (d, ts) =>
+      assert(ts.maxBy(_._4)._2 == "common", s"doc $d: ${ts.toSeq}")
+      assert(ts.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("hll: estimate lands near the exact distinct count; state is bounded") {
+    val events = Tables.events(spark, sf).select($"event_type", $"user_id")
+    val est = Sketches.hllDistinct(events, Seq("event_type"), $"user_id")
+      .as[(String, Long, Double)].collect()
+      .map { case (t, nb, e) => t -> ((nb, e)) }.toMap
+    val exact = events.distinct().groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) =>
+      val (nb, e) = est(t)
+      assert(nb <= 256)
+      // p=8: ~6.5% standard error (linear counting kicks in for the
+      // small groups); allow 4 sigma
+      assert(math.abs(e - n) / n < 0.26, s"$t: est $e vs exact $n")
+    }
+  }
+}
