@@ -906,7 +906,44 @@ object Queries {
         Seq("event_type"), col("user_id"))
       .orderBy(col("event_type"))
 
+  /** Boilerplate phrase detection: 5-grams appearing in >= 3 distinct
+    * documents (C4-style template mass — here the planted near-dup
+    * clusters). One shuffle on the phrase key. */
+  def qBoilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    operators.TextPrep.ngramDocFreq(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", 5)
+      .filter(col("ndocs") >= 3)
+      .orderBy(col("phrase"))
+
+  /** Per-document boilerplate fraction (share of its distinct 5-grams
+    * at corpus doc-frequency >= 2) — the quality-filter signal. Only
+    * docs with any boilerplate mass are reported. */
+  def qBoilerplateFraction(s: SparkSession, dir: String): DataFrame =
+    operators.TextPrep.boilerplateFraction(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", 5, 2)
+      .filter(col("n_boiler") > 0)
+      .select(col("doc_id"), col("n_phrases"), col("n_boiler"), col("boiler_frac"))
+      .orderBy(col("doc_id"))
+
+  /** PII scrubbing over deterministically PII-augmented text (the
+    * corpus itself is synthetic and clean, so every row gets an email
+    * + phone stamped from its id — the redactor must catch 100%). */
+  def qRedactPii(s: SparkSession, dir: String): DataFrame = {
+    val augmented = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.org or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+    operators.TextPrep.redactPii(augmented, "text")
+      .select(col("doc_id"),
+        length(col("redacted")).cast("long").as("n_chars"),
+        expr("substr(redacted, greatest(1, length(redacted) - 59))").as("tail"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate_ngrams" -> (qBoilerplateNgrams _),
+    "q_boilerplate_fraction" -> (qBoilerplateFraction _),
+    "q_redact_pii" -> (qRedactPii _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_docs" -> (qPackDocs _),
     "q_quota_sample" -> (qQuotaSample _),
@@ -1533,6 +1570,46 @@ object Queries {
          |WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
          |    CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_boilerplate_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 4),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))) AS phrase
+        |  FROM w WHERE len(w) >= 5)
+        |SELECT phrase, COUNT(*) AS ndocs FROM sh GROUP BY phrase
+        |HAVING COUNT(*) >= 3 ORDER BY phrase""".stripMargin,
+
+    "q_boilerplate_fraction" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 4),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))) AS phrase
+        |  FROM w WHERE len(w) >= 5),
+        |freq AS (SELECT phrase, COUNT(*) AS ndocs FROM sh GROUP BY phrase),
+        |j AS (SELECT sh.doc_id, freq.ndocs FROM sh JOIN freq USING (phrase))
+        |SELECT doc_id, COUNT(*) AS n_phrases,
+        |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+        |FROM j GROUP BY doc_id
+        |HAVING SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_redact_pii" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.org or 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS redacted
+        |  FROM a)
+        |SELECT doc_id, CAST(length(redacted) AS BIGINT) AS n_chars,
+        |  substr(redacted, greatest(1, length(redacted) - 59)) AS tail
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // chunk windows mirrored index-for-index; the generate_series
     // bound (4095) caps docs at ~196k tokens — far above the corpus

@@ -82,6 +82,48 @@ object TextPrep {
       .filter(col("rk") <= quota)
   }
 
+  /** Per-phrase document frequency over distinct word n-grams — the
+    * detection half of C4-style boilerplate cleaning: a phrase
+    * appearing in many distinct documents is template/boilerplate
+    * mass, not content. One shuffle (on the phrase); per-doc distinct
+    * first so a phrase repeated within one document counts once. */
+  def ngramDocFreq(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame =
+    Dedup.withShingles(df.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol), explode(col("sh")).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("ndocs"))
+
+  /** Per-document boilerplate fraction: the share of a document's
+    * distinct n-grams whose corpus doc-frequency reaches `minDocs` —
+    * a quality-filter signal (drop or down-weight docs that are
+    * mostly template). Join on the phrase key; the boilerplate
+    * vocabulary is tiny relative to the corpus, so the join side is
+    * broadcast-able at scale. */
+  def boilerplateFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val freq = ngramDocFreq(df, idCol, textCol, n)
+    Dedup.withShingles(df.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol), explode(col("sh")).as("phrase"))
+      .join(freq, "phrase")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_phrases"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_phrases").cast("double"))
+  }
+
+  /** Regex PII scrubbing: emails and phone-shaped digit runs replaced
+    * with typed placeholders. Patterns restricted to character
+    * classes + bounded quantifiers so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree byte-for-byte. Pure projection — no
+    * shuffle, codegen'd. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  def redactPii(df: DataFrame, textCol: String, outCol: String = "redacted"): DataFrame =
+    df.withColumn(outCol,
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"))
+
   /** Per-document TF-IDF keyword extraction (top `k` terms). The IDF
     * is kept as the exact rational tf·N/df — integer-valued operands
     * in one IEEE double division, so both engines produce identical

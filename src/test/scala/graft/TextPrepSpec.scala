@@ -85,6 +85,40 @@ class TextPrepSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("boilerplate: planted near-dup phrases are detected; fractions in (0,1]") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val phrases = Queries.qBoilerplateNgrams(spark, sf)
+      .as[(String, Long)].collect()
+    assert(phrases.nonEmpty) // planted dup clusters share 5-grams
+    phrases.foreach { case (p, n) => assert(n >= 3 && p.split(" ").length == 5) }
+    val fracs = Queries.qBoilerplateFraction(spark, sf)
+      .select($"boiler_frac").as[Double].collect()
+    assert(fracs.nonEmpty)
+    fracs.foreach(f => assert(f > 0.0 && f <= 1.0))
+    // the planted full-document duplicates must sit at fraction ~1
+    assert(fracs.exists(_ > 0.9), "planted near-identical docs should be ~all boilerplate")
+  }
+
+  test("pii redaction scrubs emails and phones, leaves clean text alone") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.com today"),
+      (2L, "call 555-1234 now"),
+      (3L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextPrep.redactPii(df, "text")
+      .select($"doc_id", $"redacted").as[(Long, String)].collect().toMap
+    assert(out(1L) == "reach me at [EMAIL] today")
+    assert(out(2L) == "call [PHONE] now")
+    assert(out(3L) == "nothing sensitive here")
+    // the catalog query's synthetic augmentation is fully caught
+    val tails = Queries.qRedactPii(spark, sf).select($"tail").as[String].collect()
+    assert(tails.nonEmpty)
+    tails.foreach { t =>
+      assert(t.contains("[EMAIL]") && t.contains("[PHONE]"), t)
+      assert(!t.contains("@"), t)
+    }
+  }
+
   test("hll: estimate lands near the exact distinct count; state is bounded") {
     val events = Tables.events(spark, sf).select($"event_type", $"user_id")
     val est = Sketches.hllDistinct(events, Seq("event_type"), $"user_id")
