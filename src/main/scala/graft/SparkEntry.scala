@@ -353,10 +353,11 @@ object Queries {
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigned(s, dir)
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
-    val sh = Dedup.withShingles(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
-    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // verify sides come from the CACHED signature frame (it carries the
+    // sh column) — recomputing shingles would pay the interpreted
+    // array_distinct(transform(...)) pass twice more per query
+    val a = sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
@@ -372,10 +373,10 @@ object Queries {
   def qDedupEditDistance(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigned(s, dir)
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // text sides from the cached signature frame — no fresh scan
     cands
-      .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+      .join(sig.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
       .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
       .withColumn("edit_sim",
         lit(1.0) - col("edit_dist").cast("double") /

@@ -63,16 +63,24 @@ object Dedup {
   require(MinhashA.distinct.size == MinhashK && MinhashB.distinct.size == MinhashK,
     "minhash coefficient collision — change the mixer seeds")
 
-  /** df + m0..m{k-1} bigint minhash columns over the `sh` column. One
-    * wide projection (not k chained withColumns) keeps analysis cost
-    * flat at k=64. */
+  /** df + m0..m{k-1} bigint minhash columns over the `sh` column.
+    * The k minima are computed by ONE fused codegen'd expression
+    * ([[graft.functions.MinhashSigExpr]]) — k separate interpreted
+    * `array_min(transform(...))` lambdas cost k·|sh| boxed evals per
+    * row and dominate the dedup family at k=64 — then extracted as
+    * columns in a SECOND projection (CollapseProject keeps the two
+    * apart because merging would duplicate the non-cheap signature
+    * expression k times). Per-element semantics are identical, so the
+    * DuckDB oracle (generated from the same A/B/P constants) still
+    * hash-matches. */
   def withMinhashSignature(df: DataFrame, k: Int = MinhashK): DataFrame = {
     val withBase = df.withColumn("_hs",
       expr("transform(sh, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
-    val minCols = (0 until k).map(i =>
-      expr(s"array_min(transform(_hs, h -> (${MinhashA(i)}L * h + ${MinhashB(i)}L) % ${MinhashP}L))")
-        .as(s"m$i"))
-    withBase.select(col("*") +: minCols: _*).drop("_hs")
+    val withSig = withBase.withColumn("_sig",
+      graft.functions.MinhashOps.minhash_signature(col("_hs"),
+        MinhashA.take(k), MinhashB.take(k), MinhashP))
+    val minCols = (0 until k).map(i => element_at(col("_sig"), i + 1).as(s"m$i"))
+    withSig.select(col("*") +: minCols: _*).drop("_hs", "_sig")
   }
 
   /** df + (band_idx, band_key) exploded rows: bands of `rows` adjacent
@@ -151,15 +159,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vlabel")).as("nmin"))
-      // cached: it feeds both sides of the jump self-join below
+      // cached: it can feed both sides of the jump self-join below
       val relabeled = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
       // pointer jump: label := min(label, label(label)); label(label)
-      // exists whenever label != node and is always in-component
+      // exists whenever label != node and is always in-component.
+      // Skipped in round 1 — star-shaped components (the near-dup
+      // norm) finish on plain neighbor-min alone, so the jump's extra
+      // shuffle only starts paying once a chain survives a round.
       val next = persistRound(
-        relabeled.join(
+        if (iters == 0) relabeled
+        else relabeled.join(
             relabeled.select(col("node").as("label"), col("label").as("ll")),
             Seq("label"), "left")
           .select(col("node"),

@@ -36,8 +36,14 @@ object TextPrep {
           .otherwise(expr(s"(size(_toks) - $chunkTokens + $stride - 1) div $stride + 1")))
       .withColumn("_chunks", expr(
         s"transform(sequence(0, _nc - 1), i -> array_join(slice(_toks, i * $stride + 1, $chunkTokens), ' '))"))
+    // posexplode_outer, NOT posexplode: the non-outer Generate pushes a
+    // `size(_chunks) > 0` filter below the projection, and predicate
+    // pushdown re-inlines the whole interpreted transform(...) chain
+    // into it (recomputing split(text) per element) — a quadratic
+    // per-row blowup. _chunks is never empty (nc >= 1), so outer is
+    // semantically identical and skips the poisoned filter.
     chunked
-      .select(col("*"), posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("*"), posexplode_outer(col("_chunks")).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("n_chunks", col("_nc").cast("long"))
       .withColumn("chunk_tokens", expr("size(split(chunk_text, ' '))").cast("long"))
@@ -89,8 +95,12 @@ object TextPrep {
     * first so a phrase repeated within one document counts once. */
   def ngramDocFreq(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame =
+    // explode_outer + null filter, NOT explode: see withChunks — the
+    // non-outer Generate's pushed `size(sh) > 0` filter re-inlines the
+    // whole interpreted shingle expression (split per element_at)
     Dedup.withShingles(df.select(col(idCol), col(textCol)), textCol, n)
-      .select(col(idCol), explode(col("sh")).as("phrase"))
+      .select(col(idCol), explode_outer(col("sh")).as("phrase"))
+      .filter(col("phrase").isNotNull)
       .groupBy(col("phrase")).agg(count(lit(1)).as("ndocs"))
 
   /** Per-document boilerplate fraction: the share of a document's
@@ -103,7 +113,8 @@ object TextPrep {
       n: Int = 5, minDocs: Int = 2): DataFrame = {
     val freq = ngramDocFreq(df, idCol, textCol, n)
     Dedup.withShingles(df.select(col(idCol), col(textCol)), textCol, n)
-      .select(col(idCol), explode(col("sh")).as("phrase"))
+      .select(col(idCol), explode_outer(col("sh")).as("phrase"))
+      .filter(col("phrase").isNotNull)
       .join(freq, "phrase")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_phrases"),
