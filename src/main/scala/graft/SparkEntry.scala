@@ -941,7 +941,63 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition quality signals per document: most-
+    * common-bigram token coverage, duplicate-5-gram instance fraction,
+    * and type-token ratio — the boilerplate-by-repetition filters.
+    * Distributed n-gram counting (explode + two hash aggs), never a
+    * per-row quadratic array scan. */
+  def qQualityRepetition(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.repetitionMetrics(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("ttr"),
+        col("top_bigram_frac"), col("dup_5gram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: training docs (id % 13 != 0) sharing
+    * any 4-gram with the held-out eval slice (id % 13 = 0) — the
+    * n-gram-overlap test-set leak check. n=4 because the synthetic
+    * corpus mutates every ~4 tokens (real deployments use 8-13); the
+    * plumbing — broadcast eval shingles, no corpus shuffle before the
+    * per-doc rollup — is n-independent. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    operators.TextPrep.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(13)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(13)) === 0),
+        "doc_id", "text", 4)
+      .orderBy(col("train_id"))
+  }
+
+  /** Lloyd's k-means (k=8, 2 iterations, lowest-id seeds) over
+    * quantized embeddings with exact RATIONAL centroids — every
+    * assignment is bit-reproducible across engines and partitionings,
+    * which is what lets an ITERATIVE clustering hash-match a SQL
+    * oracle. Broadcast centroids; argmin is one hash-agg. */
+  def qKmeansEmbed(s: SparkSession, dir: String): DataFrame =
+    operators.KMeans.assign(
+        Similarity.quantized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("qv")),
+        KmeansK, KmeansIters)
+      .orderBy(col("vec_id"))
+
+  /** SemDeDup-style semantic dedup: k-means cells as the blocking key,
+    * exact pairwise cosine only WITHIN a cell, pairs >= 0.4 are
+    * semantic duplicates (keep-lowest-id convention). At corpus scale
+    * k grows with n so cells stay O(1000) and the within-cell
+    * self-join never goes quadratic in the corpus. */
+  def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    operators.KMeans.semanticDupPairs(
+        Tables.embeddings(s, dir), KmeansK, KmeansIters, 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val KmeansK = 8
+  val KmeansIters = 2
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_repetition" -> (qQualityRepetition _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_kmeans_embed" -> (qKmeansEmbed _),
+    "q_semdedup" -> (qSemdedup _),
     "q_boilerplate_ngrams" -> (qBoilerplateNgrams _),
     "q_boilerplate_fraction" -> (qBoilerplateFraction _),
     "q_redact_pii" -> (qRedactPii _),
@@ -1039,7 +1095,96 @@ object Queries {
        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Oracle CTE chain for iterative k-means, unrolled per iteration.
+    * Mirrors [[operators.KMeans.assign]] construct-for-construct: the
+    * same quantization, the same lowest-id seeds, the same exact
+    * rational-centroid distance Σ(n·x−s)²/n² (integer numerator —
+    * order-independent — one exact-operand division), the same
+    * (dist2, cluster) argmin tie-break, the same keep-previous rule
+    * for empty clusters. Ends with CTE `a$iters` = (vec_id, cluster,
+    * dist2). */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    val dist = "CAST(list_sum(list_transform(generate_series(1, len(qv)), " +
+      "ii -> (n*qv[ii] - sums[ii])*(n*qv[ii] - sums[ii]))) AS DOUBLE) / CAST(n*n AS DOUBLE)"
+    val head =
+      s"""qk AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) cl,
+         |  qv sums, CAST(1 AS BIGINT) n
+         |  FROM (SELECT vec_id, qv FROM qk ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      val assignCtes =
+        s"""s$it AS (SELECT vec_id, cl, $dist dist2 FROM qk, $prev),
+           |a$it AS (SELECT vec_id, cl, dist2 FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cl) rn FROM s$it)
+           |  WHERE rn = 1)""".stripMargin
+      val updateCtes = if (it == iters) "" else
+        s""",
+           |u$it AS (SELECT cl, ii, CAST(SUM(qv[ii]) AS BIGINT) sx
+           |  FROM a$it JOIN qk USING (vec_id), (SELECT unnest(generate_series(1, 64)) ii) g
+           |  GROUP BY cl, ii),
+           |us$it AS (SELECT cl, list(sx ORDER BY ii) sums FROM u$it GROUP BY cl),
+           |un$it AS (SELECT cl, COUNT(*) n FROM a$it GROUP BY cl),
+           |c$it AS (SELECT $prev.cl,
+           |  COALESCE(us$it.sums, $prev.sums) sums, COALESCE(un$it.n, $prev.n) n
+           |  FROM $prev LEFT JOIN us$it USING (cl) LEFT JOIN un$it USING (cl))""".stripMargin
+      assignCtes + updateCtes
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_quality_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |    list_transform(generate_series(1, len(toks)-1), i -> toks[i]||' '||toks[i+1])
+        |  ELSE [] END) gram FROM w),
+        |bt AS (SELECT doc_id, MAX(c) max_bigram FROM
+        |  (SELECT doc_id, gram, COUNT(*) c FROM b GROUP BY doc_id, gram) GROUP BY doc_id),
+        |f AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+        |    list_transform(generate_series(1, len(toks)-4),
+        |      i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])
+        |  ELSE [] END) gram FROM w),
+        |ft AS (SELECT doc_id, COUNT(*) t5, COUNT(DISTINCT gram) d5 FROM f GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(toks) AS BIGINT) n_tokens,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ttr,
+        |  CAST(COALESCE(bt.max_bigram * 2, 0) AS DOUBLE) / CAST(len(toks) AS DOUBLE) top_bigram_frac,
+        |  COALESCE(CAST(ft.t5 - ft.d5 AS DOUBLE) / CAST(ft.t5 AS DOUBLE), 0.0) dup_5gram_frac
+        |FROM w LEFT JOIN bt USING (doc_id) LEFT JOIN ft USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |s4 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 4 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-3),
+        |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]))
+        |  ELSE [] END) gram FROM w),
+        |ev AS (SELECT doc_id eval_id, gram FROM s4 WHERE doc_id % 13 = 0),
+        |tr AS (SELECT doc_id train_id, gram FROM s4 WHERE doc_id % 13 <> 0)
+        |SELECT train_id, COUNT(DISTINCT tr.gram) n_shared_ngrams,
+        |  COUNT(DISTINCT ev.eval_id) n_eval_docs
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY train_id ORDER BY train_id""".stripMargin,
+
+    "q_kmeans_embed" ->
+      s"""WITH ${kmeansCte(Queries.KmeansK, Queries.KmeansIters)}
+         |SELECT vec_id, cl AS cluster, dist2 FROM a${Queries.KmeansIters}
+         |ORDER BY vec_id""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH ${kmeansCte(Queries.KmeansK, Queries.KmeansIters)},
+         |nn AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM qk),
+         |pairs AS (SELECT a.cl, a.vec_id id_a, b.vec_id id_b,
+         |    list_dot_product(na.qv, nb.qv)/(sqrt(na.norm2)*sqrt(nb.norm2)) cos_sim
+         |  FROM a${Queries.KmeansIters} a JOIN a${Queries.KmeansIters} b
+         |    ON a.cl = b.cl AND a.vec_id < b.vec_id
+         |  JOIN nn na ON a.vec_id = na.vec_id
+         |  JOIN nn nb ON b.vec_id = nb.vec_id)
+         |SELECT cl AS cluster, id_a, id_b, cos_sim FROM pairs
+         |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
     "q_avro_decode" ->
       """SELECT doc_id, lang, source, n_chars,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -126,9 +126,75 @@ case class BandKeysExpr(child: Expression, planesFlat: IndexedSeq[Long],
   }
 }
 
+/** Squared L2 distance between a quantized vector and a RATIONAL
+  * centroid kept as (coordinate-sum array, member count):
+  *
+  *   dist² = Σ_i (x_i − s_i/n)²  =  Σ_i (n·x_i − s_i)²  /  n²
+  *
+  * The right-hand form is why this expression exists: the numerator is
+  * an exact integer sum — associative, partition-order-independent —
+  * and the single final division has exact integer operands, so the
+  * resulting double is bit-identical across engines (the oracle
+  * computes the same numerator in SQL). A float centroid would make
+  * every k-means assignment depend on the reduction order of the
+  * centroid mean. Overflow bound: |n·x − s| ≤ 2·n·maxq, so the sum
+  * stays in range while n·maxq < ~2^31·√dim⁻¹ — with maxq ≈ 578
+  * (quantize scale 1000, unit-norm-ish embeddings) that is clusters
+  * up to ~10⁸ members, far beyond any per-cluster population a sane k
+  * leaves at 100 TB. Fused loop + codegen like [[DotLongExpr]].
+  */
+case class KMeansDist2Expr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): KMeansDist2Expr =
+    copy(first = f, second = s, third = t)
+
+  override def nullSafeEval(qvAny: Any, sumsAny: Any, nAny: Any): Any = {
+    val qv = qvAny.asInstanceOf[ArrayData]
+    val sums = sumsAny.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Long]
+    val d = math.min(qv.numElements(), sums.numElements())
+    var num = 0L
+    var i = 0
+    while (i < d) {
+      val diff = n * qv.getLong(i) - sums.getLong(i)
+      num += diff * diff
+      i += 1
+    }
+    java.lang.Double.valueOf(num.toDouble / (n * n).toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qv, sums, n) => {
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val num = ctx.freshName("num")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $d = Math.min($qv.numElements(), $sums.numElements());
+         |long $num = 0L;
+         |for (int $i = 0; $i < $d; $i++) {
+         |  long $diff = $n * $qv.getLong($i) - $sums.getLong($i);
+         |  $num += $diff * $diff;
+         |}
+         |${ev.value} = (double) $num / (double) ($n * $n);
+       """.stripMargin
+    })
+}
+
 object VectorOps {
   def dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(DotLongExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact rational-centroid squared distance (see [[KMeansDist2Expr]]). */
+  def kmeans_dist2(qv: Column, sums: Column, n: Column): Column =
+    ColumnBridge.column(KMeansDist2Expr(ColumnBridge.expression(qv),
+      ColumnBridge.expression(sums), ColumnBridge.expression(n)))
 
   /** Banded hyperplane LSH keys (see [[BandKeysExpr]]). */
   def band_keys(qv: Column, planes: Seq[Seq[Int]], bandSize: Int): Column = {

@@ -81,4 +81,60 @@ object TextAnalysis {
       .withColumn("n_selected", size(col("_sel")).cast("long"))
       .withColumn("fingerprint", md5(array_join(col("_sel"), "")))
       .drop("_sel")
+
+  /** Gopher-style intra-document repetition signals — the quality
+    * rules that catch boilerplate-by-repetition (crawler loops,
+    * keyword stuffing, templated spam) which length/stopword ratios
+    * miss:
+    *
+    *   - `top_bigram_frac`: tokens covered by the single most frequent
+    *     bigram, / n_tokens (Gopher's "fraction in most common 2-gram"
+    *     on whitespace tokens);
+    *   - `dup_5gram_frac`: fraction of 5-gram INSTANCES that are
+    *     repeats of an earlier instance, (total - distinct) / total;
+    *   - `ttr`: type-token ratio, distinct / total tokens.
+    *
+    * All ratios are exact-integer-operand double divisions —
+    * bit-stable across engines. Scale shape: the per-n-gram counts are
+    * one explode + hash aggregation each, keyed by (doc, gram) with
+    * map-side partial aggregation, then a per-doc rollup — never a
+    * per-row O(n·distinct) array scan (the pure-projection alternative
+    * goes quadratic on repetitive documents, exactly the ones this
+    * operator exists to flag). Docs shorter than the n-gram window get
+    * fraction 0 via the left joins. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("_toks"))).cast("double") /
+          size(col("_toks")).cast("double"))
+    def grams(n: Int): DataFrame = {
+      val concatParts = (0 until n).map(k => s"element_at(_toks, i + $k)").mkString(", ' ', ")
+      // explode_outer + null filter: the non-outer Generate's pushed
+      // size()>0 filter re-inlines the interpreted transform chain
+      base.select(col(idCol),
+          when(size(col("_toks")) >= n,
+            expr(s"transform(sequence(1, size(_toks) - ${n - 1}), i -> concat($concatParts))"))
+          .otherwise(array().cast("array<string>")).as("_g"))
+        .select(col(idCol), explode_outer(col("_g")).as("gram"))
+        .filter(col("gram").isNotNull)
+    }
+    val topBigram = grams(2)
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("max_bigram"))
+    val dup5 = grams(5)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("t5"), countDistinct(col("gram")).as("d5"))
+    base.drop("_toks")
+      .join(topBigram, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .withColumn("top_bigram_frac",
+        coalesce(col("max_bigram") * 2L, lit(0L)).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("dup_5gram_frac",
+        coalesce((col("t5") - col("d5")).cast("double") / col("t5").cast("double"),
+          lit(0.0)))
+      .drop("max_bigram", "t5", "d5")
+  }
 }

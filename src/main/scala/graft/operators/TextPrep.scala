@@ -123,6 +123,34 @@ object TextPrep {
         col("n_boiler").cast("double") / col("n_phrases").cast("double"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * word n-gram with an evaluation set — the standard n-gram-overlap
+    * test-set leak check a training corpus must pass before a model
+    * trains on it. Emits, per contaminated training doc, the count of
+    * distinct shared n-grams and of distinct eval docs hit.
+    *
+    * Scale shape: both sides reduce to distinct (doc, shingle) rows;
+    * the join key is the shingle. The eval side (benchmarks are
+    * thousands of docs, the corpus billions) is tiny, so its distinct
+    * shingle set broadcasts — the corpus side never shuffles, it
+    * streams through a broadcast hash join and aggregates per doc
+    * map-side first. `n` defaults to 8: long enough that chance
+    * collisions vanish, short enough to survive light paraphrase
+    * (the 13-gram convention needs longer documents than this
+    * synthetic corpus). */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    def shingled(df: DataFrame, as: String) =
+      Dedup.withShingles(df.select(col(idCol), col(textCol)), textCol, n)
+        .select(col(idCol).as(as), explode_outer(col("sh")).as("gram"))
+        .filter(col("gram").isNotNull)
+    shingled(train, "train_id")
+      .join(broadcast(shingled(eval, "eval_id").distinct()), "gram")
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
   /** Regex PII scrubbing: emails and phone-shaped digit runs replaced
     * with typed placeholders. Patterns restricted to character
     * classes + bounded quantifiers so Java regex (Spark) and RE2

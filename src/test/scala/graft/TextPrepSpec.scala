@@ -119,6 +119,55 @@ class TextPrepSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("repetition metrics: closed-form on a hand-built doc; clean doc near zero") {
+    val df = Seq(
+      // "a b a b a b" -> 6 tokens; bigrams: "a b"x3, "b a"x2 -> top = 3
+      // 5-grams: "a b a b a", "b a b a b" -> distinct 2 of 2 -> dup 0
+      (1L, "a b a b a b"),
+      // 8 tokens all "x": bigram "x x"x7 -> top_frac = 14/8 capped? no cap:
+      // fraction can exceed 1 on degenerate runs (7*2/8) — documents
+      // the Gopher-metric convention of token-coverage counting
+      (2L, "x x x x x x x x"),
+      (3L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"ttr", $"top_bigram_frac", $"dup_5gram_frac")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 6L, 2.0 / 6, 6.0 / 6, 0.0)))
+    assert(m(2L) == ((2L, 8L, 1.0 / 8, 14.0 / 8, 3.0 / 4)))
+    assert(m(3L) == ((3L, 8L, 1.0, 2.0 / 8, 0.0)))
+    // short doc: no 5-grams, no bigrams -> fractions 0, not null
+    val short = graft.operators.TextAnalysis.repetitionMetrics(
+        Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"top_bigram_frac", $"dup_5gram_frac").as[(Double, Double)].head()
+    assert(short == ((0.0, 0.0)))
+  }
+
+  test("decontamination flags exactly the planted n-gram overlap") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares 4-gram with eval 10
+      (2L, "one two three four five six"),      // no overlap
+      (3L, "alpha beta gamma delta zeta"))      // same leading 4-gram
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta others here"),
+      (11L, "nothing shared at all whatsoever"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextPrep.decontaminate(train, eval, "doc_id", "text", 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    // doc 1 shares "alpha beta gamma delta" AND "beta gamma delta epsilon"? no —
+    // eval 10 has "beta gamma delta others", so only the leading 4-gram
+    assert(out(1L) == ((1L, 1L)))
+    assert(out(3L) == ((1L, 1L)))
+    // catalog query: contaminated rows exist and counts are positive
+    val rows = Queries.qDecontaminate(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ng, ne) => assert(ng >= 1 && ne >= 1) }
+  }
+
   test("hll: estimate lands near the exact distinct count; state is bounded") {
     val events = Tables.events(spark, sf).select($"event_type", $"user_id")
     val est = Sketches.hllDistinct(events, Seq("event_type"), $"user_id")
