@@ -373,15 +373,21 @@ object Queries {
   def qDedupEditDistance(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigned(s, dir)
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
+    // any pair that can reach sim >= 0.8 has dist <= 0.2·maxlen, so the
+    // bounded (threshold) levenshtein — early-abandon O(thr·len), not
+    // the full O(len²) DP — returns the exact distance for every pair
+    // that can pass and -1 (filtered) for the rest. The corpus-wide
+    // threshold is one cheap max() over the cached signature frame.
+    val thr = math.ceil(0.2 * sig.agg(max(length(col("text")))).head().getInt(0)).toInt
     // text sides from the cached signature frame — no fresh scan
     cands
       .join(sig.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
       .join(sig.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
-      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b"), thr).cast("long"))
       .withColumn("edit_sim",
         lit(1.0) - col("edit_dist").cast("double") /
           greatest(length(col("t_a")), length(col("t_b"))).cast("double"))
-      .filter(col("edit_sim") >= 0.8)
+      .filter(col("edit_dist") >= 0 && col("edit_sim") >= 0.8)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("edit_dist"), col("edit_sim"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -85,9 +85,64 @@ case class MinhashSigExpr(
   }
 }
 
+/** First-8-hex-chars-of-md5 base hash of every shingle in one fused
+  * expression: element-wise `conv(substr(md5(t), 1, 8), 16, 10)` —
+  * i.e. the first 4 digest bytes as an unsigned big-endian 32-bit
+  * value — without the per-element interpreted lambda a
+  * `transform(sh, t -> ...)` pays (the md5 inside a higher-order
+  * function is evaluated through the Catalyst interpreter per
+  * element; at ~300 shingles/doc that interpretation dominates the
+  * whole minhash stage). The digest instance is thread-local: the
+  * expression object is shared by concurrent tasks. */
+case class Md5Head8Expr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): Md5Head8Expr =
+    copy(child = newChild)
+
+  @transient private lazy val digests =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Shared by interpreted eval and codegen (one virtual call per ROW,
+    * not per element — the loop itself is plain JVM code). */
+  def hashAll(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val md = digests.get()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(input.getUTF8String(i).getBytes)
+      out(i) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hashAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5head8", this, classOf[Md5Head8Expr].getName)
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.hashAll($in);")
+  }
+}
+
 object MinhashOps {
   /** Fused k-hash minhash signature (see [[MinhashSigExpr]]). */
   def minhash_signature(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ColumnBridge.column(MinhashSigExpr(ColumnBridge.expression(hs),
       a.toIndexedSeq, b.toIndexedSeq, p))
+
+  /** Fused per-element md5 base hash (see [[Md5Head8Expr]]). */
+  def md5_head8(sh: Column): Column =
+    ColumnBridge.column(Md5Head8Expr(ColumnBridge.expression(sh)))
 }

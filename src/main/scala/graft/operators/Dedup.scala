@@ -75,7 +75,7 @@ object Dedup {
     * hash-matches. */
   def withMinhashSignature(df: DataFrame, k: Int = MinhashK): DataFrame = {
     val withBase = df.withColumn("_hs",
-      expr("transform(sh, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      graft.functions.MinhashOps.md5_head8(col("sh")))
     val withSig = withBase.withColumn("_sig",
       graft.functions.MinhashOps.minhash_signature(col("_hs"),
         MinhashA.take(k), MinhashB.take(k), MinhashP))
@@ -159,9 +159,12 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vlabel")).as("nmin"))
-      // cached: it can feed both sides of the jump self-join below
+      // the previous label rides along as `old` so the convergence
+      // check below is a scan of the checkpointed frame — not the
+      // extra join-back-to-labels (one more shuffle per round) it
+      // would otherwise take
       val relabeled = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .cache()
       // pointer jump: label := min(label, label(label)); label(label)
@@ -174,12 +177,11 @@ object Dedup {
         else relabeled.join(
             relabeled.select(col("node").as("label"), col("label").as("ll")),
             Seq("label"), "left")
-          .select(col("node"),
+          .select(col("node"), col("old"),
             least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
       relabeled.unpersist()
-      changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.drop("old")
       iters += 1
     }
     edges.unpersist()

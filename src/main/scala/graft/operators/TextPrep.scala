@@ -106,16 +106,18 @@ object TextPrep {
   /** Per-document boilerplate fraction: the share of a document's
     * distinct n-grams whose corpus doc-frequency reaches `minDocs` —
     * a quality-filter signal (drop or down-weight docs that are
-    * mostly template). Join on the phrase key; the boilerplate
-    * vocabulary is tiny relative to the corpus, so the join side is
-    * broadcast-able at scale. */
+    * mostly template). The doc-frequency is a count-over-window
+    * partitioned by the phrase, NOT a groupBy + join back: the
+    * (doc, phrase) rows are already distinct, so the window count IS
+    * ndocs, and the corpus-sized explode is computed and shuffled
+    * once (on the phrase) instead of twice plus a phrase-keyed join. */
   def boilerplateFraction(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val freq = ngramDocFreq(df, idCol, textCol, n)
+    import org.apache.spark.sql.expressions.Window
     Dedup.withShingles(df.select(col(idCol), col(textCol)), textCol, n)
       .select(col(idCol), explode_outer(col("sh")).as("phrase"))
       .filter(col("phrase").isNotNull)
-      .join(freq, "phrase")
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("phrase"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_phrases"),
         sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
@@ -168,8 +170,8 @@ object TextPrep {
     * in one IEEE double division, so both engines produce identical
     * bits (a log-based IDF would rank identically but `ln` is not
     * cross-engine bit-stable). Plan: explode → per-(doc,term) count
-    * (map-side combine) → per-term doc frequency → join back on term
-    * (vocabulary ≪ corpus, broadcast-able) → per-doc top-k window. */
+    * (map-side combine) → per-term doc frequency via count-over-window
+    * on the term → per-doc top-k window. */
   def topTfIdf(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -177,11 +179,13 @@ object TextPrep {
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(docFreq, "term")
+    // doc frequency as count-over-window on the term: tf rows are
+    // distinct per (doc, term), so the window count IS df — one
+    // shuffle on the term instead of a groupBy plus a join back
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w).cast("long"))
