@@ -999,6 +999,36 @@ object Queries {
   val KmeansK = 8
   val KmeansIters = 2
 
+  /** Count-min-sketch frequency estimation: build the 4×1024 counter
+    * table over all token instances (one bounded aggregation), then
+    * point-query it for every distinct token via a broadcast of the
+    * ≤4 KB counter table — heavy-hitter detection with NO corpus-keyed
+    * shuffle on the estimation pass. Reported next to the exact count
+    * so the ≥-exact overcount property is visible (and oracle-checked). */
+  def qCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counters = operators.Sketches.cmsCounters(toks, "tok")
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    operators.Sketches.cmsEstimate(exact, "tok", counters)
+      .join(exact, "tok")
+      .filter(col("cms_est") >= 100)
+      .select(col("tok"), col("cms_est"), col("exact_cnt"))
+      .orderBy(col("tok"))
+  }
+
+  /** Deterministic stratified 80/10/10 split by source: exact
+    * per-stratum proportions via hash rank (integer boundary test),
+    * reported as counts per (source, split). */
+  def qSplitStratified(s: SparkSession, dir: String): DataFrame =
+    operators.TextPrep.stratifiedSplit(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id", 80, 10)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+      .orderBy(col("source"), col("split"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -1019,6 +1049,8 @@ object Queries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
+    "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
+    "q_split_stratified" -> (qSplitStratified _),
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
     "q_filter_jsonpath_deep" -> (qFilterJsonpathDeep _),
@@ -1902,6 +1934,47 @@ object Queries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // CMS mirror: same row-prefixed md5 hash32, same d×w geometry, the
+    // estimate is an all-integer MIN over BIGINT counters — bit-exact
+    "q_cms_heavy_hitters" -> {
+      val d = operators.Sketches.CmsD
+      val w = operators.Sketches.CmsW
+      val idxs = (0 until d).mkString(",")
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) tok FROM documents),
+         |tf AS (SELECT tok FROM t WHERE tok <> ''),
+         |cells AS (SELECT row_idx,
+         |    ('0x'||substr(md5(CAST(row_idx AS VARCHAR)||':'||tok),1,8))::BIGINT % $w AS cell
+         |  FROM tf CROSS JOIN (SELECT unnest([$idxs]) row_idx) r),
+         |counters AS (SELECT row_idx, cell, COUNT(*) cnt FROM cells GROUP BY row_idx, cell),
+         |exact AS (SELECT tok, COUNT(*) exact_cnt FROM tf GROUP BY tok),
+         |est AS (SELECT tok, MIN(cnt) cms_est FROM (
+         |    SELECT e.tok, c.cnt
+         |    FROM exact e CROSS JOIN (SELECT unnest([$idxs]) row_idx) r
+         |    JOIN counters c ON c.row_idx = r.row_idx
+         |      AND c.cell = ('0x'||substr(md5(CAST(r.row_idx AS VARCHAR)||':'||e.tok),1,8))::BIGINT % $w)
+         |  GROUP BY tok)
+         |SELECT est.tok, est.cms_est, exact.exact_cnt
+         |FROM est JOIN exact USING (tok)
+         |WHERE est.cms_est >= 100
+         |ORDER BY tok""".stripMargin
+    },
+
+    // hash-rank stratified split: the boundary test is all-integer, the
+    // rank ordering is (md5 hex, doc_id) in both engines
+    "q_split_stratified" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) rk,
+        |    COUNT(*) OVER (PARTITION BY source) cnt
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN rk*100 <= cnt*80 THEN 'train'
+        |       WHEN rk*100 <= cnt*90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n, MIN(doc_id) AS min_id
+        |FROM r GROUP BY source, split
+        |ORDER BY source, split""".stripMargin,
 
     "q_date_fns" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -114,4 +114,48 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) / (col("_kth").cast("double") / lit(4294967296.0))))
       .drop("_n", "_kth")
   }
+
+  // ---- Count-min sketch (engine-deterministic) ---------------------------
+
+  /** CMS geometry: d independent hash rows × w cells. ε ≈ e/w (relative
+    * overcount · stream length), δ ≈ e^−d. Row hashes are seeded by
+    * prefixing the row index to the item before the shared md5-derived
+    * [[hash32]] — the same literal recipe the oracle reproduces. */
+  val CmsD: Int = 4
+  val CmsW: Int = 1024
+
+  /** Row hash: the row index is prefixed to the item's string form
+    * before the shared md5 hash. */
+  private def cmsCell(rowIdx: Column, item: Column): Column =
+    pmod(hash32(concat(rowIdx.cast("string"), lit(":"), item.cast("string"))),
+      lit(CmsW.toLong))
+
+  /** The d×w counter table of an item column: one row per touched
+    * (row_idx, cell) with its count. ONE aggregation keyed by the cell
+    * coordinates (map-side combine collapses the stream to ≤ d·w rows
+    * per partition before the shuffle); the result is bounded state —
+    * 4096 cells regardless of stream length — and mergeable by cell-
+    * wise addition across shards or micro-batches. */
+  def cmsCounters(items: DataFrame, itemCol: String): DataFrame =
+    items
+      .select(explode(array((0 until CmsD).map(lit): _*)).as("row_idx"),
+        col(itemCol).as("_it"))
+      .select(col("row_idx"), cmsCell(col("row_idx"), col("_it")).as("cell"))
+      .groupBy(col("row_idx"), col("cell")).agg(count(lit(1)).as("cnt"))
+
+  /** Point-query the sketch for every row of `candidates`: the
+    * estimate is the MIN over the d row counters — an upper bound on
+    * the true count (never under), within ε·N with probability 1−δ.
+    * The counter table is ≤ d·w rows (KBs) and broadcasts: frequency
+    * estimation touches the stream once with NO corpus-keyed shuffle —
+    * the reason to accept the overcount at 100 TB instead of an exact
+    * `groupBy(item)`. */
+  def cmsEstimate(candidates: DataFrame, itemCol: String,
+      counters: DataFrame): DataFrame =
+    candidates
+      .select(col("*"), explode(array((0 until CmsD).map(lit): _*)).as("row_idx"))
+      .withColumn("cell", cmsCell(col("row_idx"), col(itemCol)))
+      .join(broadcast(counters), Seq("row_idx", "cell"))
+      .groupBy(col(itemCol))
+      .agg(min(col("cnt")).as("cms_est"))
 }

@@ -125,6 +125,28 @@ object TextPrep {
         col("n_boiler").cast("double") / col("n_phrases").cast("double"))
   }
 
+  /** Deterministic stratified train/val/test split: EXACT per-stratum
+    * proportions (not expected-value hash thresholds — small or skewed
+    * strata would drift), assigned by hash rank within the stratum so
+    * membership is reproducible and independent of row order. The
+    * boundary test `rank·100 <= n·pct` is all-integer — no float
+    * boundary can disagree across engines. One window per stratum; no
+    * global ordering anywhere. */
+  def stratifiedSplit(df: DataFrame, strataCol: String, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
+      .withColumn("split",
+        when(col("_rk") * 100 <= col("_n") * trainPct, "train")
+          .when(col("_rk") * 100 <= col("_n") * (trainPct + valPct), "val")
+          .otherwise("test"))
+      .drop("_rk", "_n")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word n-gram with an evaluation set — the standard n-gram-overlap
     * test-set leak check a training corpus must pass before a model

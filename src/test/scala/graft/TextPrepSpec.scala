@@ -168,6 +168,46 @@ class TextPrepSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach { case (_, ng, ne) => assert(ng >= 1 && ne >= 1) }
   }
 
+  test("cms: estimate never undercounts, is within eps·N, state is bounded") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok")).filter($"tok" =!= "")
+    val counters = Sketches.cmsCounters(toks, "tok")
+    // bounded state: at most d×w cells regardless of stream length
+    assert(counters.count() <= Sketches.CmsD.toLong * Sketches.CmsW)
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+    val est = Sketches.cmsEstimate(exact, "tok", counters)
+      .join(exact, "tok")
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    val n = toks.count()
+    val epsN = math.E / Sketches.CmsW * n // CMS guarantee at 1-δ
+    est.foreach { case (tok, cms, ex) =>
+      assert(cms >= ex, s"$tok: CMS undercounted $cms < $ex")
+      assert(cms - ex <= epsN, s"$tok: overcount ${cms - ex} > εN $epsN")
+    }
+  }
+
+  test("stratified split: exact per-stratum proportions, reproducible") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
+    val split = TextPrep.stratifiedSplit(docs, "source", "doc_id", 80, 10)
+    val counts = split.groupBy($"source", $"split").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val totals = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (src, n) =>
+      val c = counts(src)
+      // exact integer-boundary proportions: floor semantics of rk*100 <= n*pct
+      assert(c.getOrElse("train", 0L) == n * 80 / 100, s"$src train")
+      assert(c.getOrElse("train", 0L) + c.getOrElse("val", 0L) == n * 90 / 100, s"$src val")
+      assert(c.values.sum == n, s"$src total")
+    }
+    // reproducible: same assignment on re-run, membership disjoint by construction
+    val a = split.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val b = TextPrep.stratifiedSplit(docs, "source", "doc_id", 80, 10)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
   test("hll: estimate lands near the exact distinct count; state is bounded") {
     val events = Tables.events(spark, sf).select($"event_type", $"user_id")
     val est = Sketches.hllDistinct(events, Seq("event_type"), $"user_id")
