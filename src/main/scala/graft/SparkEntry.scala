@@ -209,6 +209,26 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bloom-pruned join (semi-join reduction): a selective predicate
+    * on orders leaves few keys; a Bloom filter of those keys prunes
+    * lineitem BEFORE its shuffle, then the real join makes the result
+    * exact (no false negatives ⇒ oracle is the plain join SQL). At
+    * 100 TB this turns the probe-side exchange from full-table into
+    * matching-rows-plus-ε. */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    BloomJoin.prunedJoin(li, o, "l_orderkey")
+      .groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("month"))
+      .agg(sum((col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("month"))
+  }
+
   /** Left-semi join: orders having at least one heavy lineitem. */
   def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
     val heavy = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
@@ -403,6 +423,23 @@ object Queries {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Survivor selection: the dedup pipeline's final stage. Each
+    * near-dup cluster keeps its best document (longest text, ties →
+    * smallest doc_id) and reports how many near-dups it displaced.
+    * Windows partition on the cluster key, so per-partition state is
+    * bounded by the largest (verified-near-identical, hence small)
+    * cluster. */
+  def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClusters(s, dir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+    Dedup.survivors(clusters.join(docs, "doc_id"),
+        "doc_id", "cluster_rep", "text_len")
+      .select(col("cluster_rep"), col("doc_id").as("survivor_id"),
+        col("cluster_size"), col("text_len"))
+      .orderBy(col("cluster_rep"))
   }
 
   /** SimHash near-dup: 32-bit simhash over 3-gram shingles (custom
@@ -1047,6 +1084,7 @@ object Queries {
     "q_sample_hash" -> (qSampleHash _),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
@@ -1060,6 +1098,7 @@ object Queries {
     "q_sync_antijoin" -> (qSyncAntijoin _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_shuffle" -> (qJoinShuffle _),
+    "q_bloom_join" -> (qBloomJoin _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_window_funcs" -> (qWindowFuncs _),
@@ -1322,6 +1361,17 @@ object Queries {
         |WHERE l_discount > 0.02 AND o_orderstatus <> 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // Bloom pruning has no false negatives and the real join runs
+    // after it, so the oracle is the plain join — the filter is pure
+    // exchange-volume optimization
+    "q_bloom_join" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
 
     "q_join_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -1903,6 +1953,32 @@ object Queries {
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u)
          |SELECT src AS doc_id, MIN(node) AS cluster_rep
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // survivor selection mirrors the cluster closure, then ranks each
+    // cluster by (text_len DESC, doc_id) — same deterministic
+    // tie-break as the Spark window
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |verified AS (SELECT id_a, id_b
+         |  FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+         |edges AS (SELECT id_a u, id_b v FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT u AS src, u AS node FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u),
+         |clusters AS (SELECT src AS doc_id, MIN(node) AS cluster_rep
+         |  FROM reach GROUP BY src),
+         |ranked AS (SELECT c.cluster_rep, c.doc_id,
+         |    CAST(length(d.text) AS BIGINT) AS text_len,
+         |    COUNT(*) OVER (PARTITION BY c.cluster_rep) AS cluster_size,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+         |      ORDER BY length(d.text) DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN documents d USING (doc_id))
+         |SELECT cluster_rep, doc_id AS survivor_id, cluster_size, text_len
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
 
     // KMV mirror: identical hash (first 8 md5 hex digits), identical
     // order statistics, identical double expression — bit-exact

