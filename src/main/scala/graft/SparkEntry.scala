@@ -264,6 +264,46 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Extended ranking-function family over a deterministic total
+    * order (totalprice desc, orderkey): dense_rank, ntile, the
+    * rank-ratio functions (exact rationals of small ints ⇒ bit-equal
+    * doubles on any engine), lead and first_value. One shuffle on the
+    * partition key; per-partition sort only. */
+  def qWindowRanks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).cast("long").as("drank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first_value(col("o_totalprice")).over(w).as("top_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** GROUPING SETS with explicit grouping() flags: the general form
+    * rollup/cube specialize. Spark expands to one Expand + one hash
+    * agg — rows × |sets| map-side, partial-agg before the shuffle. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("o_orderstatus")), Seq(col("n_name")), Seq()),
+        col("n_name"), col("o_orderstatus"))
+      .agg(grouping(col("n_name")).cast("long").as("g_nation"),
+           grouping(col("o_orderstatus")).cast("long").as("g_status"),
+           count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+      .orderBy(col("g_nation"), col("g_status"),
+        col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
   /** Top-k: TakeOrderedAndProject, no full sort at scale. */
   def qTopK(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1102,6 +1142,8 @@ object Queries {
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_window_funcs" -> (qWindowFuncs _),
+    "q_window_ranks" -> (qWindowRanks _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_topk" -> (qTopK _),
     "q_distinct" -> (qDistinct _),
     "q_setops" -> (qSetOps _),
@@ -1394,6 +1436,35 @@ object Queries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    // rank-ratio doubles are exact rationals of small ints — bit-equal
+    // across engines; ntile follows the standard first-buckets-get-+1
+    // rule on both
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS prank,
+        |  CUME_DIST() OVER w AS cdist,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_totalprice) OVER w AS top_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB ASC defaults to NULLS LAST where Spark defaults FIRST —
+    // spelled out explicitly on both sides
+    "q_grouping_sets" ->
+      """SELECT n_name, o_orderstatus,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+        |ORDER BY g_nation, g_status, n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -40,4 +40,28 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
     assert(total == Tables.events(spark, sf).count())
   }
+
+  test("window ranks: quartiles balanced, rank ratios in [0,1], top has prank 0") {
+    val rows = Queries.qWindowRanks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuartile = rows.groupBy(_.getLong(3)).view.mapValues(_.length).toMap
+    assert(byQuartile.keySet == Set(1L, 2L, 3L, 4L))
+    assert(byQuartile.values.max - byQuartile.values.min <= 5) // 5 partitions × ±1
+    assert(rows.forall { r =>
+      val p = r.getDouble(4); val c = r.getDouble(5)
+      p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0
+    })
+    assert(rows.filter(_.getDouble(4) == 0.0).length >= 5) // one rank-1 per partition
+  }
+
+  test("grouping sets: per-set counts reconcile with the grand total") {
+    val rows = Queries.qGroupingSets(spark, sf).collect()
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1)
+    val total = grand.head.getLong(4)
+    val perNation = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+    val perBoth = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 0)
+    assert(perNation.map(_.getLong(4)).sum == total)
+    assert(perBoth.map(_.getLong(4)).sum == total)
+  }
 }
