@@ -113,85 +113,143 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
-
   /** Connected components over verified near-dup pairs → the cluster
     * step a dedup pipeline needs after pair generation: every doc maps
     * to its component's MIN id (the canonical keep-representative;
     * drop rows where node != label to dedup).
     *
-    * Algorithm: min-label propagation with pointer jumping. Each round
-    * (1) every node takes the min of its own and its neighbors'
-    * labels, then (2) relabels through its label's label
-    * (label := label(label), valid because a node's label is always
-    * the id of a node in the same component and labels only
-    * decrease). The jump makes chain-shaped components — which DO
-    * occur in templated corpora — converge in O(log diameter) rounds
-    * instead of O(diameter), so maxIters=20 covers any realistic
-    * component (2^20-diameter chains) rather than silently splitting
-    * long chains. If the fixpoint is still not reached at maxIters the
-    * method THROWS instead of returning partial labels: callers hold
-    * an oracle-exact contract and a split component is a wrong answer,
-    * not a degraded one.
+    * Two execution paths, chosen by measured edge count:
     *
-    * Each round is two shuffles on node id (neighbor-min + jump) plus
-    * a scalar convergence count. Lineage is truncated per round:
-    * `localCheckpoint` by default (fast, executor-local blocks — fine
-    * single-node); pass `reliableCheckpointDir` on a real cluster so
-    * an executor loss mid-iteration replays from durable storage
-    * instead of killing the job. Deterministic: min() is
-    * associative/commutative, so the fixpoint is partition-order
-    * independent. */
+    * 1. Driver union-find (edges ≤ driverEdgeLimit, Long keys). The
+    *    verified-pair graph is a sliver of the corpus — only
+    *    near-identical docs pair up — so even a 100 TB corpus usually
+    *    yields a few million edges (5M ≈ 80 MB on the driver): one
+    *    collect + union-by-min replaces every shuffle round and is
+    *    immune to graph diameter.
+    *
+    * 2. Distributed alternating star contraction (Kiveris et al.,
+    *    "Connected Components in MapReduce and Beyond", SoCC'14) for
+    *    anything bigger. Each round rewrites the EDGE set: large-star
+    *    points every larger neighbor of a node at the neighborhood
+    *    minimum, small-star then folds each node's smaller neighbors
+    *    onto that minimum. Rewiring topology sidesteps the classic
+    *    hash-min pathology where a stale local minimum makes the
+    *    true-min wave crawl one hop per round (O(diameter) rounds on
+    *    rings and templated-corpus chains); star contraction is
+    *    provably O(log² n) rounds and ~5 in practice. Convergence is
+    *    detected EXACTLY — the edge set is a disjoint star forest iff
+    *    no canonical edge's smaller endpoint appears as a larger
+    *    endpoint and every larger endpoint has a single parent; both
+    *    phases are then fixpoints. If maxIters rounds pass without
+    *    reaching the star forest the method THROWS instead of
+    *    returning partial labels: callers hold an oracle-exact
+    *    contract and a split component is a wrong answer, not a
+    *    degraded one.
+    *
+    * Each phase is two bounded shuffles on node id (neighborhood-min
+    * agg + emit join) over a shrinking edge set. Lineage is truncated
+    * per round: `localCheckpoint` by default (fast, executor-local
+    * blocks — fine single-node); pass `reliableCheckpointDir` on a
+    * real cluster so an executor loss mid-iteration replays from
+    * durable storage instead of killing the job. Deterministic: min()
+    * is associative/commutative, so both paths produce the identical
+    * per-component-min labeling on any engine and partition order. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20, reliableCheckpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 20, reliableCheckpointDir: Option[String] = None,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     reliableCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def persistRound(df: DataFrame): DataFrame =
       if (reliableCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().cache()
-    var labels = persistRound(edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")))
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
-        .groupBy(col("u").as("node")).agg(min(col("vlabel")).as("nmin"))
-      // the previous label rides along as `old` so the convergence
-      // check below is a scan of the checkpointed frame — not the
-      // extra join-back-to-labels (one more shuffle per round) it
-      // would otherwise take
-      val relabeled = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      // pointer jump: label := min(label, label(label)); label(label)
-      // exists whenever label != node and is always in-component.
-      // Skipped in round 1 — star-shaped components (the near-dup
-      // norm) finish on plain neighbor-min alone, so the jump's extra
-      // shuffle only starts paying once a chain survives a round.
-      val next = persistRound(
-        if (iters == 0) relabeled
-        else relabeled.join(
-            relabeled.select(col("node").as("label"), col("label").as("ll")),
-            Seq("label"), "left")
-          .select(col("node"), col("old"),
-            least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
-      relabeled.unpersist()
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.drop("old")
-      iters += 1
-    }
+    // canonical undirected edges (lo < hi); self-pairs drop out of the
+    // edge set but their nodes are preserved via `nodes` below
+    val nodes = pairs.select(col(aCol).as("node"))
+      .unionByName(pairs.select(col(bCol).as("node"))).distinct().cache()
+    var edges = pairs.select(
+        least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().cache()
+
+    val longKeys = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val labels: DataFrame =
+      if (longKeys && edges.count() <= driverEdgeLimit) {
+        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          // union-by-min: the smaller root stays root, so every root
+          // is its component's minimum — the same labels the star
+          // contraction below produces
+          if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+        }
+        val nodeIds = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+        nodeIds.map(n => (n, find(n))).toSeq.toDF("node", "label")
+      } else {
+        // large-star: for each node u with symmetric neighborhood
+        // N(u) and m = min(N(u) ∪ {u}), emit (m, v) for every v > u
+        def largeStar(e: DataFrame): DataFrame = {
+          val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+            .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
+          val mins = sym.groupBy("u").agg(min("v").as("mv"))
+            .select(col("u"), least(col("u"), col("mv")).as("m"))
+          sym.join(mins, "u").filter(col("v") > col("u"))
+            .select(col("m").as("lo"), col("v").as("hi")).distinct()
+        }
+        // small-star: for each node u with smaller neighbors N(u) and
+        // m = min(N(u)), emit (m, v) for v ∈ N(u)∖{m} plus (m, u)
+        def smallStar(e: DataFrame): DataFrame = {
+          val dir = e.select(col("hi").as("u"), col("lo").as("v"))
+          val mins = dir.groupBy("u").agg(min("v").as("m"))
+          dir.join(mins, "u")
+            .select(col("m").as("lo"),
+              when(col("v") === col("m"), col("u")).otherwise(col("v")).as("hi"))
+            .filter(col("lo") =!= col("hi")).distinct()
+        }
+        // exact star-forest test: converged iff no lo is also a hi
+        // (no chains) and every hi has one parent (no double centers)
+        def isStarForest(e: DataFrame): Boolean = {
+          val chained = e.join(e.select(col("hi").as("lo")).distinct(),
+            Seq("lo"), "left_semi").isEmpty
+          lazy val singleParent = e.groupBy("hi")
+            .agg(count_distinct(col("lo")).as("n")).filter(col("n") > 1).isEmpty
+          chained && singleParent
+        }
+        var iters = 0
+        var converged = isStarForest(edges)
+        while (!converged && iters < maxIters) {
+          val prev = edges
+          edges = persistRound(smallStar(largeStar(edges)))
+          prev.unpersist()
+          converged = isStarForest(edges)
+          iters += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIters star-contraction " +
+              "rounds: the pair graph is pathologically large or adversarial; " +
+              "raise maxIters (rounds needed is O(log² n), ~5 in practice)")
+        edges.select(col("hi").as("node"), col("lo").as("label"))
+          .unionByName(edges.select(col("lo").as("node"), col("lo").as("label")))
+          .distinct()
+      }
+    // self-paired or otherwise edge-less nodes are their own cluster
+    val out = nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
     edges.unpersist()
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still moving): component diameter exceeds 2^$maxIters " +
-          "or the pair graph is pathological; raise maxIters")
-    labels
+    nodes.unpersist()
+    out
   }
+
 
   /** Survivor selection — the last stage of a dedup pipeline: given
     * cluster-labeled rows (`idCol`, `repCol` from

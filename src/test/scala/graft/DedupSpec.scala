@@ -121,12 +121,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
-  test("connected components: pointer jumping collapses a 64-chain within log-bounded rounds") {
+  test("connected components: star contraction collapses a 64-chain within log-bounded rounds") {
     // A 64-node chain has diameter 63: plain min propagation needs 63
-    // rounds, pointer jumping O(log n). maxIters=10 only passes if the
-    // jump is doing its job.
+    // rounds, star contraction O(log² n). maxIters=10 only passes if
+    // the contraction is doing its job.
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 10)
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 10,
+        driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(cc.length == 64)
     assert(cc.forall(_._2 == 0L))
@@ -135,7 +136,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   test("connected components: non-convergence throws instead of returning split labels") {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 1)
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 1,
+        driverEdgeLimit = 0)
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -147,10 +149,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val reliable = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
-        reliableCheckpointDir = Some(dir))
+        reliableCheckpointDir = Some(dir), driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(local == reliable)
     assert(new java.io.File(dir).exists) // checkpoints actually landed on disk
+  }
+
+  test("driver union-find and distributed star contraction produce identical labels") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.tabulate(300)(_ => (rnd.nextLong(500).abs, rnd.nextLong(500).abs))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val viaCluster = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaCluster)
   }
 
   test("cluster query: every verified pair lands in one cluster; reps are members") {
