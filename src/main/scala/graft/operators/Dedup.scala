@@ -163,11 +163,15 @@ object Dedup {
     def persistRound(df: DataFrame): DataFrame =
       if (reliableCheckpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
+    // materialize the (possibly expensive — LSH + verify) pair
+    // pipeline ONCE; nodes, edges, and the final join all read this
+    // cache instead of re-running the upstream per consumer
+    val p = pairs.select(col(aCol), col(bCol)).cache()
     // canonical undirected edges (lo < hi); self-pairs drop out of the
     // edge set but their nodes are preserved via `nodes` below
-    val nodes = pairs.select(col(aCol).as("node"))
-      .unionByName(pairs.select(col(bCol).as("node"))).distinct().cache()
-    var edges = pairs.select(
+    val nodes = p.select(col(aCol).as("node"))
+      .unionByName(p.select(col(bCol).as("node"))).distinct()
+    var edges = p.select(
         least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct().cache()
@@ -242,11 +246,14 @@ object Dedup {
           .unionByName(edges.select(col("lo").as("node"), col("lo").as("label")))
           .distinct()
       }
-    // self-paired or otherwise edge-less nodes are their own cluster
-    val out = nodes.join(labels, Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    // self-paired or otherwise edge-less nodes are their own cluster.
+    // Materialize eagerly BEFORE dropping the caches — returning the
+    // lazy plan and unpersisting would silently re-run the whole pair
+    // pipeline when the caller first acts on the result.
+    val out = persistRound(nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label")))
     edges.unpersist()
-    nodes.unpersist()
+    p.unpersist()
     out
   }
 
