@@ -209,6 +209,44 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Exact global quantiles (median, p95) of lineitem extendedprice
+    * WITHOUT a global sort — histogram refinement narrows to the
+    * rank's bucket in one counting aggregation per pass
+    * ([[Quantiles]]). Rank rule ceil(q·n) = lower-discrete quantile,
+    * spelled out identically in the oracle via ROW_NUMBER. */
+  def qQuantileGlobal(s: SparkSession, dir: String): DataFrame =
+    Quantiles.quantiles(Tables.lineitem(s, dir), "l_extendedprice",
+      Seq(0.5, 0.95)).orderBy(col("q"))
+
+  /** CSV source/sink round-trip: write nation as CSV (header, Spark's
+    * quoting), read it back with the EXPLICIT parquet schema (no
+    * inference flakiness), aggregate. The oracle aggregates the
+    * parquet directly, so the hash-match proves the CSV reader/writer
+    * are lossless for ints and quoted strings. */
+  def qSourceCsv(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    n.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.schema(n.schema).option("header", "true").csv(tmp)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  /** JSON-lines source/sink round-trip on customer — doubles survive
+    * because Spark serializes with shortest-round-trip repr. Proves
+    * the JSON reader/writer path against the same parquet oracle. */
+  def qSourceJson(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+    c.write.mode("overwrite").json(tmp)
+    s.read.schema(c.schema).json(tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("c_acctbal").cast(dec)).cast("double").as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Bloom-pruned join (semi-join reduction): a selective predicate
     * on orders leaves few keys; a Bloom filter of those keys prunes
     * lineitem BEFORE its shuffle, then the real join makes the result
@@ -1139,6 +1177,9 @@ object Queries {
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_shuffle" -> (qJoinShuffle _),
     "q_bloom_join" -> (qBloomJoin _),
+    "q_source_csv" -> (qSourceCsv _),
+    "q_quantile_global" -> (qQuantileGlobal _),
+    "q_source_json" -> (qSourceJson _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_window_funcs" -> (qWindowFuncs _),
@@ -1403,6 +1444,34 @@ object Queries {
         |WHERE l_discount > 0.02 AND o_orderstatus <> 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the rank-k element VALUE is unique regardless of tie order, so
+    // ROW_NUMBER's arbitrary tie-break is safe; ceil(q*n) mirrors the
+    // Spark-side rank rule exactly
+    "q_quantile_global" ->
+      """WITH ranked AS (SELECT l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT q, v FROM (
+        |  SELECT CAST(0.5 AS DOUBLE) AS q, v FROM ranked
+        |    WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(0.95 AS DOUBLE) AS q, v FROM ranked
+        |    WHERE rn = CAST(ceil(0.95 * n) AS BIGINT))
+        |ORDER BY q""".stripMargin,
+
+    // round-trips go through Spark's CSV/JSON writers and readers;
+    // the oracle reads the original parquet, so a hash-match proves
+    // the file-format path is lossless
+    "q_source_csv" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_source_json" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // Bloom pruning has no false negatives and the real join runs
     // after it, so the oracle is the plain join — the filter is pure

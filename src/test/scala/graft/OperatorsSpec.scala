@@ -62,4 +62,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .select("id").as[Long].collect().toSeq
     assert(out == Seq(1L))
   }
+
+  test("rank element matches a full sort at every probed rank, incl. refinement path") {
+    val rnd = new scala.util.Random(11)
+    val vals = Array.fill(5000)(rnd.nextDouble() * 1000.0 - 500.0)
+    val sorted = vals.sorted
+    val df = vals.toSeq.toDF("x")
+    // collectLimit=100 forces several histogram-refinement passes
+    Seq(1L, 7L, 2500L, 4999L, 5000L).foreach { k =>
+      val got = Quantiles.rankElement(df, "x", k, buckets = 16, collectLimit = 100)
+      assert(got == sorted((k - 1).toInt), s"rank $k")
+    }
+  }
+
+  test("rank element survives heavy duplication (stalled-bucket path)") {
+    val vals = Array.fill(2000)(42.0) ++ Array(1.0, 99.0)
+    val df = vals.toSeq.toDF("x")
+    assert(Quantiles.rankElement(df, "x", 1L, buckets = 8, collectLimit = 10) == 1.0)
+    assert(Quantiles.rankElement(df, "x", 1000L, buckets = 8, collectLimit = 10) == 42.0)
+    assert(Quantiles.rankElement(df, "x", 2002L, buckets = 8, collectLimit = 10) == 99.0)
+  }
+
+  test("csv and json round-trips preserve row counts and aggregates") {
+    val csv = Queries.qSourceCsv(spark, sf).collect()
+    assert(csv.map(_.getLong(1)).sum == Tables.nation(spark, sf).count())
+    val json = Queries.qSourceJson(spark, sf).collect()
+    assert(json.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+  }
 }
