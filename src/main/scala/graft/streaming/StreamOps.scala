@@ -69,4 +69,58 @@ object StreamOps {
       .outputMode(OutputMode.Update)
       .format("memory").queryName(name)
       .start()
+
+  final case class BandHit(band_idx: Int, band_key: String,
+      doc_id: Long, rep_id: Long, is_first: Boolean)
+
+  /** Streaming NEAR-dup detection — the batch MinHash+LSH pipeline's
+    * stateful analog. Arriving docs are shingled, minhash-signed, and
+    * band-keyed with the SAME fused expressions as the batch path
+    * (identical operating point, 16 bands × 4 rows), then each band
+    * bucket keeps its first-seen doc id as state: a doc emitted with
+    * `rep_id != doc_id` in ANY band is an LSH near-dup candidate of
+    * that representative, which downstream (foreachBatch) verifies or
+    * drops exactly like the batch verify stage.
+    *
+    * Scale shape: state is one Long per distinct band key — the same
+    * cardinality the batch shuffle blocks on, bounded further by
+    * `timeoutMinutes` eviction (processing-time, refreshed on access)
+    * so an unbounded corpus can't accrete unbounded state. Within a
+    * micro-batch, rows in each bucket are processed in doc-id order,
+    * so the chosen representative is deterministic under replay. */
+  def nearDupStream(spark: SparkSession, docs: DataFrame,
+      timeoutMinutes: Option[Int] = None): Dataset[BandHit] = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val banded = Dedup.withLshBands(Dedup.withMinhashSignature(
+        Dedup.withShingles(docs.select(col("doc_id").cast("long"), col("text")), "text")))
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+      .as[(Long, Int, String)]
+    val timeoutConf = if (timeoutMinutes.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    banded.groupByKey { case (_, idx, key) => s"$idx:$key" }
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[(Long, Int, String)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val inBatch = rows.toArray.sortBy(_._1)
+            var rep = state.getOption
+            val out = inBatch.map { case (id, idx, bkey) =>
+              rep match {
+                case None =>
+                  rep = Some(id)
+                  BandHit(idx, bkey, id, id, is_first = true)
+                case Some(r) =>
+                  BandHit(idx, bkey, id, r, is_first = false)
+              }
+            }
+            rep.foreach(state.update)
+            timeoutMinutes.foreach(m =>
+              state.setTimeoutDuration(s"$m minutes"))
+            out.iterator
+          }
+      }
+  }
 }

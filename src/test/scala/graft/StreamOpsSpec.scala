@@ -67,6 +67,36 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags cross-batch LSH collisions against first-seen reps") {
+    val input = Files.createTempDirectory("neardup-in").toString
+    val textA = (1 to 40).map(i => s"token$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"other$i").mkString(" ")
+    val b1 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema(b1.schema).parquet(input)
+    val q = StreamOps.nearDupStream(spark, stream).writeStream
+      .outputMode("append").format("memory").queryName("neardup_test").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("neardup_test").as[StreamOps.BandHit].collect()
+      assert(after1.forall(_.is_first), "batch 1 docs are all new buckets")
+      assert(after1.count(_.doc_id == 1L) == graft.operators.Dedup.LshBands)
+
+      // batch 2: doc 11 is an exact copy of doc 1's text (collides in
+      // all 16 bands), doc 12 is fresh
+      Seq((11L, textA), (12L, (1 to 40).map(i => s"fresh$i").mkString(" ")))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      val hits = spark.table("neardup_test").as[StreamOps.BandHit].collect()
+      val doc11 = hits.filter(_.doc_id == 11L)
+      assert(doc11.length == graft.operators.Dedup.LshBands)
+      assert(doc11.forall(h => !h.is_first && h.rep_id == 1L),
+        "replayed text must hit doc 1's buckets in every band")
+      val doc12 = hits.filter(_.doc_id == 12L)
+      assert(doc12.forall(_.is_first), "fresh text opens fresh buckets")
+    } finally q.stop()
+  }
+
   test("nested path get/replace") {
     val df = Seq((1L, ("a", 2))).toDF("id", "s")
       .select($"id", struct($"s._1".as("x"), struct($"s._2".as("y")).as("inner")).as("s"))
