@@ -1124,8 +1124,11 @@ object Queries {
     val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    val counters = operators.Sketches.cmsCounters(toks, "tok")
-    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    // one token explode + one shuffle: the sketch cells are summed
+    // from the exact per-token counts (identical cell values to
+    // feeding the raw stream) instead of re-exploding the corpus
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt")).cache()
+    val counters = operators.Sketches.cmsCountersWeighted(exact, "tok", "exact_cnt")
     operators.Sketches.cmsEstimate(exact, "tok", counters)
       .join(exact, "tok")
       .filter(col("cms_est") >= 100)
@@ -1143,6 +1146,17 @@ object Queries {
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
       .orderBy(col("source"), col("split"))
+
+  /** Weighted (PPS) systematic sample of ~100 docs by char count via
+    * the distributed-prefix-sum sampler ([[operators.TextPrep
+    * .systematicWeightedSample]]); the oracle computes the same
+    * all-integer selection rule with a single global window. */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    operators.TextPrep.systematicWeightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 100)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_repetition" -> (qQualityRepetition _),
@@ -1167,6 +1181,7 @@ object Queries {
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     "q_split_stratified" -> (qSplitStratified _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q1_agg" -> (q1Agg _),
     "q_filter_jsonpath" -> (qFilterJsonpath _),
     "q_filter_jsonpath_deep" -> (qFilterJsonpathDeep _),
@@ -2191,6 +2206,19 @@ object Queries {
         |  COUNT(*) AS n, MIN(doc_id) AS min_id
         |FROM r GROUP BY source, split
         |ORDER BY source, split""".stripMargin,
+
+    // PPS systematic sampling: selection iff the row's weight interval
+    // crosses a multiple of total/k — integer floor division on both
+    // engines (DuckDB //, Spark div), hash order (md5 hex, doc_id)
+    "q_sample_weighted" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_cum,
+        |    SUM(n_chars) OVER () AS w_tot
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM c
+        |WHERE (w_cum * 100) // w_tot > ((w_cum - n_chars) * 100) // w_tot
+        |ORDER BY doc_id""".stripMargin,
 
     "q_date_fns" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

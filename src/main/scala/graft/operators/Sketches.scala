@@ -143,6 +143,21 @@ object Sketches {
       .select(col("row_idx"), cmsCell(col("row_idx"), col("_it")).as("cell"))
       .groupBy(col("row_idx"), col("cell")).agg(count(lit(1)).as("cnt"))
 
+  /** Same sketch built from pre-aggregated (item, count) rows: each
+    * cell sums the counts of the items hashing into it — bit-identical
+    * to feeding the raw multiset through [[cmsCounters]], but the
+    * explode×d runs over DISTINCT items (typically 100-1000× fewer
+    * rows than the stream). Use when an exact per-item aggregate
+    * already exists in the plan. */
+  def cmsCountersWeighted(itemCounts: DataFrame, itemCol: String,
+      countCol: String): DataFrame =
+    itemCounts
+      .select(explode(array((0 until CmsD).map(lit): _*)).as("row_idx"),
+        col(itemCol).as("_it"), col(countCol).as("_w"))
+      .select(col("row_idx"), cmsCell(col("row_idx"), col("_it")).as("cell"),
+        col("_w"))
+      .groupBy(col("row_idx"), col("cell")).agg(sum(col("_w")).as("cnt"))
+
   /** Point-query the sketch for every row of `candidates`: the
     * estimate is the MIN over the d row counters — an upper bound on
     * the true count (never under), within ε·N with probability 1−δ.

@@ -88,6 +88,46 @@ object TextPrep {
       .filter(col("rk") <= quota)
   }
 
+  /** Weighted systematic sampling: select ~k rows with probability
+    * proportional to `weightCol` (PPS) — the corpus-mixing primitive
+    * ("sample 100k documents weighted by length/quality from this
+    * source"). Rows are laid on a deterministic hash order, weights
+    * cumulated, and a row is selected iff its weight interval crosses
+    * a multiple of total/k — all-integer arithmetic, so membership is
+    * bit-reproducible on any engine (requires weight·k < 2^63; at
+    * 100 TB of chars and k=10^4 that is ~10^18, inside the bound).
+    *
+    * Scale shape: the running sum is a DISTRIBUTED prefix sum, not a
+    * global window — rows shard by the first hex digit of the hash
+    * (a PREFIX of the global order, so shard cumsums + shard offsets
+    * reconstruct the exact global running sum), the per-shard window
+    * sorts only its shard, and the 16 shard totals cumulate in a
+    * bounded 16-row window before broadcasting back. */
+  def systematicWeightedSample(df: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sharded = df
+      .withColumn("_m", md5(col(idCol).cast("string")))
+      .withColumn("_shard", substring(col("_m"), 1, 1))
+      .withColumn("_w", col(weightCol).cast("long"))
+    val wLocal = Window.partitionBy(col("_shard"))
+      .orderBy(col("_m"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("_cum_local", sum(col("_w")).over(wLocal))
+    val wOff = Window.orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = local.groupBy(col("_shard")).agg(sum(col("_w")).as("_tot"))
+      .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+      .withColumn("_wtot", sum(col("_tot")).over(wAll))
+      .select(col("_shard"), col("_off"), col("_wtot"))
+    local.join(broadcast(offsets), "_shard")
+      .withColumn("_cum", col("_off") + col("_cum_local"))
+      .filter(expr(s"(_cum * $k) div _wtot > ((_cum - _w) * $k) div _wtot"))
+      .drop("_m", "_shard", "_w", "_cum_local", "_off", "_wtot", "_cum")
+  }
+
   /** Per-phrase document frequency over distinct word n-grams — the
     * detection half of C4-style boilerplate cleaning: a phrase
     * appearing in many distinct documents is template/boilerplate

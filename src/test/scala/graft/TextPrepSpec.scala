@@ -187,6 +187,39 @@ class TextPrepSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cms: weighted counters over distinct items equal raw-stream counters") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok")).filter($"tok" =!= "")
+    val raw = Sketches.cmsCounters(toks, "tok")
+      .as[(Int, Long, Long)].collect().toSet
+    val weighted = Sketches.cmsCountersWeighted(
+        toks.groupBy($"tok").agg(count(lit(1)).as("c")), "tok", "c")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(raw == weighted)
+  }
+
+  test("weighted systematic sample equals the single-window reference; ~k rows") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+    val k = 50
+    val got = TextPrep.systematicWeightedSample(docs, "doc_id", "n_chars", k)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: one global running-sum window (fine at test scale)
+    val wAll = Window.orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = docs.agg(sum($"n_chars")).head().getLong(0)
+    val ref = docs.withColumn("cum", sum($"n_chars").over(wAll))
+      .filter(expr(s"(cum * $k) div $tot > ((cum - n_chars) * $k) div $tot"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == ref)
+    assert(math.abs(got.size - k) <= 2, s"got ${got.size} rows, wanted ~$k")
+    // PPS property: the sample's mean weight exceeds the corpus mean
+    val meanAll = tot.toDouble / docs.count()
+    val meanSample = docs.filter($"doc_id".isin(got.toSeq: _*))
+      .agg(avg($"n_chars")).head().getDouble(0)
+    assert(meanSample > meanAll)
+  }
+
   test("stratified split: exact per-stratum proportions, reproducible") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
     val split = TextPrep.stratifiedSplit(docs, "source", "doc_id", 80, 10)
