@@ -70,6 +70,25 @@ object StreamOps {
       .format("memory").queryName(name)
       .start()
 
+  /** Stream-stream interval join: match each left event to right
+    * events for the same key within `[left.ts, left.ts + within]`.
+    * Both sides carry watermarks, so Spark bounds the join state on
+    * BOTH buffers — without the time bound and watermarks the state
+    * grows with the stream and this is the canonical streaming OOM.
+    * The watermark must be at least `within` late-bound or matches
+    * are silently dropped; callers pass both explicitly to keep that
+    * contract visible. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      nsCol: String, lateness: String, within: String): DataFrame = {
+    val l = eventTime(left, nsCol).withWatermark("event_time", lateness)
+    val r = eventTime(right, nsCol).withWatermark("event_time", lateness)
+      .select(col(keyCol).as("r_key"), col("event_time").as("r_time"))
+    l.join(r,
+      col(keyCol) === col("r_key") &&
+        col("r_time") >= col("event_time") &&
+        col("r_time") <= col("event_time") + expr(s"INTERVAL $within"))
+  }
+
   final case class BandHit(band_idx: Int, band_key: String,
       doc_id: Long, rep_id: Long, is_first: Boolean)
 

@@ -224,4 +224,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .intersect(keys.as[Long].collect().toSet) // {0, 7919, 15838}
     assert(joined == expected)
   }
+
+  test("bloom probe filter runs below the join exchange (pre-shuffle prune)") {
+    val plan = Queries.qBloomJoin(spark, sf).queryExecution.executedPlan.toString
+    // the membership test must sit under the shuffle feeding the join:
+    // in the plan tree the Filter containing the bit-array probe
+    // (element_at over the literal) appears AFTER (deeper than) the
+    // exchange line that consumes it
+    val lines = plan.linesIterator.toVector
+    val probeIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("element_at"))
+    assert(probeIdx >= 0, s"no bloom probe filter in plan:\n$plan")
+    // children print below their parent: the lineitem scan this
+    // filter consumes must follow it with no Exchange in between —
+    // i.e. the prune applies on scan output, before any shuffle
+    val scanIdx = lines.indexWhere(_.contains("Scan parquet"), probeIdx)
+    assert(scanIdx > probeIdx, s"no scan under the probe filter:\n$plan")
+    assert(!lines.slice(probeIdx + 1, scanIdx).exists(_.contains("Exchange")),
+      s"exchange between probe filter and scan:\n$plan")
+  }
 }

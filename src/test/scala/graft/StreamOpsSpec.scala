@@ -67,6 +67,35 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the bound, state is watermarked") {
+    val inL = Files.createTempDirectory("ssj-l").toString
+    val inR = Files.createTempDirectory("ssj-r").toString
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val l1 = Seq((1L, 10L * hourNs), (2L, 10L * hourNs)).toDF("user_id", "ts")
+    val r1 = Seq((1L, 10L * hourNs + hourNs / 2), // in window for user 1
+                 (2L, 13L * hourNs))              // outside 1h for user 2
+      .toDF("user_id", "ts")
+    l1.coalesce(1).write.mode("append").parquet(inL)
+    r1.coalesce(1).write.mode("append").parquet(inR)
+    val sl = spark.readStream.schema(l1.schema).parquet(inL)
+    val sr = spark.readStream.schema(r1.schema).parquet(inR)
+    val q = StreamOps.intervalJoin(sl, sr, "user_id", "ts", "2 hours", "1 hour")
+      .select("user_id").writeStream
+      .outputMode("append").format("memory").queryName("ssj_test").start()
+    try {
+      q.processAllAvailable()
+      val matched = spark.table("ssj_test").as[Long].collect().toSeq
+      assert(matched == Seq(1L), s"got $matched")
+      // the join is stateful on BOTH sides: late-but-in-window right
+      // rows arriving in a later batch still match
+      Seq((2L, 10L * hourNs + hourNs / 4)).toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(inR)
+      q.processAllAvailable()
+      val after2 = spark.table("ssj_test").as[Long].collect().sorted.toSeq
+      assert(after2 == Seq(1L, 2L), s"got $after2")
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags cross-batch LSH collisions against first-seen reps") {
     val input = Files.createTempDirectory("neardup-in").toString
     val textA = (1 to 40).map(i => s"token$i").mkString(" ")
