@@ -209,6 +209,42 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Time-series gap filling: densify each user's hourly event counts
+    * over their own [min,max] hour span, missing hours as 0 — the
+    * resample step before any windowed trend/feature computation.
+    * `sequence`+`explode` generates rows (per-user bounded span), the
+    * observed counts left-join in; no global calendar table, no skew:
+    * generation and join both key on user_id. */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val hr = expr("ts div 3600000000000").as("hr")
+    val ev = Tables.events(s, dir).filter(col("user_id") < 50)
+      .select(col("user_id"), hr)
+    val counts = ev.groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_obs"))
+    val spans = counts.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    spans.select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"))).as("hr"))
+      .join(counts, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_obs"), lit(0L)).as("n"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  /** Higher-order array functions (codegen'd lambda family): per-order
+    * sorted quantity vector, then filter / transform / aggregate over
+    * it — all-integer lambdas, so cross-engine exact. */
+  def qArrayFns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(filter(col("qs"), x => x >= 25)).cast("long").as("n_big"),
+        aggregate(transform(col("qs"), x => x * 2), lit(0L), (acc, x) => acc + x)
+          .as("dbl_sum"),
+        element_at(col("qs"), 1).as("min_q"))
+      .orderBy(col("l_orderkey"))
+
   /** Exact global quantiles (median, p95) of lineitem extendedprice
     * WITHOUT a global sort — histogram refinement narrows to the
     * rank's bucket in one counting aggregation per pass
@@ -1194,6 +1230,8 @@ object Queries {
     "q_bloom_join" -> (qBloomJoin _),
     "q_source_csv" -> (qSourceCsv _),
     "q_quantile_global" -> (qQuantileGlobal _),
+    "q_gapfill" -> (qGapFill _),
+    "q_array_fns" -> (qArrayFns _),
     "q_source_json" -> (qSourceJson _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
@@ -1459,6 +1497,30 @@ object Queries {
         |WHERE l_discount > 0.02 AND o_orderstatus <> 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // DuckDB sees the ns timestamps via epoch_ns; integer hour ids on
+    // both sides, generate_series/sequence both inclusive
+    "q_gapfill" ->
+      """WITH h AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
+        |    COUNT(*) AS n_obs
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM b)
+        |SELECT g.user_id, g.hr, COALESCE(h.n_obs, 0) AS n
+        |FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    // all-integer lambdas: filter/transform/aggregate mirror
+    // list_filter/list_transform/list_aggregate exactly
+    "q_array_fns" ->
+      """WITH a AS (SELECT l_orderkey,
+        |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(len(list_filter(qs, x -> x >= 25)) AS BIGINT) AS n_big,
+        |  CAST(list_aggregate(list_transform(qs, x -> x * 2), 'sum') AS BIGINT) AS dbl_sum,
+        |  qs[1] AS min_q
+        |FROM a ORDER BY l_orderkey""".stripMargin,
 
     // the rank-k element VALUE is unique regardless of tie order, so
     // ROW_NUMBER's arbitrary tie-break is safe; ceil(q*n) mirrors the

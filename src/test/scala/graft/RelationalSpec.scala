@@ -54,6 +54,30 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.filter(_.getDouble(4) == 0.0).length >= 5) // one rank-1 per partition
   }
 
+  test("gap fill: spans are dense per user and observed counts are preserved") {
+    import org.apache.spark.sql.functions._
+    val filled = Queries.qGapFill(spark, sf)
+    val perUser = filled.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"), (max("hr") - min("hr") + 1).as("span"),
+           sum("n").as("events"))
+      .collect()
+    perUser.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"user ${r.get(0)}: rows != span")
+    }
+    val observed = Tables.events(spark, sf)
+      .filter(col("user_id") < 50).count()
+    assert(perUser.map(_.getLong(3)).sum == observed)
+  }
+
+  test("array higher-order functions compute exact integer lambdas") {
+    val rows = Queries.qArrayFns(spark, sf).limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 2 == 0, "doubled sum must be even")
+      assert(r.getLong(3) >= 1, "min quantity positive")
+    }
+  }
+
   test("grouping sets: per-set counts reconcile with the grand total") {
     val rows = Queries.qGroupingSets(spark, sf).collect()
     val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
