@@ -209,6 +209,32 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Incremental aggregation: partial aggregates of an old partition
+    * and a new delta batch MERGE into the full result (count/sum add,
+    * min/max combine) without rescanning the base — the pattern that
+    * keeps a 100 TB rollup incremental when a day of data lands. The
+    * oracle recomputes from scratch; the hash-match proves merge ≡
+    * recompute (all merged stats are associative, sums in DECIMAL). */
+  def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast(dec)).as("s"),
+             min(col("o_totalprice")).as("mn"),
+             max(col("o_totalprice")).as("mx"))
+    val cut = "1996-01-01"
+    val base = partial(o.filter(col("o_orderdate") < lit(cut)))
+    val delta = partial(o.filter(col("o_orderdate") >= lit(cut)))
+    base.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"),
+           sum(col("s")).cast("double").as("revenue"),
+           min(col("mn")).as("min_price"),
+           max(col("mx")).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Time-series gap filling: densify each user's hourly event counts
     * over their own [min,max] hour span, missing hours as 0 — the
     * resample step before any windowed trend/feature computation.
@@ -1231,6 +1257,7 @@ object Queries {
     "q_source_csv" -> (qSourceCsv _),
     "q_quantile_global" -> (qQuantileGlobal _),
     "q_gapfill" -> (qGapFill _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q_array_fns" -> (qArrayFns _),
     "q_source_json" -> (qSourceJson _),
     "q_join_semi" -> (qJoinSemi _),
@@ -1497,6 +1524,14 @@ object Queries {
         |WHERE l_discount > 0.02 AND o_orderstatus <> 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // merge ≡ recompute for associative stats: the oracle just
+    // aggregates the whole table
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // DuckDB sees the ns timestamps via epoch_ns; integer hour ids on
     // both sides, generate_series/sequence both inclusive
