@@ -209,6 +209,43 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Null-semantics battery: COUNT(col) vs COUNT(*), null-safe
+    * equality, COALESCE/NULLIF, and null-skipping aggregates over a
+    * derived column with injected nulls — parity of the exact corner
+    * rules engines most often disagree on. */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("p5", when(col("o_orderkey") % 5 === 0, col("o_totalprice")))
+    o.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("p5")).as("n_nonnull"),
+           sum(when(col("p5") <=> lit(null), 1L).otherwise(0L)).as("n_nullsafe_null"),
+           sum(coalesce(col("p5"), lit(0.0)).cast(dec)).cast("double").as("sum_coalesced"),
+           sum(nullif(col("o_orderkey") % 5, lit(0)).cast("long")).as("sum_nullif"),
+           min(col("p5")).as("min_skipnull"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Correlated scalar subqueries — orders priced above 2× their
+    * customer's average — written as SQL and DECORRELATED by Catalyst
+    * into aggregates joined back (no per-row re-execution). The
+    * average is restated as price·count > 2·sum so every comparand is
+    * exactly representable (a division-form average in doubles is
+    * partition-order sensitive); sum runs in DECIMAL. */
+  def qCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_v o
+      WHERE o_totalprice * (
+          SELECT COUNT(*) FROM orders_v o2
+          WHERE o2.o_custkey = o.o_custkey)
+        > 2 * (
+          SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders_v o2
+          WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
   /** Incremental aggregation: partial aggregates of an old partition
     * and a new delta batch MERGE into the full result (count/sum add,
     * min/max combine) without rescanning the base — the pattern that
@@ -1258,6 +1295,8 @@ object Queries {
     "q_quantile_global" -> (qQuantileGlobal _),
     "q_gapfill" -> (qGapFill _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_null_semantics" -> (qNullSemantics _),
+    "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
     "q_source_json" -> (qSourceJson _),
     "q_join_semi" -> (qJoinSemi _),
@@ -1524,6 +1563,33 @@ object Queries {
         |WHERE l_discount > 0.02 AND o_orderstatus <> 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // null corner rules: COUNT(col) skips nulls, <=> is IS NOT
+    // DISTINCT FROM, NULLIF(x,0), aggregates skip nulls
+    "q_null_semantics" ->
+      """WITH o AS (SELECT *, CASE WHEN o_orderkey % 5 = 0
+        |    THEN o_totalprice END AS p5 FROM orders)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(p5) AS n_nonnull,
+        |  CAST(SUM(CASE WHEN p5 IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+        |  CAST(SUM(CAST(COALESCE(p5, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_coalesced,
+        |  CAST(SUM(NULLIF(o_orderkey % 5, 0)) AS BIGINT) AS sum_nullif,
+        |  MIN(p5) AS min_skipnull
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // identical multiplicative predicate — every comparand exactly
+    // representable, so decorrelation vs direct evaluation agree
+    "q_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice * (
+        |    SELECT COUNT(*) FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey)
+        |  > 2 * (
+        |    SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // merge ≡ recompute for associative stats: the oracle just
     // aggregates the whole table
