@@ -155,6 +155,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(dir).exists) // checkpoints actually landed on disk
   }
 
+  test("star contraction collapses a 400-ring (the hash-min drip pathology)") {
+    // a ring has no tree structure for pointer jumping to exploit —
+    // hash-min + jump crawled one hop per round here; star contraction
+    // must converge in O(log² n) rounds
+    val n = 400L
+    val ring = (0L until n).map(i => (i, (i + 1) % n)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(ring, "doc_a", "doc_b",
+        maxIters = 15, driverEdgeLimit = 0)
+      .as[(Long, Long)].collect()
+    assert(cc.length == n)
+    assert(cc.forall(_._2 == 0L))
+  }
+
   test("driver union-find and distributed star contraction produce identical labels") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.tabulate(300)(_ => (rnd.nextLong(500).abs, rnd.nextLong(500).abs))
