@@ -854,6 +854,34 @@ object Queries {
       .orderBy(col("band"))
   }
 
+  /** Interval-overlap join where BOTH sides are large — the case
+    * broadcast range joins can't touch. Purchase windows (1 h) and
+    * view windows (30 min) per user are exploded onto the hour bins
+    * they span, equi-joined on (user, bin) — so the only shuffle is
+    * on a bounded composite key, never a nested-loop — then exact
+    * overlap filters and pair-distinct remove bin duplicates.
+    * Timestamps are µs on both sides (DuckDB truncates ns parquet to
+    * µs; `ts div 1000` mirrors it exactly). */
+  def qIntervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val ev = Tables.events(s, dir).withColumn("t_us", expr("ts div 1000"))
+    def windows(kind: String, widthUs: Long, pre: String) =
+      ev.filter(col("event_type") === kind)
+        .select(col("user_id"), col("event_id").as(s"${pre}_id"),
+          col("t_us").as(s"${pre}_lo"),
+          (col("t_us") + lit(widthUs)).as(s"${pre}_hi"))
+        .withColumn("bin",
+          explode(sequence(expr(s"${pre}_lo div $hourUs"), expr(s"${pre}_hi div $hourUs"))))
+    windows("purchase", hourUs, "p")
+      .join(windows("view", hourUs / 2, "v"), Seq("user_id", "bin"))
+      .filter(col("p_lo") < col("v_hi") && col("v_lo") < col("p_hi"))
+      .select(col("user_id"), col("p_id"), col("v_id")).distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_overlaps"),
+           min(col("p_id") * 100000 + col("v_id")).as("min_pair"))
+      .orderBy(col("user_id"))
+  }
+
   /** As-of (point-in-time) join expressed without any join: for each
     * purchase, the most recent prior view by the same user — union the
     * two event roles and take last(view_id ignoring nulls) over a
@@ -1291,6 +1319,7 @@ object Queries {
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_shuffle" -> (qJoinShuffle _),
     "q_bloom_join" -> (qBloomJoin _),
+    "q_interval_overlap" -> (qIntervalOverlapJoin _),
     "q_source_csv" -> (qSourceCsv _),
     "q_quantile_global" -> (qQuantileGlobal _),
     "q_gapfill" -> (qGapFill _),
@@ -1563,6 +1592,22 @@ object Queries {
         |WHERE l_discount > 0.02 AND o_orderstatus <> 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // µs timestamps on both sides (epoch_us == Spark's ts div 1000
+    // for the ns-parquet column); the oracle joins by plain
+    // inequality — binning must not change the result
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS t_us FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, t_us AS p_lo,
+        |    t_us + 3600000000 AS p_hi FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, t_us AS v_lo,
+        |    t_us + 1800000000 AS v_hi FROM e WHERE event_type = 'view')
+        |SELECT p.user_id, COUNT(*) AS n_overlaps,
+        |  MIN(p_id * 100000 + v_id) AS min_pair
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |WHERE p_lo < v_hi AND v_lo < p_hi
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
 
     // null corner rules: COUNT(col) skips nulls, <=> is IS NOT
     // DISTINCT FROM, NULLIF(x,0), aggregates skip nulls

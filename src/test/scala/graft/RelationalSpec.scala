@@ -54,6 +54,28 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.filter(_.getDouble(4) == 0.0).length >= 5) // one rank-1 per partition
   }
 
+  test("binned interval join equals the direct inequality join") {
+    import org.apache.spark.sql.functions._
+    val hourUs = 3600L * 1000 * 1000
+    val ev = Tables.events(spark, sf).withColumn("t_us", expr("ts div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("t_us").as("p_lo"), (col("t_us") + hourUs).as("p_hi"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("t_us").as("v_lo"), (col("t_us") + hourUs / 2).as("v_hi"))
+    // direct (quadratic-per-user) reference join
+    val direct = p.join(v, col("user_id") === col("v_user") &&
+        col("p_lo") < col("v_hi") && col("v_lo") < col("p_hi"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binned = Queries.qIntervalOverlapJoin(spark, sf)
+      .select("user_id", "n_overlaps")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned == direct)
+  }
+
   test("gap fill: spans are dense per user and observed counts are preserved") {
     import org.apache.spark.sql.functions._
     val filled = Queries.qGapFill(spark, sf)
