@@ -209,6 +209,28 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Top-k vocabulary coverage: what fraction of token occurrences a
+    * 1000-type vocabulary captures — the tokenizer-budget metric for
+    * corpus curation. Coverage reported in ppm via integer division
+    * (exact cross-engine). One shuffle on token; the rank window runs
+    * over distinct types, not occurrences. */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 1000
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+    ranked.agg(
+        sum(when(col("rk") <= k, col("c")).otherwise(0L)).as("covered"),
+        sum(col("c")).as("total"),
+        count(lit(1)).as("n_types"))
+      .select(lit(k.toLong).as("k"), col("covered"), col("total"), col("n_types"),
+        expr("(covered * 1000000) div total").as("coverage_ppm"))
+  }
+
   /** Null-semantics battery: COUNT(col) vs COUNT(*), null-safe
     * equality, COALESCE/NULLIF, and null-skipping aggregates over a
     * derived column with injected nulls — parity of the exact corner
@@ -1325,6 +1347,7 @@ object Queries {
     "q_gapfill" -> (qGapFill _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_null_semantics" -> (qNullSemantics _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
     "q_source_json" -> (qSourceJson _),
@@ -1592,6 +1615,20 @@ object Queries {
         |WHERE l_discount > 0.02 AND o_orderstatus <> 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // rank ties broken by token string; coverage in ppm via integer
+    // floor division — no float ratio crosses the engines
+    "q_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS c FROM t WHERE tok <> '' GROUP BY tok),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk FROM c)
+        |SELECT CAST(1000 AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS BIGINT) AS covered,
+        |  CAST(SUM(c) AS BIGINT) AS total,
+        |  COUNT(*) AS n_types,
+        |  (CAST(SUM(CASE WHEN rk <= 1000 THEN c ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(SUM(c) AS BIGINT) AS coverage_ppm
+        |FROM r""".stripMargin,
 
     // µs timestamps on both sides (epoch_us == Spark's ts div 1000
     // for the ns-parquet column); the oracle joins by plain
