@@ -231,6 +231,68 @@ object Queries {
         expr("(covered * 1000000) div total").as("coverage_ppm"))
   }
 
+  /** Corpus bigram-LM familiarity score — the in-plan stand-in for
+    * model-based quality/perplexity filtering: train the LM (bigram
+    * conditional frequencies) over the WHOLE corpus and score every
+    * document by its mean conditional probability, all in one
+    * distributed plan, no model artifact. All arithmetic is integer
+    * ppm (exact in both engines): cond_ppm(w1,w2) = 1e6·C(w1,w2) div
+    * C(w1·), familiarity = mean over the doc's bigram occurrences.
+    * Scale shape: the bigram relation is |tokens|-sized; counts are
+    * map-side-combined groupBys, and the count lookups are equi-joins
+    * on (w1,w2)/(w1) — Zipf-skewed keys are exactly what AQE skew
+    * splitting (on) handles. No driver state, no vocabulary cap. */
+  def qNgramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), " +
+          "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigCnt = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val prefCnt = bigCnt.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_pref"))
+    bigrams
+      .join(bigCnt, Seq("w1", "w2")).join(prefCnt, Seq("w1"))
+      .withColumn("cond_ppm", expr("(c_bg * 1000000) div c_pref"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           expr("sum(cond_ppm) div count(1)").as("familiarity_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact duplicated-span detection — the windowed-hash form of
+    * suffix-array substring dedup (the "exact substring" pass of
+    * training-data dedup pipelines): hash every 8-token window,
+    * a window is duplicated iff its hash occurs in ≥ 2 distinct
+    * docs, report per-doc duplicated-window fraction in ppm. The
+    * explode factor is |tokens| (same as any shingling pass); the
+    * only shuffles are the window-hash groupBy and the doc_id
+    * re-aggregation — no pairwise comparison ever happens, so the
+    * cost is linear in corpus size, not quadratic in duplicates. */
+  def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    val wins = toks.filter(size(col("toks")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks)-$W), " +
+          s"i -> md5(array_join(slice(toks, i+1, $W), ' ')))")).as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("is_dup"))
+    wins.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+           sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+           expr("(sum(coalesce(is_dup, 0)) * 1000000) div count(1)").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Null-semantics battery: COUNT(col) vs COUNT(*), null-safe
     * equality, COALESCE/NULLIF, and null-skipping aggregates over a
     * derived column with injected nulls — parity of the exact corner
@@ -904,6 +966,30 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Range join binned AUTOMATICALLY by the Catalyst optimizer rule
+    * `plans.RangeBinJoinRule` (registered on an isolated child
+    * session): the declarative plan below is a plain inequality
+    * join — which vanilla Spark executes as BroadcastNestedLoopJoin,
+    * O(|L|·|R|) — and the rule rewrites it to the binned equi-join
+    * shape of `qIntervalOverlapJoin` without the query hand-rolling
+    * bins. Clicks are points (value), purchases open a [value,
+    * value+25) window; binSize 32 > window width ⇒ ≤ 2 bins per
+    * interval. The oracle is the plain inequality join — the rewrite
+    * must be result-identical. */
+  def qRangeAutobin(s: SparkSession, dir: String): DataFrame = {
+    val s2 = graft.plans.RangeBinJoin.sessionWith(s, binSize = 32.0)
+    val ev = Tables.events(s2, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("value").as("v"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("value").as("lo"),
+              (col("value") + lit(25.0)).as("hi"))
+    clicks.join(windows, col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_in_window"), min(col("c_id")).as("min_click"))
+      .orderBy(col("p_id"))
+  }
+
   /** As-of (point-in-time) join expressed without any join: for each
     * purchase, the most recent prior view by the same user — union the
     * two event roles and take last(view_id ignoring nulls) over a
@@ -1348,6 +1434,8 @@ object Queries {
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_ngram_lm_score" -> (qNgramLmScore _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
     "q_source_json" -> (qSourceJson _),
@@ -1377,6 +1465,7 @@ object Queries {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_join_range" -> (qJoinRange _),
+    "q_range_autobin" -> (qRangeAutobin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_agg_stats" -> (qAggStats _),
     "q_udaf_weighted" -> (qUdafWeighted _),
@@ -1645,6 +1734,43 @@ object Queries {
         |FROM p JOIN v ON p.user_id = v.user_id
         |WHERE p_lo < v_hi AND v_lo < p_hi
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    // integer-ppm arithmetic end to end (1e6·C(bg) // C(prefix),
+    // then // n_bigrams) — exact in both engines, no float drift;
+    // DuckDB zips parallel unnests of the two shifted token slices
+    "q_ngram_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(toks[1:len(toks)-1]) AS w1,
+        |    unnest(toks[2:len(toks)]) AS w2
+        |  FROM toks WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+        |pc AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_pref FROM bc GROUP BY w1),
+        |sc AS (SELECT doc_id, (c_bg * 1000000) // c_pref AS cond_ppm
+        |  FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(CAST(SUM(cond_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS familiarity_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // a span is duplicated iff its 8-token window hash occurs in
+    // >= 2 distinct docs; COUNT(d.h) over the left join counts the
+    // doc's duplicated windows
+    "q_dup_spans" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, len(toks)-7),
+        |      i -> md5(array_to_string(toks[i+1:i+8], ' ')))) AS h
+        |  FROM toks WHERE len(toks) >= 8),
+        |d AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT w.doc_id, COUNT(*) AS n_windows,
+        |  CAST(COUNT(d.h) AS BIGINT) AS n_dup,
+        |  (CAST(COUNT(d.h) AS BIGINT) * 1000000) // COUNT(*) AS dup_ppm
+        |FROM w LEFT JOIN d ON w.h = d.h
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
 
     // null corner rules: COUNT(col) skips nulls, <=> is IS NOT
     // DISTINCT FROM, NULLIF(x,0), aggregates skip nulls
@@ -2051,6 +2177,18 @@ object Queries {
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+
+    // oracle is the PLAIN inequality join — the optimizer-rule
+    // binning on the Spark side must be result-identical
+    "q_range_autobin" ->
+      """WITH c AS (SELECT event_id AS c_id, value AS v
+        |          FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, value AS lo, value + 25.0 AS hi
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p_id, COUNT(*) AS n_in_window, MIN(c_id) AS min_click
+        |FROM c JOIN p ON v >= lo AND v < hi
+        |GROUP BY p_id
+        |ORDER BY p_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (
