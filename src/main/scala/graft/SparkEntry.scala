@@ -293,6 +293,45 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** PageRank (3 unrolled iterations, damping 0.85) over the
+    * customer↔supplier graph induced by orders×lineitem — the
+    * canonical iterative-graph workload, in pure DataFrame form: per
+    * iteration one join of ranks to edges on src and one groupBy on
+    * dst, i.e. two key-partitioned shuffles, no driver-side state
+    * beyond the node-count scalar. All rank arithmetic is integer
+    * parts-per-billion (contrib = r div out_degree, damped sum =
+    * 0.15·PPB div N + 85·Σcontrib div 100), so the fixpoint math is
+    * bit-identical in any engine — the oracle unrolls the same three
+    * iterations as CTEs. Undirected edges (both directions) mean no
+    * dangling-mass correction is needed: every node has out-degree
+    * ≥ 1. At 100 TB the edge list pre-partitions on src once and
+    * every iteration reuses that partitioning. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+              concat(lit("s"), col("l_suppkey")).as("sup"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
+      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val n = nodes.count() // bounded scalar for the teleport term
+    var r = nodes.select(col("node"), lit(1000000000L / n).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r div d").as("cb"))
+        .groupBy(col("dst")).agg(sum(col("cb")).as("contrib"))
+      r = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000L / n) + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
+    }
+    r.select(col("node"), col("r").as("rank_ppb")).orderBy(col("node"))
+  }
+
   /** Null-semantics battery: COUNT(col) vs COUNT(*), null-safe
     * equality, COALESCE/NULLIF, and null-skipping aggregates over a
     * derived column with injected nulls — parity of the exact corner
@@ -1436,6 +1475,7 @@ object Queries {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_ngram_lm_score" -> (qNgramLmScore _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_pagerank" -> (qPagerank _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
     "q_source_json" -> (qSourceJson _),
@@ -1771,6 +1811,37 @@ object Queries {
         |  (CAST(COUNT(d.h) AS BIGINT) * 1000000) // COUNT(*) AS dup_ppm
         |FROM w LEFT JOIN d ON w.h = d.h
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    // the same three damped iterations unrolled as CTEs; all integer
+    // (ppb ranks, floor division) so both engines agree bit-for-bit
+    "q_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS sup
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, sup AS dst FROM e0
+        |          UNION ALL SELECT sup AS src, c AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        |nc AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nc) AS r FROM nodes),
+        |c1 AS (SELECT e.dst, CAST(SUM(r0.r // deg.d) AS BIGINT) AS contrib
+        |       FROM edges e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         150000000 // (SELECT n FROM nc) + (85 * COALESCE(c1.contrib, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.dst),
+        |c2 AS (SELECT e.dst, CAST(SUM(r1.r // deg.d) AS BIGINT) AS contrib
+        |       FROM edges e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         150000000 // (SELECT n FROM nc) + (85 * COALESCE(c2.contrib, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.dst),
+        |c3 AS (SELECT e.dst, CAST(SUM(r2.r // deg.d) AS BIGINT) AS contrib
+        |       FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         150000000 // (SELECT n FROM nc) + (85 * COALESCE(c3.contrib, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.dst)
+        |SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3 ORDER BY node""".stripMargin,
 
     // null corner rules: COUNT(col) skips nulls, <=> is IS NOT
     // DISTINCT FROM, NULLIF(x,0), aggregates skip nulls

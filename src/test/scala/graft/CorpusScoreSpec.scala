@@ -45,6 +45,20 @@ class CorpusScoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pagerank: mass conserved up to floor-division loss, ranks positive") {
+    val rows = Queries.qPagerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    // floor division sheds <1 ppb per node per division; three damped
+    // iterations keep ≥ ~95% of the 1e9 mass on any real graph
+    assert(total <= 1000000000L && total >= 900000000L, s"mass off: $total")
+    rows.foreach(r => assert(r.getLong(1) > 0, s"non-positive rank: $r"))
+    // suppliers are high-degree hubs of the bipartite graph: the top
+    // rank must be a supplier node
+    val top = rows.maxBy(_.getLong(1))
+    assert(top.getString(0).startsWith("s"), s"expected supplier hub on top: $top")
+  }
+
   test("dup spans: a shared window is flagged in both docs (sf0.01)") {
     // the synthetic corpus carries near-duplicate docs at sf0.01; any
     // 8-token window shared across docs must be counted on BOTH sides
