@@ -307,17 +307,27 @@ object Queries {
     * ≥ 1. At 100 TB the edge list pre-partitions on src once and
     * every iteration reuses that partitioning. */
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    // integer node ids (customer 2k, supplier 2k+1): every shuffle in
+    // the iteration loop moves fixed-width longs, never strings
     val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
             col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-              concat(lit("s"), col("l_suppkey")).as("sup"))
+      .select((col("o_custkey") * 2).as("c"),
+              (col("l_suppkey") * 2 + 1).as("sup"))
       .distinct()
+    // the graph is read 3+ times (once per iteration): hash-partition
+    // it on the join key ONCE and cache — the cached partitioning
+    // satisfies every iteration's join distribution, so each round
+    // shuffles only the (|nodes|-sized) rank relation, never the
+    // (|edges|-sized) graph. deg inherits the same partitioning by
+    // construction (groupBy on the partition key adds no exchange).
     val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
       .union(e0.select(col("sup").as("src"), col("c").as("dst")))
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val n = nodes.count() // bounded scalar for the teleport term
+      .repartition(col("src"))
+      .cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
+    val n = nodes.count() // bounded scalar for the teleport term; also populates the caches
     var r = nodes.select(col("node"), lit(1000000000L / n).as("r"))
     for (_ <- 1 to 3) {
       val contrib = edges
@@ -330,6 +340,24 @@ object Queries {
           (lit(150000000L / n) + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
     }
     r.select(col("node"), col("r").as("rank_ppb")).orderBy(col("node"))
+  }
+
+  /** Per-group top-k via rank filter — written declaratively
+    * (row_number over a partition, filter rk <= 5) and optimized by
+    * Spark's InferWindowGroupLimit into a WindowGroupLimit physical
+    * node: each partition keeps a bounded k-heap BEFORE the window
+    * sort, so the shuffle carries ≤ k rows per group instead of the
+    * whole group — the difference between top-k and full-sort at
+    * 100 TB group sizes. Plan shape is asserted in QueriesSpec. */
+  def qTopkGrouped(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("rk"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("rk"))
   }
 
   /** Null-semantics battery: COUNT(col) vs COUNT(*), null-safe
@@ -742,6 +770,41 @@ object Queries {
       .orderBy(col("cluster_rep"))
   }
 
+  /** The full curation pipeline as ONE query — what a training-data
+    * user actually runs: (1) quality gate (token-count bounds),
+    * (2) exact dedup (min doc_id per content hash), (3) near-dup
+    * removal (drop every clustered doc that is not its cluster's
+    * survivor, reusing the minhash→LSH→verify→CC→survivor chain),
+    * (4) deterministic per-source quota (hash-ranked cap, engine-
+    * invariant). Output is the curated manifest. Each stage is a
+    * bounded-state window or an anti-join on a key — the chain adds
+    * no new shuffle shape beyond its constituent operators, so the
+    * 100 TB posture is exactly theirs. */
+  def qCurationE2e(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+    val quality = docs.filter(col("n_tokens").between(30, 5000))
+    val exact = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val clusters = qDedupClusters(s, dir)
+    val nonSurvivors = clusters.join(
+        qDedupSurvivors(s, dir).select(col("survivor_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val deduped = exact.join(nonSurvivors, Seq("doc_id"), "left_anti")
+    val quota = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("q"), col("doc_id"))), col("doc_id"))
+    deduped.withColumn("qrank", row_number().over(quota))
+      .filter(col("qrank") <= 40)
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** SimHash near-dup: 32-bit simhash over 3-gram shingles (custom
     * one-pass expression), pigeonhole blocking on the 4 byte-chunks
     * (any pair at hamming≤3 must share a chunk — exact, no misses),
@@ -1012,17 +1075,20 @@ object Queries {
     * O(|L|·|R|) — and the rule rewrites it to the binned equi-join
     * shape of `qIntervalOverlapJoin` without the query hand-rolling
     * bins. Clicks are points (value), purchases open a [value,
-    * value+25) window; binSize 32 > window width ⇒ ≤ 2 bins per
-    * interval. The oracle is the plain inequality join — the rewrite
-    * must be result-identical. */
+    * value+2) window; binSize 4 > window width ⇒ ≤ 2 bins per
+    * interval (narrow windows keep the range join sparse — the
+    * regime binning is for; a window ≫ the value spread degenerates
+    * to a dense cross-like join no rewrite can save). The oracle is
+    * the plain inequality join — the rewrite must be
+    * result-identical. */
   def qRangeAutobin(s: SparkSession, dir: String): DataFrame = {
-    val s2 = graft.plans.RangeBinJoin.sessionWith(s, binSize = 32.0)
+    val s2 = graft.plans.RangeBinJoin.sessionWith(s, binSize = 4.0)
     val ev = Tables.events(s2, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("value").as("v"))
     val windows = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("value").as("lo"),
-              (col("value") + lit(25.0)).as("hi"))
+              (col("value") + lit(2.0)).as("hi"))
     clicks.join(windows, col("v") >= col("lo") && col("v") < col("hi"))
       .groupBy(col("p_id"))
       .agg(count(lit(1)).as("n_in_window"), min(col("c_id")).as("min_click"))
@@ -1451,6 +1517,7 @@ object Queries {
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
+    "q_curation_e2e" -> (qCurationE2e _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
@@ -1476,6 +1543,7 @@ object Queries {
     "q_ngram_lm_score" -> (qNgramLmScore _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPagerank _),
+    "q_topk_grouped" -> (qTopkGrouped _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
     "q_source_json" -> (qSourceJson _),
@@ -1815,7 +1883,7 @@ object Queries {
     // the same three damped iterations unrolled as CTEs; all integer
     // (ppb ranks, floor division) so both engines agree bit-for-bit
     "q_pagerank" ->
-      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS sup
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sup
         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |edges AS (SELECT c AS src, sup AS dst FROM e0
         |          UNION ALL SELECT sup AS src, c AS dst FROM e0),
@@ -1995,6 +2063,15 @@ object Queries {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_topk_grouped" ->
+      """SELECT event_type, rk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
 
     "q_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events
@@ -2254,7 +2331,7 @@ object Queries {
     "q_range_autobin" ->
       """WITH c AS (SELECT event_id AS c_id, value AS v
         |          FROM events WHERE event_type = 'click'),
-        |p AS (SELECT event_id AS p_id, value AS lo, value + 25.0 AS hi
+        |p AS (SELECT event_id AS p_id, value AS lo, value + 2.0 AS hi
         |      FROM events WHERE event_type = 'purchase')
         |SELECT p_id, COUNT(*) AS n_in_window, MIN(c_id) AS min_click
         |FROM c JOIN p ON v >= lo AND v < hi
@@ -2588,6 +2665,44 @@ object Queries {
          |  FROM clusters c JOIN documents d USING (doc_id))
          |SELECT cluster_rep, doc_id AS survivor_id, cluster_size, text_len
          |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
+
+    // the whole curation chain composed in one statement: the
+    // near-dup stages reuse the exact minhash/cluster/survivor CTEs
+    // of q_dedup_clusters / q_dedup_survivors
+    "q_curation_e2e" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |verified AS (SELECT id_a, id_b
+         |  FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+         |edges AS (SELECT id_a u, id_b v FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT u AS src, u AS node FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u),
+         |clusters AS (SELECT src AS doc_id, MIN(node) AS cluster_rep
+         |  FROM reach GROUP BY src),
+         |ranked AS (SELECT c.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+         |      ORDER BY length(d.text) DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN documents d USING (doc_id)),
+         |nonsurv AS (SELECT doc_id FROM ranked WHERE rn > 1),
+         |toks AS (SELECT doc_id, source, text,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |quality AS (SELECT * FROM toks WHERE n_tokens BETWEEN 30 AND 5000),
+         |exact AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM quality)
+         |  WHERE rn = 1),
+         |dedup AS (SELECT e.* FROM exact e
+         |  WHERE e.doc_id NOT IN (SELECT doc_id FROM nonsurv)),
+         |sel AS (SELECT source, doc_id, n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5('q' || doc_id), doc_id) AS qrank
+         |  FROM dedup)
+         |SELECT source, doc_id, n_tokens FROM sel WHERE qrank <= 40
+         |ORDER BY source, doc_id""".stripMargin,
 
     // KMV mirror: identical hash (first 8 md5 hex digits), identical
     // order statistics, identical double expression — bit-exact

@@ -53,10 +53,10 @@ class CorpusScoreSpec extends AnyFunSuite with SparkTestBase {
     // iterations keep ≥ ~95% of the 1e9 mass on any real graph
     assert(total <= 1000000000L && total >= 900000000L, s"mass off: $total")
     rows.foreach(r => assert(r.getLong(1) > 0, s"non-positive rank: $r"))
-    // suppliers are high-degree hubs of the bipartite graph: the top
-    // rank must be a supplier node
+    // suppliers (odd node ids = 2k+1) are high-degree hubs of the
+    // bipartite graph: the top rank must be a supplier node
     val top = rows.maxBy(_.getLong(1))
-    assert(top.getString(0).startsWith("s"), s"expected supplier hub on top: $top")
+    assert(top.getLong(0) % 2 == 1, s"expected supplier hub on top: $top")
   }
 
   test("dup spans: a shared window is flagged in both docs (sf0.01)") {

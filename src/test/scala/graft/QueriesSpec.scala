@@ -30,4 +30,18 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
+    val df = Queries.qTopkGrouped(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not push a group limit:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // exactly <= 5 per group, ranks dense from 1
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length.toLong))
+    }
+  }
 }
