@@ -497,6 +497,31 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Firestore-style store round-trip through the graft-cfs
+    * DataSource V2 connector, BOTH directions native: documents are
+    * written with `df.write.format("graft-cfs")` (executor-side
+    * 50-doc sink batches, idempotent upsert per doc id — a replayed
+    * task converges, so commit is a no-op), then read back as a real
+    * Spark table whose scan plans one partition per collection with
+    * filter pushdown and column pruning (CfsSourceSpec asserts
+    * those), parsed and aggregated against the plain-SQL oracle over
+    * the original table. */
+  def qSourceCfs(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cfs").toString
+    Tables.documents(s, dir)
+      .select(concat(lit("col_"), col("source")).as("collection"),
+        col("doc_id").cast("string").as("doc_id"),
+        to_json(struct(col("lang"), col("n_chars"))).as("json"))
+      .write.format("graft-cfs").option("root", root).mode("append").save()
+    s.read.format("graft-cfs").option("root", root).load()
+      .select(col("collection"),
+        get_json_object(col("json"), "$.lang").as("lang"),
+        get_json_object(col("json"), "$.n_chars").cast("long").as("n_chars"))
+      .groupBy(col("collection"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("collection"), col("lang"))
+  }
+
   /** Bloom-pruned join (semi-join reduction): a selective predicate
     * on orders leaves few keys; a Bloom filter of those keys prunes
     * lineitem BEFORE its shuffle, then the real join makes the result
@@ -1535,6 +1560,7 @@ object Queries {
     "q_bloom_join" -> (qBloomJoin _),
     "q_interval_overlap" -> (qIntervalOverlapJoin _),
     "q_source_csv" -> (qSourceCsv _),
+    "q_source_cfs" -> (qSourceCfs _),
     "q_quantile_global" -> (qQuantileGlobal _),
     "q_gapfill" -> (qGapFill _),
     "q_incremental_agg" -> (qIncrementalAgg _),
@@ -1997,6 +2023,15 @@ object Queries {
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // round-trips documents through the DSv2 document-store scan;
+    // the oracle is the same rollup on the original table
+    "q_source_cfs" ->
+      """SELECT 'col_' || source AS collection, lang,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY source, lang
+        |ORDER BY collection, lang""".stripMargin,
 
     // Bloom pruning has no false negatives and the real join runs
     // after it, so the oracle is the plain join — the filter is pure
