@@ -816,11 +816,17 @@ object Queries {
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
-    val clusters = qDedupClusters(s, dir)
-    val nonSurvivors = clusters.join(
-        qDedupSurvivors(s, dir).select(col("survivor_id").as("doc_id")),
-        Seq("doc_id"), "left_anti")
-      .select(col("doc_id"))
+    // one cluster pass: rank each cluster by (text_len DESC, doc_id)
+    // and drop everything but rank 1 — same selection as
+    // qDedupSurvivors without running the component chain twice
+    val ranked = qDedupClusters(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len")),
+        "doc_id")
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("cluster_rep"))
+          .orderBy(col("text_len").desc, col("doc_id"))))
+    val nonSurvivors = ranked.filter(col("srn") > 1).select(col("doc_id"))
     val deduped = exact.join(nonSurvivors, Seq("doc_id"), "left_anti")
     val quota = Window.partitionBy(col("source"))
       .orderBy(md5(concat(lit("q"), col("doc_id"))), col("doc_id"))

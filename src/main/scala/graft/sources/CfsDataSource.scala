@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,8 +70,8 @@ final class CfsTable(root: String) extends Table with SupportsRead with Supports
   override def name(): String = s"graft-cfs:$root"
   override def schema(): StructType = CfsDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CfsScanBuilder(root)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -80,6 +81,8 @@ final class CfsTable(root: String) extends Table with SupportsRead with Supports
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new CfsBatchWrite(root, in)
+        override def toStreaming: StreamingWrite =
+          new CfsStreamingWrite(root, in)
       }
     }
   }
@@ -97,6 +100,30 @@ final class CfsBatchWrite(root: String, schema: StructType) extends BatchWrite {
       schema.fieldIndex("collection"), schema.fieldIndex("doc_id"), schema.fieldIndex("json"))
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming flavor of the same write: the idempotent (collection,
+  * doc_id) upsert makes epoch replays converge, so the connector
+  * delivers effectively-once under checkpoint recovery with no epoch
+  * bookkeeping of its own — identical to the `foreachBatch` pipeline
+  * sink's contract (`streaming/Pipeline`). */
+final class CfsStreamingWrite(root: String, schema: StructType)
+    extends StreamingWrite {
+  private val (ci, di, ji) =
+    (schema.fieldIndex("collection"), schema.fieldIndex("doc_id"), schema.fieldIndex("json"))
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // copy to locals: the factory ships to executors and must not
+    // capture this (non-serializable) StreamingWrite
+    val (r, c, d, j) = (root, ci, di, ji)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new CfsWriterFactory(r, c, d, j).createWriter(partitionId, taskId)
+    }
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 final class CfsWriterFactory(root: String, ci: Int, di: Int, ji: Int)

@@ -94,6 +94,35 @@ class CfsSourceSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("streaming write lands documents per micro-batch, replays converge") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-cfs-sin").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-cfs-sout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cfs-ckpt").toString
+    val b1 = Seq(("s/a", "d1", """{"x":1}"""), ("s/a", "d2", """{"x":2}"""))
+      .toDF("collection", "doc_id", "json")
+    b1.coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(b1.schema).parquet(in)
+    val q = stream.writeStream.format("graft-cfs")
+      .option("root", root).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(read(root).count() === 2)
+      Seq(("s/b", "d3", """{"x":3}"""), ("s/a", "d1", """{"x":1b}"""))
+        .toDF("collection", "doc_id", "json")
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val rows = read(root).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      // d1 upserted (last write wins), d3 appended
+      assert(rows === Set(
+        ("s/a", "d1", """{"x":1b}"""),
+        ("s/a", "d2", """{"x":2}"""),
+        ("s/b", "d3", """{"x":3}""")))
+    } finally q.stop()
+  }
+
   test("non-pushable predicates still evaluate as residual filters") {
     val root = freshStore()
     val df = read(root).filter(col("json").contains("\"v\":2"))
