@@ -293,6 +293,29 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit
+    * binary tree over user ids (parent = floor(id/2)) from the root
+    * and histogram the depths — transitive-closure recursion
+    * executed natively by the engine's iterative union, not by a
+    * hand-rolled driver loop. The oracle is the SAME recursive SQL
+    * (both dialects share floor-division and UNION ALL recursion
+    * semantics), so the iteration fixpoint must agree exactly. */
+  def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_rcte")
+    s.sql(
+      """WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events_rcte),
+        |tree(user_id, depth) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS depth FROM u WHERE user_id = 1
+        |  UNION ALL
+        |  SELECT c.user_id, t.depth + 1
+        |  FROM tree t JOIN u c
+        |    ON CAST(FLOOR(c.user_id / 2.0) AS BIGINT) = t.user_id
+        |   AND c.user_id > t.user_id)
+        |SELECT depth, COUNT(*) AS n_users,
+        |  MIN(user_id) AS min_id, MAX(user_id) AS max_id
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   /** PageRank (3 unrolled iterations, damping 0.85) over the
     * customer↔supplier graph induced by orders×lineitem — the
     * canonical iterative-graph workload, in pure DataFrame form: per
@@ -1575,6 +1598,7 @@ object Queries {
     "q_ngram_lm_score" -> (qNgramLmScore _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPagerank _),
+    "q_recursive_cte" -> (qRecursiveCte _),
     "q_topk_grouped" -> (qTopkGrouped _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
@@ -1911,6 +1935,21 @@ object Queries {
         |  (CAST(COUNT(d.h) AS BIGINT) * 1000000) // COUNT(*) AS dup_ppm
         |FROM w LEFT JOIN d ON w.h = d.h
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    // the same recursion, dialect-shared syntax — the engines must
+    // reach the same fixpoint
+    "q_recursive_cte" ->
+      """WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+        |tree(user_id, depth) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS depth FROM u WHERE user_id = 1
+        |  UNION ALL
+        |  SELECT c.user_id, t.depth + 1
+        |  FROM tree t JOIN u c
+        |    ON CAST(FLOOR(c.user_id / 2.0) AS BIGINT) = t.user_id
+        |   AND c.user_id > t.user_id)
+        |SELECT depth, COUNT(*) AS n_users,
+        |  MIN(user_id) AS min_id, MAX(user_id) AS max_id
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
 
     // the same three damped iterations unrolled as CTEs; all integer
     // (ppb ranks, floor division) so both engines agree bit-for-bit
