@@ -293,6 +293,50 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Ordered funnel analysis: signup → first click AT OR AFTER the
+    * signup → first purchase at or after that click, per user. Each
+    * stage is one hash aggregate keyed on user_id carrying the
+    * previous stage's timestamp — three passes, but every one
+    * shuffles on the SAME key, so at scale the exchange is reusable
+    * and no stage is ever a self-join explosion. µs timestamps for
+    * oracle parity. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+    val s1 = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("t"))).as("t_signup"))
+    val s2 = e.join(s1, "user_id").groupBy(col("user_id"))
+      .agg(min(col("t_signup")).as("t_signup"),
+        min(when(col("event_type") === "click" && col("t") >= col("t_signup"),
+          col("t"))).as("t_click"))
+    val s3 = e.join(s2, "user_id").groupBy(col("user_id"))
+      .agg(min(col("t_signup")).as("t_signup"), min(col("t_click")).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("t") >= col("t_click"),
+          col("t"))).as("t_purchase"))
+    s3.agg(
+      count(col("t_signup")).as("n_signup"),
+      count(col("t_click")).as("n_click_after_signup"),
+      count(col("t_purchase")).as("n_purchase_after_click"))
+  }
+
+  /** Cohort retention: users grouped by the week of their first
+    * event; for each (cohort_week, week_offset ≤ 8) the number of
+    * cohort members active that week. Two aggregates and one
+    * broadcast-able join on user_id — the standard retention matrix
+    * without any per-user state on the driver. */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400 * 1000 * 1000
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div $weekUs").as("week"))
+    val first = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.distinct().join(first, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .filter(col("week_offset") <= 8)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit
     * binary tree over user ids (parent = floor(id/2)) from the root
     * and histogram the depths — transitive-closure recursion
@@ -1599,6 +1643,8 @@ object Queries {
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPagerank _),
     "q_recursive_cte" -> (qRecursiveCte _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
@@ -1935,6 +1981,36 @@ object Queries {
         |  (CAST(COUNT(d.h) AS BIGINT) * 1000000) // COUNT(*) AS dup_ppm
         |FROM w LEFT JOIN d ON w.h = d.h
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    // staged funnel mins carried through user-keyed aggregates;
+    // COUNT(col) skips the users who never reach a stage
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS t FROM events),
+        |s1 AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN t END) AS t_signup
+        |  FROM e GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(t_signup) AS t_signup,
+        |    MIN(CASE WHEN event_type = 'click' AND t >= t_signup THEN t END) AS t_click
+        |  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(t_signup) AS t_signup, MIN(t_click) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' AND t >= t_click THEN t END) AS t_purchase
+        |  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id)
+        |SELECT COUNT(t_signup) AS n_signup,
+        |  COUNT(t_click) AS n_click_after_signup,
+        |  COUNT(t_purchase) AS n_purchase_after_click
+        |FROM s3""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000) // 604800000000 AS week FROM events),
+        |first AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN first USING (user_id)
+        |WHERE week - cohort_week <= 8
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // the same recursion, dialect-shared syntax — the engines must
     // reach the same fixpoint
