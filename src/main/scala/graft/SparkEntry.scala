@@ -251,6 +251,7 @@ object Queries {
         "transform(sequence(0, size(toks)-2), " +
           "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .cache() // feeds the count model AND the scoring join
     val bigCnt = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
     val prefCnt = bigCnt.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_pref"))
@@ -277,10 +278,13 @@ object Queries {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
         filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    // the window relation feeds both the dup-set aggregate and the
+    // per-doc rollup — cache it so the 600k-hash explode runs once
     val wins = toks.filter(size(col("toks")) >= W)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(toks)-$W), " +
           s"i -> md5(array_join(slice(toks, i+1, $W), ' ')))")).as("h"))
+      .cache()
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -291,6 +295,28 @@ object Queries {
            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
            expr("(sum(coalesce(is_dup, 0)) * 1000000) div count(1)").as("dup_ppm"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Time-series downsampling to OHLC bars: per (event_type, hour)
+    * the opening/closing value (first/last by deterministic
+    * (t, event_id) order via min/max over a struct — lexicographic
+    * struct ordering gives arg-min/arg-max WITH a tie-break, no
+    * window sort needed) plus high/low/volume. One hash aggregate,
+    * map-side combined; the classic resample at any scale. */
+  def qOhlcBars(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 1000").as("t"), col("event_id"),
+        col("value"))
+      .withColumn("hour", expr(s"t div $hourUs"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min(struct(col("t"), col("event_id"), col("value"))).getField("value").as("open"),
+        max(struct(col("t"), col("event_id"), col("value"))).getField("value").as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("volume"))
+      .orderBy(col("event_type"), col("hour"))
   }
 
   /** Ordered funnel analysis: signup → first click AT OR AFTER the
@@ -1643,6 +1669,7 @@ object Queries {
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPagerank _),
     "q_recursive_cte" -> (qRecursiveCte _),
+    "q_ohlc_bars" -> (qOhlcBars _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
@@ -1981,6 +2008,18 @@ object Queries {
         |  (CAST(COUNT(d.h) AS BIGINT) * 1000000) // COUNT(*) AS dup_ppm
         |FROM w LEFT JOIN d ON w.h = d.h
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    // struct min/max mirrors Spark's lexicographic arg-min with
+    // (t, event_id) tie-break exactly
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS t, event_id, value,
+        |    (epoch_ns(ts) // 1000) // 3600000000 AS hour FROM events)
+        |SELECT event_type, hour,
+        |  (MIN(struct_pack(t := t, event_id := event_id, value := value))).value AS open,
+        |  (MAX(struct_pack(t := t, event_id := event_id, value := value))).value AS close,
+        |  MAX(value) AS high, MIN(value) AS low, COUNT(*) AS volume
+        |FROM e GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin,
 
     // staged funnel mins carried through user-keyed aggregates;
     // COUNT(col) skips the users who never reach a stage
