@@ -319,6 +319,119 @@ object Queries {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Z-order data layout + zone-map audit — the file-skipping story
+    * at 100 TB: interleave the bits of two 16-bit-quantized dimensions
+    * (part, supplier) into a Morton z-value, bucket rows by fixed
+    * z-range into "files", and emit each file's zone map (count +
+    * per-dimension min/max). Because z-locality bounds BOTH dims
+    * within a bucket, a predicate on either dimension can skip most
+    * files — unlike a layout sorted on one dim only. The z-value is
+    * pure integer div/mod arithmetic (no engine bit operators), so
+    * the SAME generated formula runs in the Spark plan and in the
+    * DuckDB oracle; the whole query is projection + one hash
+    * aggregate — no global sort, no window, nothing that single-
+    * threads at scale (a real writer would repartitionByRange on z;
+    * the zone-map math is identical). */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select((col("l_partkey") % ZorderSql.DimMod).as("px"),
+        (col("l_suppkey") % ZorderSql.DimMod).as("sx"))
+      .withColumn("z", expr(ZorderSql.zExpr("px", "sx", spark = true)))
+    li.withColumn("fid", expr(s"z div ${ZorderSql.FileZRange}"))
+      .groupBy(col("fid"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("px")).as("min_p"), max(col("px")).as("max_p"),
+        min(col("sx")).as("min_s"), max(col("sx")).as("max_s"))
+      .orderBy(col("fid"))
+  }
+
+  /** Small-file compaction planning — the table-maintenance operator
+    * every 100 TB table needs: given a file inventory (simulated here
+    * as one file per (event_type, day) with size = row count), pack
+    * consecutive files into output groups of ~target size with the
+    * streaming first-fit rule bin = floor(cumulative_bytes_before /
+    * target). One partitioned window (cumsum per event_type — no
+    * global sort) and one hash aggregate; the plan shape is exactly
+    * what a metadata-scale compactor runs, where "rows" are file
+    * manifest entries, millions of them at most. */
+  def qCompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000 * 1000
+    val target = 500L
+    val files = Tables.events(s, dir)
+      .select(col("event_type"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("bytes"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $target"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** Exact 2D skyline (Pareto frontier) of users by (total spend in
+    * integer cents, event count): a user is on the frontier iff no
+    * other user is ≥ on both dims and > on at least one. Two-stage
+    * exact algorithm with the scale story built in:
+    *  1. bucket users by x-range and take each bucket's LOCAL skyline
+    *     with a partitioned range-window (suffix max of y over larger
+    *     x) — fully parallel, and any point dominated within its own
+    *     bucket is dominated globally, so survivors are a sliver;
+    *  2. the same window UNPARTITIONED over the sliver gives the
+    *     exact global frontier.
+    * The oracle is the O(n²) NOT EXISTS dominance test — the window
+    * algorithm must reproduce it exactly, ties and duplicates
+    * included (identical points don't dominate each other: both
+    * survive). */
+  def qSkyline2d(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(col("value").cast(dec)) * 100).cast("bigint").as("x"),
+        count(lit(1)).as("y"))
+    def skyline(df: DataFrame, bucketed: Boolean): DataFrame = {
+      val part = if (bucketed) Seq(col("xb")) else Seq.empty
+      val wGt = Window.partitionBy(part: _*).orderBy(col("x"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wEq = Window.partitionBy(part :+ col("x"): _*)
+      df.withColumn("max_y_gt", max(col("y")).over(wGt))
+        .withColumn("max_y_eq", max(col("y")).over(wEq))
+        .filter((col("max_y_gt").isNull || col("max_y_gt") < col("y")) &&
+          col("y") === col("max_y_eq"))
+        .drop("max_y_gt", "max_y_eq")
+    }
+    val local = skyline(pts.withColumn("xb", expr("x div 100000")), bucketed = true)
+    skyline(local.drop("xb"), bucketed = false)
+      .orderBy(col("user_id"))
+  }
+
+  /** CDC changelog → SCD2 dimension: treat the event stream as an
+    * ordered changelog per user (op = D when value < 5, else U) and
+    * build type-2 slowly-changing rows — each upsert becomes a
+    * version valid from its own timestamp until the NEXT change of
+    * any kind (a delete closes the open version without emitting
+    * one), open-ended versions flagged current. One partitioned
+    * window (lead over the per-key changelog) — the merge pattern
+    * every incremental 100 TB ingest pipeline runs, with no
+    * driver-side state and a single shuffle on the key. */
+  def qCdcScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"),
+        col("value"), when(col("value") < 5, "D").otherwise("U").as("op"))
+      .withColumn("valid_to", lead(col("t"), 1).over(w))
+      .filter(col("op") === "U")
+      .select(col("user_id"), col("event_id"), col("t").as("valid_from"),
+        col("valid_to"), col("value").as("val"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   /** Ordered funnel analysis: signup → first click AT OR AFTER the
     * signup → first purchase at or after that click, per user. Each
     * stage is one hash aggregate keyed on user_id carrying the
@@ -1670,6 +1783,10 @@ object Queries {
     "q_pagerank" -> (qPagerank _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
+    "q_zorder_layout" -> (qZorderLayout _),
+    "q_compaction_plan" -> (qCompactionPlan _),
+    "q_skyline_2d" -> (qSkyline2d _),
+    "q_cdc_scd2" -> (qCdcScd2 _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
@@ -2020,6 +2137,58 @@ object Queries {
         |  MAX(value) AS high, MIN(value) AS low, COUNT(*) AS volume
         |FROM e GROUP BY event_type, hour
         |ORDER BY event_type, hour""".stripMargin,
+
+    // the identical generated div/mod Morton formula, DuckDB spelling
+    "q_zorder_layout" ->
+      s"""WITH q AS (SELECT l_partkey % ${ZorderSql.DimMod} AS px,
+         |    l_suppkey % ${ZorderSql.DimMod} AS sx
+         |    FROM lineitem),
+         |z AS (SELECT px, sx, ${ZorderSql.zExpr("px", "sx", spark = false)} AS z
+         |    FROM q)
+         |SELECT z // ${ZorderSql.FileZRange} AS fid, COUNT(*) AS n_rows,
+         |  MIN(px) AS min_p, MAX(px) AS max_p,
+         |  MIN(sx) AS min_s, MAX(sx) AS max_s
+         |FROM z GROUP BY fid ORDER BY fid""".stripMargin,
+
+    // streaming first-fit: bin = cum-bytes-before // target, per
+    // event_type partition
+    "q_compaction_plan" ->
+      """WITH f AS (SELECT event_type,
+        |    (epoch_ns(ts) // 1000) // 86400000000 AS day, COUNT(*) AS bytes
+        |  FROM events GROUP BY event_type, day),
+        |b AS (SELECT *,
+        |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 500 AS bin
+        |  FROM f)
+        |SELECT event_type, bin, COUNT(*) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |  MIN(day) AS min_day, MAX(day) AS max_day
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+
+    // O(n²) strict-dominance oracle for the window-based skyline
+    "q_skyline_2d" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, x, y FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+        |ORDER BY user_id""".stripMargin,
+
+    // lead() over the per-key changelog; deletes close versions
+    // without emitting one
+    "q_cdc_scd2" ->
+      """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id, value,
+        |    CASE WHEN value < 5 THEN 'D' ELSE 'U' END AS op FROM events),
+        |v AS (SELECT *, LEAD(t) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS valid_to FROM c)
+        |SELECT user_id, event_id, t AS valid_from, valid_to, value AS val,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v WHERE op = 'U'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     // staged funnel mins carried through user-keyed aggregates;
     // COUNT(col) skips the users who never reach a stage
@@ -3002,4 +3171,26 @@ object Queries {
   /** DuckDB list literals of the 192 embedding-dedup banding planes. */
   def dedupPlanesLiterals: Seq[String] =
     dedupPlanes.map(_.mkString("[", ", ", "]"))
+}
+
+/** Morton z-value as engine-portable integer arithmetic: bit i of each
+  * 8-bit-quantized dimension lands at output bit 2i (first dim) /
+  * 2i+1 (second). Generated as pure div/mod/multiply so the identical
+  * formula (modulo the integer-division spelling: Spark `div`, DuckDB
+  * `//`) evaluates bit-exactly in both engines — no dependence on
+  * either engine's bitwise-operator dialect. */
+private[graft] object ZorderSql {
+  /** Quantization: 8 bits per dimension (z spans 16 bits). */
+  val Bits: Int = 8
+  val DimMod: Long = 1L << Bits // 256
+  /** Rows bucket into "files" by fixed z-range: 2^10 ⇒ 64 possible
+    * files, each a 32×32 rectangle of the quantized (d0, d1) space. */
+  val FileZRange: Long = 1L << 10
+  def zExpr(d0: String, d1: String, spark: Boolean): String = {
+    val idiv = if (spark) "div" else "//"
+    (0 until Bits).flatMap { i =>
+      Seq(s"(($d0 $idiv ${1L << i}) % 2) * ${1L << (2 * i)}",
+          s"(($d1 $idiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+  }
 }

@@ -31,6 +31,34 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("z-order layout files bound both dimensions (the file-skip property)") {
+    val rows = Queries.qZorderLayout(spark, sf).collect()
+    assert(rows.length > 1, "z bucketing collapsed to a single file")
+    // zone-map tightness: every file's rectangle is at most the
+    // 32x32 z-cell (FileZRange = 2^10 covers 5 bits of each dim)
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 31, s"px range too wide: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 31, s"sx range too wide: $r")
+    }
+    // and the plan is scan -> project -> hash agg: no window, no
+    // extra exchange beyond the aggregate's own
+    val plan = Queries.qZorderLayout(spark, sf).queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), s"z-order layout should not window:\n$plan")
+  }
+
+  test("skyline: local pass is a partitioned window; result is mutually non-dominated") {
+    val df = Queries.qSkyline2d(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for (p <- rows; q <- rows if p != q)
+      assert(!(q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2)),
+        s"$q dominates $p in skyline output")
+    // exactly one unpartitioned window (the tiny global pass); the
+    // bucket-local pass must carry a partition spec
+    val win = "Window ".r.findAllIn(df.queryExecution.sparkPlan.toString).length
+    assert(win >= 2, "expected local + global window passes")
+  }
+
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
     val df = Queries.qTopkGrouped(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
