@@ -432,6 +432,39 @@ object Queries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Point-in-time join — the feature-store pattern: each fact
+    * (purchase) reads the dimension value that was current at its
+    * timestamp, where the dimension is the per-user changelog of
+    * non-purchase events (value < 5 ⇒ tombstone: the profile reads
+    * NULL until the next upsert). Implemented WITHOUT a range join:
+    * changes and facts are unioned into one per-key stream and a
+    * single `last(chg, ignoreNulls)` running window assigns every
+    * fact the latest preceding change — one shuffle on the key, state
+    * bounded by a row, immune to the O(facts × versions) blowup a
+    * BETWEEN-join suffers at 100 TB. The oracle is the independent
+    * formulation: a correlated latest-row-before subquery. */
+  def qPitJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"),
+        col("event_type"), col("value"))
+    val changes = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("t"), col("event_id"), lit(false).as("is_fact"),
+        struct(when(col("value") < 5, lit(null).cast("double"))
+          .otherwise(col("value")).as("v")).as("chg"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t"), col("event_id"), lit(true).as("is_fact"),
+        lit(null).cast("struct<v:double>").as("chg"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes.unionByName(facts)
+      .withColumn("cur", last(col("chg"), ignoreNulls = true).over(w))
+      .filter(col("is_fact"))
+      .select(col("user_id"), col("event_id"), col("t"),
+        col("cur").getField("v").as("profile_val"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Ordered funnel analysis: signup → first click AT OR AFTER the
     * signup → first purchase at or after that click, per user. Each
     * stage is one hash aggregate keyed on user_id carrying the
@@ -1787,6 +1820,7 @@ object Queries {
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_skyline_2d" -> (qSkyline2d _),
     "q_cdc_scd2" -> (qCdcScd2 _),
+    "q_pit_join" -> (qPitJoin _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
@@ -2189,6 +2223,21 @@ object Queries {
         |  (valid_to IS NULL) AS is_current
         |FROM v WHERE op = 'U'
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // independent oracle formulation: correlated latest-change-before
+    // subquery (tombstones read NULL) vs the union+window merge
+    "q_pit_join" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id,
+        |    event_type, value FROM events),
+        |c AS (SELECT user_id, t, event_id,
+        |    CASE WHEN value < 5 THEN NULL ELSE value END AS v
+        |  FROM e WHERE event_type <> 'purchase'),
+        |f AS (SELECT user_id, t, event_id FROM e WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.t,
+        |  (SELECT v.v FROM c v WHERE v.user_id = f.user_id
+        |     AND (v.t, v.event_id) < (f.t, f.event_id)
+        |   ORDER BY v.t DESC, v.event_id DESC LIMIT 1) AS profile_val
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
 
     // staged funnel mins carried through user-keyed aggregates;
     // COUNT(col) skips the users who never reach a stage
