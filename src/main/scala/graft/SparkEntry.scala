@@ -555,28 +555,30 @@ object Queries {
               (col("l_suppkey") * 2 + 1).as("sup"))
       .distinct()
     // the graph is read 3+ times (once per iteration): hash-partition
-    // it on the join key ONCE and cache — the cached partitioning
-    // satisfies every iteration's join distribution, so each round
-    // shuffles only the (|nodes|-sized) rank relation, never the
-    // (|edges|-sized) graph. deg inherits the same partitioning by
-    // construction (groupBy on the partition key adds no exchange).
-    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
+    // it on the join key ONCE — with the out-degree pre-attached to
+    // every edge, so the loop body is exactly one join + one agg —
+    // and cache. The cached partitioning satisfies every iteration's
+    // join distribution, so each round shuffles only the
+    // (|nodes|-sized) rank relation, never the (|edges|-sized) graph.
+    val sym = e0.select(col("c").as("src"), col("sup").as("dst"))
       .union(e0.select(col("sup").as("src"), col("c").as("dst")))
       .repartition(col("src"))
-      .cache()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edges = sym.join(deg, "src").cache() // co-partitioned: no extra exchange
     val nodes = edges.select(col("src").as("node")).distinct().cache()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
     val n = nodes.count() // bounded scalar for the teleport term; also populates the caches
     var r = nodes.select(col("node"), lit(1000000000L / n).as("r"))
     for (_ <- 1 to 3) {
-      val contrib = edges
+      // the symmetrized graph has every node as a dst (out-degree ≥ 1
+      // each direction), so the contrib aggregate covers ALL nodes —
+      // no nodes-relation left-join needed to reinstate zero-indegree
+      // rows, and the damped update is a pure projection of it.
+      r = edges
         .join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst"), expr("r div d").as("cb"))
         .groupBy(col("dst")).agg(sum(col("cb")).as("contrib"))
-      r = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000000L / n) + expr("(85 * coalesce(contrib, 0)) div 100")).as("r"))
+        .select(col("dst").as("node"),
+          (lit(150000000L / n) + expr("(85 * contrib) div 100")).as("r"))
     }
     r.select(col("node"), col("r").as("rank_ppb")).orderBy(col("node"))
   }
