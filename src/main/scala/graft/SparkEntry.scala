@@ -432,6 +432,28 @@ object Queries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Transparent materialized-view rewrite (exact match): the pricing
+    * rollup is materialized once as a summary parquet; the SAME
+    * logical aggregate, planned through
+    * [[graft.plans.MaterializedViewRule]] on an isolated child
+    * session, is rewritten by the optimizer to scan the summary
+    * instead of the fact table — the repeated-dashboard-query pattern
+    * that turns a 100 TB fact scan into a kilobyte summary read. The
+    * oracle computes the same rollup from scratch: the rewrite must
+    * be value-invisible (MaterializedViewSpec asserts the plan
+    * actually reads the MV and contains no Aggregate). */
+  def qMvRewrite(s: SparkSession, dir: String): DataFrame = {
+    val mvs = graft.plans.MaterializedView.sessionWith(s)
+    def define(ss: SparkSession): DataFrame = Tables.lineitem(ss, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+    val path = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    graft.plans.MaterializedView.register(mvs, "mv_pricing", define(mvs), path)
+    define(mvs).orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Point-in-time join — the feature-store pattern: each fact
     * (purchase) reads the dimension value that was current at its
     * timestamp, where the dimension is the per-user changelog of
@@ -1823,6 +1845,7 @@ object Queries {
     "q_skyline_2d" -> (qSkyline2d _),
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_pit_join" -> (qPitJoin _),
+    "q_mv_rewrite" -> (qMvRewrite _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
@@ -2240,6 +2263,15 @@ object Queries {
         |     AND (v.t, v.event_id) < (f.t, f.event_id)
         |   ORDER BY v.t DESC, v.event_id DESC LIMIT 1) AS profile_val
         |FROM f ORDER BY user_id, event_id""".stripMargin,
+
+    // from-scratch rollup: the MV rewrite must be value-invisible
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // staged funnel mins carried through user-keyed aggregates;
     // COUNT(col) skips the users who never reach a stage
