@@ -454,6 +454,33 @@ object Queries {
     define(mvs).orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Materialized-view ROLL-UP rewrite: a fine (returnflag,
+    * linestatus) cube is materialized; the catalog query then groups
+    * by returnflag only — the optimizer re-aggregates the summary
+    * (sum→sum of sums, count→sum of counts, min/max→min/max) instead
+    * of re-scanning the fact table. This is the decisive MV case at
+    * 100 TB: one cube answers every coarser slice. All measures ride
+    * integer cents (exact decimal quantization) so the roll-up
+    * arithmetic is bit-identical to the oracle's from-scratch
+    * aggregate. MaterializedViewSpec asserts the plan actually
+    * targets the summary. */
+  def qMvRollup(s: SparkSession, dir: String): DataFrame = {
+    val mvs = graft.plans.MaterializedView.sessionWith(s)
+    def qc = (col("l_quantity").cast(dec) * 100).cast("long")
+    def pc = (col("l_extendedprice").cast(dec) * 100).cast("long")
+    def fine(ss: SparkSession): DataFrame = Tables.lineitem(ss, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qc).as("sqc"), count(lit(1)).as("n"),
+        min(pc).as("mnp"), max(pc).as("mxp"))
+    val path = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    graft.plans.MaterializedView.register(mvs, "mv_fine", fine(mvs), path)
+    Tables.lineitem(mvs, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(qc).as("sum_qty_cents"), count(lit(1)).as("n_rows"),
+        min(pc).as("min_price_cents"), max(pc).as("max_price_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Point-in-time join — the feature-store pattern: each fact
     * (purchase) reads the dimension value that was current at its
     * timestamp, where the dimension is the per-user changelog of
@@ -1846,6 +1873,7 @@ object Queries {
     "q_cdc_scd2" -> (qCdcScd2 _),
     "q_pit_join" -> (qPitJoin _),
     "q_mv_rewrite" -> (qMvRewrite _),
+    "q_mv_rollup" -> (qMvRollup _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
@@ -2272,6 +2300,20 @@ object Queries {
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // from-scratch coarse aggregate: the roll-up over the fine MV
+    // must be value-identical (integer-cent measures, exact)
+    "q_mv_rollup" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_qty_cents,
+        |  COUNT(*) AS n_rows,
+        |  MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS min_price_cents,
+        |  MAX(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS max_price_cents
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // staged funnel mins carried through user-keyed aggregates;
     // COUNT(col) skips the users who never reach a stage

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -13,34 +14,41 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * sitting in a (orders-of-magnitude smaller) summary table. Warehouse
   * engines solve this with transparent MV rewrite: the user keeps
   * writing the logical aggregate; the optimizer substitutes the
-  * materialized summary when one matches. This rule implements the
-  * exact-match base case of that rewrite for Spark:
+  * materialized summary when one matches. This rule implements the two
+  * foundational match levels for Spark:
   *
-  *   - `register(session, name, definition, path)` materializes the
-  *     definition once as parquet at `path` and records the
-  *     definition's OPTIMIZED, CANONICALIZED plan;
-  *   - the rule replaces any optimized `Aggregate` subtree whose
-  *     canonical form equals a registered definition with a scan of
-  *     the materialized parquet, aliased back to the original output
-  *     attributes (same exprIds, so every parent operator stays
-  *     resolved — the RangeBinJoinRule lesson);
-  *   - anything above the aggregate (sort, filter-on-results, joins
-  *     against other tables) is untouched and now feeds from the
-  *     summary scan.
+  *   1. EXACT match — the query's optimized `Aggregate` subtree is
+  *      canonically equal to a registered definition: replace it with
+  *      a scan of the materialized parquet, aliased back to the
+  *      original output attributes (same exprIds, so every parent
+  *      operator stays resolved — the RangeBinJoinRule lesson).
+  *   2. ROLL-UP match — the query aggregates the SAME child but
+  *      groups by a SUBSET of the MV's grouping expressions with
+  *      re-aggregable functions: `sum(e)` → `sum(mv.sum_e)`,
+  *      `count(*)`/`count(lit)` → `coalesce(sum(mv.n), 0)`,
+  *      `min(e)` → `min(mv.min_e)`, `max(e)` → `max(mv.max_e)`.
+  *      The aggregate then runs over the summary instead of the fact
+  *      table — the decisive case in practice, since dashboards
+  *      slice one fine-grained cube many coarse ways. DISTINCT
+  *      aggregates, avg, and FILTER clauses are NOT re-aggregable
+  *      from partials and correctly fall through to the base plan.
   *
-  * Exact-match only, by design: canonical-plan equality is sound (no
-  * false rewrites — `plan.canonicalized` normalizes exprIds/aliases
-  * and nothing else), and partial matching (aggregate roll-up,
-  * predicate subsumption) layers on top of the same machinery later.
-  * Correctness therefore never depends on the matcher being clever:
-  * a non-match just runs the original plan.
+  * Matching is cross-plan-safe: expressions are compared after
+  * rebinding their attribute references to ordinals of the (already
+  * canonically-equal) child, so differing exprIds between the two
+  * constructions of the same logical query never defeat the match.
+  * Soundness never depends on the matcher being clever: a non-match
+  * just runs the original plan.
   *
   * Session scoping: like every experimental rule in this repo, opt-in
   * on an ISOLATED child session (`sessionWith`), so the catalog's
   * other queries never see surprise rewrites. The registry is keyed
   * per-session (weak keys — a dropped session unregisters its MVs).
-  * Fixed-point safe: the rewrite output is a Project over a scan —
-  * contains no Aggregate — so the rule cannot re-fire on its result.
+  * Fixed-point safe: the exact rewrite emits no Aggregate, and the
+  * roll-up rewrite emits an Aggregate whose child is the SUMMARY
+  * relation — a different file relation (path + schema) from any
+  * registered definition's child, so neither match can fire on it
+  * again.
   *
   * Reference analog: the reference consumer recomputes every
   * subscription's full read path per message (`firebase/app/
@@ -49,7 +57,17 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 object MaterializedViewRule extends Rule[LogicalPlan] {
 
-  final case class Mv(name: String, canonical: LogicalPlan, relation: LogicalRelation)
+  /** A registered MV: the full definition's canonical plan (exact
+    * match), its canonical child + per-output-column meaning (roll-up
+    * match), and the summary relation to substitute. */
+  final case class Mv(
+      name: String,
+      canonical: LogicalPlan,
+      childCanonical: Option[LogicalPlan],
+      // definition output position -> meaning: Left(normalized group
+      // expr) or Right(normalized re-aggregable function)
+      outMeaning: Seq[Either[Expression, Expression]],
+      relation: LogicalRelation)
 
   private val registry =
     new java.util.WeakHashMap[SparkSession, List[Mv]]()
@@ -62,6 +80,33 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
     registry.put(s, mv :: mvsFor(s))
   }
 
+  /** Column pruning gives every query a differently-shaped pure
+    * Project over the shared scan (the coarser roll-up reads fewer
+    * columns), which would defeat child equality. Attribute-only
+    * Projects change nothing an aggregate can observe — peel them
+    * before comparing. Attribute exprIds flow through such Projects
+    * unchanged, so normalization against the peeled child's output
+    * still binds. */
+  private[plans] def stripPruning(p: LogicalPlan): LogicalPlan = p match {
+    case Project(cols, child) if cols.forall(_.isInstanceOf[AttributeReference]) =>
+      stripPruning(child)
+    case other => other
+  }
+
+  /** Rebind `e`'s attribute references to ordinals of `child.output`
+    * and canonicalize — a cross-plan-comparable form. None if any
+    * reference escapes the child (should not happen post-analysis). */
+  private[plans] def normalize(e: Expression, child: LogicalPlan): Option[Expression] = {
+    var ok = true
+    val bound = e.transform {
+      case a: AttributeReference =>
+        val i = child.output.indexWhere(_.exprId == a.exprId)
+        if (i < 0) { ok = false; a }
+        else BoundReference(i, a.dataType, nullable = true)
+    }
+    if (ok) Some(bound.canonicalized) else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val session = SparkSession.getActiveSession.orNull
     if (session == null) return plan
@@ -69,20 +114,81 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
     if (mvs.isEmpty) return plan
     plan.transformUp {
       case agg: Aggregate =>
-        mvs.find(_.canonical == agg.canonicalized) match {
-          case Some(mv) if mv.relation.output.length == agg.output.length =>
-            // fresh exprIds per use so one MV can appear twice in a plan
-            val rel = mv.relation.newInstance()
-            val cols: Seq[NamedExpression] = agg.output.zip(rel.output).map {
-              case (o, m) =>
-                val e = if (m.dataType == o.dataType) m
-                        else Cast(m, o.dataType, Some(conf.sessionLocalTimeZone))
-                Alias(e, o.name)(exprId = o.exprId)
-            }
-            Project(cols, rel)
-          case _ => agg
+        val exact = mvs.collectFirst {
+          case mv if mv.canonical == agg.canonicalized &&
+            mv.relation.output.length == agg.output.length => exactRewrite(agg, mv)
         }
+        exact.orElse(mvs.view.flatMap(rollupRewrite(agg, _)).headOption)
+          .getOrElse(agg)
     }
+  }
+
+  private def exactRewrite(agg: Aggregate, mv: Mv): LogicalPlan = {
+    // fresh exprIds per use so one MV can appear twice in a plan
+    val rel = mv.relation.newInstance()
+    val cols: Seq[NamedExpression] = agg.output.zip(rel.output).map {
+      case (o, m) =>
+        val e = if (m.dataType == o.dataType) m
+                else Cast(m, o.dataType, Some(conf.sessionLocalTimeZone))
+        Alias(e, o.name)(exprId = o.exprId)
+    }
+    Project(cols, rel)
+  }
+
+  /** Try the roll-up rewrite of `agg` over `mv`'s summary. */
+  private def rollupRewrite(agg: Aggregate, mv: Mv): Option[LogicalPlan] = {
+    val mvChild = mv.childCanonical.getOrElse(return None)
+    val base = stripPruning(agg.child)
+    if (base.canonicalized != mvChild) return None
+    val rel = mv.relation.newInstance()
+
+    def groupCol(e: Expression): Option[Expression] =
+      normalize(e, base).flatMap { n =>
+        mv.outMeaning.indexWhere(_ == Left(n)) match {
+          case -1 => None
+          case i  => Some(rel.output(i))
+        }
+      }
+    def aggCol(n: Expression): Option[Expression] =
+      mv.outMeaning.indexWhere(_ == Right(n)) match {
+        case -1 => None
+        case i  => Some(rel.output(i))
+      }
+
+    // every query grouping expression must be one of the MV's
+    val newGroups: Seq[Expression] = agg.groupingExpressions.map { g =>
+      groupCol(g).getOrElse(return None)
+    }
+
+    val tz = Some(conf.sessionLocalTimeZone)
+    val newOut: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference => // grouping column in the output
+        Alias(groupCol(a).getOrElse(return None), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val rewritten: Expression = ae.aggregateFunction match {
+          case Sum(e, _) =>
+            val src = normalize(ae, base).flatMap(aggCol).getOrElse(return None)
+            val s = ae.copy(aggregateFunction = Sum(src))
+            if (s.dataType == ae.dataType) s else Cast(s, ae.dataType, tz)
+          case Count(_) =>
+            val src = normalize(ae, base).flatMap(aggCol).getOrElse(return None)
+            // count over partials = sum of partial counts; empty scan
+            // must still read 0, matching Count's never-null contract
+            Coalesce(Seq(Cast(ae.copy(aggregateFunction = Sum(src)), ae.dataType, tz),
+              Literal(0L)))
+          case Min(e) =>
+            val src = normalize(ae, base).flatMap(aggCol).getOrElse(return None)
+            ae.copy(aggregateFunction = Min(src))
+          case Max(e) =>
+            val src = normalize(ae, base).flatMap(aggCol).getOrElse(return None)
+            ae.copy(aggregateFunction = Max(src))
+          case _ => return None // not re-aggregable from partials
+        }
+        Alias(rewritten, name)(exprId = al.exprId)
+      case _ => return None
+    }
+    Some(Aggregate(newGroups, newOut, rel))
   }
 }
 
@@ -99,18 +205,60 @@ object MaterializedView {
   }
 
   /** Materialize `definition` at `path` (overwrite) and register it
-    * for rewrite on `session`. The canonical form is computed from the
-    * definition's optimized plan — the same form the rule sees for an
-    * incoming query — BEFORE registration, so registering can never
-    * self-match. */
+    * for rewrite on `session`. The canonical forms are computed from
+    * the definition's optimized plan — the same form the rule sees for
+    * an incoming query — BEFORE registration, so registering can never
+    * self-match. If the optimized definition is a single Aggregate its
+    * per-column meaning is recorded to enable roll-up matching;
+    * otherwise only exact matching applies. */
   def register(session: SparkSession, name: String,
       definition: DataFrame, path: String): Unit = {
-    val canonical = definition.queryExecution.optimizedPlan.canonicalized
+    import MaterializedViewRule.{Mv, normalize, stripPruning}
+    val optimized = definition.queryExecution.optimizedPlan
+    val canonical = optimized.canonicalized
+    val (childCanon, meaning) = optimized match {
+      case agg: Aggregate =>
+        val base = stripPruning(agg.child)
+        val groupNorms = agg.groupingExpressions
+          .flatMap(g => normalize(g, base)).toSet
+        val m: Seq[Either[Expression, Expression]] = agg.aggregateExpressions.map {
+          case a: AttributeReference =>
+            normalize(a, base).filter(groupNorms) match {
+              case Some(n) => Left(n)
+              case None    => return registerExactOnly(session, name, definition, path, canonical)
+            }
+          case Alias(ae: AggregateExpression, _)
+              if !ae.isDistinct && ae.filter.isEmpty &&
+                (ae.aggregateFunction match {
+                  case _: Sum | _: Count | _: Min | _: Max => true
+                  case _ => false
+                }) =>
+            normalize(ae, base) match {
+              case Some(n) => Right(n)
+              case None    => return registerExactOnly(session, name, definition, path, canonical)
+            }
+          case _ => return registerExactOnly(session, name, definition, path, canonical)
+        }
+        (Some(base.canonicalized), m)
+      case _ => (None, Seq.empty[Either[Expression, Expression]])
+    }
     definition.write.mode("overwrite").parquet(path)
-    val rel = session.read.parquet(path).queryExecution.analyzed.collectFirst {
+    MaterializedViewRule.add(session,
+      Mv(name, canonical, childCanon, meaning, readRelation(session, name, path)))
+  }
+
+  private def registerExactOnly(session: SparkSession, name: String,
+      definition: DataFrame, path: String, canonical: LogicalPlan): Unit = {
+    definition.write.mode("overwrite").parquet(path)
+    MaterializedViewRule.add(session,
+      MaterializedViewRule.Mv(name, canonical, None, Seq.empty,
+        readRelation(session, name, path)))
+  }
+
+  private def readRelation(session: SparkSession, name: String,
+      path: String): LogicalRelation =
+    session.read.parquet(path).queryExecution.analyzed.collectFirst {
       case r: LogicalRelation => r
     }.getOrElse(throw new IllegalStateException(
       s"materialized view $name at $path did not read back as a file relation"))
-    MaterializedViewRule.add(session, MaterializedViewRule.Mv(name, canonical, rel))
-  }
 }

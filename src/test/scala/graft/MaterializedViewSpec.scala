@@ -51,14 +51,77 @@ class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
     assert(filtered.collect().toSeq == expected.toSeq)
   }
 
+  private def fineCube(ss: SparkSession): DataFrame =
+    Tables.lineitem(ss, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+
+  test("roll-up: coarser grouping re-aggregates the MV instead of the fact table") {
+    val mvs = MaterializedView.sessionWith(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
+    MaterializedView.register(mvs, "mv_cube", fineCube(mvs), path)
+
+    def coarse(ss: SparkSession): DataFrame = Tables.lineitem(ss, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+
+    val q = coarse(mvs).orderBy(col("l_returnflag"))
+    assert(relationPaths(q).exists(_.contains(path)),
+      s"roll-up did not target the MV:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().toSeq == coarse(spark).orderBy(col("l_returnflag")).collect().toSeq)
+
+    // global roll-up (no grouping) over the same MV
+    def global(ss: SparkSession): DataFrame = Tables.lineitem(ss, sf)
+      .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("n"))
+    val g = global(mvs)
+    assert(relationPaths(g).exists(_.contains(path)))
+    assert(g.collect().toSeq == global(spark).collect().toSeq)
+  }
+
+  test("roll-up refuses what partials cannot answer: avg and distinct") {
+    val mvs = MaterializedView.sessionWith(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
+    MaterializedView.register(mvs, "mv_cube", fineCube(mvs), path)
+
+    val avgQ = Tables.lineitem(mvs, sf)
+      .groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("aq"))
+    assert(!relationPaths(avgQ).exists(_.contains(path)), "avg must not roll up")
+
+    val distinctQ = Tables.lineitem(mvs, sf)
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("nd"))
+    assert(!relationPaths(distinctQ).exists(_.contains(path)),
+      "count distinct must not roll up")
+
+    // grouping by a non-MV column must not roll up either
+    val otherGroup = Tables.lineitem(mvs, sf)
+      .groupBy(col("l_shipdate")).agg(sum(col("l_quantity")).as("sq"))
+    assert(!relationPaths(otherGroup).exists(_.contains(path)))
+  }
+
+  test("catalog q_mv_rewrite and q_mv_rollup actually plan over the summary") {
+    val exact = Queries.qMvRewrite(spark, sf)
+    val exactPaths = relationPaths(exact)
+    assert(exactPaths.nonEmpty && !exactPaths.exists(_.contains("lineitem")),
+      s"q_mv_rewrite still scans the fact table: $exactPaths")
+    val roll = Queries.qMvRollup(spark, sf)
+    val rollPaths = relationPaths(roll)
+    assert(rollPaths.nonEmpty && !rollPaths.exists(_.contains("lineitem")),
+      s"q_mv_rollup still scans the fact table: $rollPaths")
+  }
+
   test("a different aggregate is not rewritten; parent session never rewrites") {
     val mvs = MaterializedView.sessionWith(spark)
     val path = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
     MaterializedView.register(mvs, "mv_rollup", rollup(mvs), path)
 
-    // different grouping: must keep its Aggregate and scan the fact table
+    // a grouping the MV can't answer (l_partkey is not an MV dimension)
+    // must keep its Aggregate and scan the fact table; note the
+    // coarser (l_returnflag)-only rollup DOES rewrite — that's the
+    // roll-up path, exercised in its own test above
     val other = Tables.lineitem(mvs, sf)
-      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
     assert(other.queryExecution.optimizedPlan
       .collect { case a: Aggregate => a }.nonEmpty)
     assert(!relationPaths(other).exists(_.contains(path)))
