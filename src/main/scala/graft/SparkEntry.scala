@@ -514,6 +514,28 @@ object Queries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Path mining: the 10 most frequent 3-step event-type sequences
+    * across user timelines. One partitioned window (two leads over
+    * the per-user order), one hash aggregate on the path triple, and
+    * a global top-k (TakeOrdered — never a full sort) — the Markov
+    * transition mining shape that holds at any event volume because
+    * nothing ever materializes per-user state beyond two lookahead
+    * rows. */
+  def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+  }
+
   /** Ordered funnel analysis: signup → first click AT OR AFTER the
     * signup → first purchase at or after that click, per user. Each
     * stage is one hash aggregate keyed on user_id carrying the
@@ -1874,6 +1896,7 @@ object Queries {
     "q_pit_join" -> (qPitJoin _),
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup" -> (qMvRollup _),
+    "q_event_paths" -> (qEventPaths _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
@@ -2314,6 +2337,22 @@ object Queries {
         |    AS max_price_cents
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // two leads over the per-user order; count unique per triple so
+    // (n DESC, e1, e2, e3) is a total order
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id,
+        |    event_type FROM events),
+        |p AS (SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS e2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS e3
+        |  FROM e)
+        |SELECT e1, e2, e3, COUNT(*) AS n FROM p
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
 
     // staged funnel mins carried through user-keyed aggregates;
     // COUNT(col) skips the users who never reach a stage
