@@ -59,7 +59,8 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
 
   /** A registered MV: the full definition's canonical plan (exact
     * match), its canonical child + per-output-column meaning (roll-up
-    * match), and the summary relation to substitute. */
+    * match), the summary relation to substitute, and the current
+    * storage generation (refresh writes a new one). */
   final case class Mv(
       name: String,
       canonical: LogicalPlan,
@@ -67,7 +68,9 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
       // definition output position -> meaning: Left(normalized group
       // expr) or Right(normalized re-aggregable function)
       outMeaning: Seq[Either[Expression, Expression]],
-      relation: LogicalRelation)
+      relation: LogicalRelation,
+      path: String,
+      version: Int = 0)
 
   private val registry =
     new java.util.WeakHashMap[SparkSession, List[Mv]]()
@@ -77,7 +80,7 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
   }
 
   private[plans] def add(s: SparkSession, mv: Mv): Unit = registry.synchronized {
-    registry.put(s, mv :: mvsFor(s))
+    registry.put(s, mv :: mvsFor(s).filterNot(_.name == mv.name))
   }
 
   /** Column pruning gives every query a differently-shaped pure
@@ -244,7 +247,8 @@ object MaterializedView {
     }
     definition.write.mode("overwrite").parquet(path)
     MaterializedViewRule.add(session,
-      Mv(name, canonical, childCanon, meaning, readRelation(session, name, path)))
+      Mv(name, canonical, childCanon, meaning, readRelation(session, name, path),
+        path))
   }
 
   private def registerExactOnly(session: SparkSession, name: String,
@@ -252,7 +256,65 @@ object MaterializedView {
     definition.write.mode("overwrite").parquet(path)
     MaterializedViewRule.add(session,
       MaterializedViewRule.Mv(name, canonical, None, Seq.empty,
-        readRelation(session, name, path)))
+        readRelation(session, name, path), path))
+  }
+
+  /** Incremental refresh: merge `deltaSummary` — the SAME aggregate
+    * computed over ONLY the fact rows that arrived since the last
+    * (re)registration/refresh — into the stored summary, without
+    * touching historical fact data. This is what keeps an MV honest
+    * under append-only ingest at 100 TB: the merge cost is
+    * O(|summary| + |delta summary|), independent of fact size,
+    * because every recorded aggregate composes over partials
+    * (sum/count → sum of partials, min/max → min/max of partials —
+    * the same algebra `q_incremental_agg` proves equal to recompute).
+    * Null-skipping semantics compose too: an all-null partial
+    * contributes a null that the merge aggregate skips, exactly as a
+    * recompute would.
+    *
+    * The merged generation is written to `<path>_v<n>` (a parquet dir
+    * cannot be overwritten while being read) and the registry entry
+    * swaps to it atomically; matching metadata (canonical forms,
+    * column meanings) is unchanged, so rewrites keep firing. Only
+    * roll-up-capable MVs (single-Aggregate definitions) can refresh —
+    * exact-only registrations throw, since their column algebra is
+    * unknown. */
+  def refresh(session: SparkSession, name: String,
+      deltaSummary: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
+    val mv = MaterializedViewRule.mvsFor(session).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no MV named $name"))
+    if (mv.childCanonical.isEmpty) throw new IllegalArgumentException(
+      s"MV $name was registered exact-only; its columns cannot be merged")
+    val schema = mv.relation.schema
+    require(deltaSummary.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"delta summary schema must match MV $name schema exactly")
+    val cur = session.read.parquet(mv.path)
+    val names = schema.fieldNames
+    val groupCols = names.zip(mv.outMeaning).collect { case (n, Left(_)) => col(n) }
+    val aggCols = names.zip(mv.outMeaning).collect { case (n, Right(norm)) =>
+      val fn = norm match {
+        case ae: AggregateExpression => ae.aggregateFunction
+        case other => other
+      }
+      (fn match {
+        case _: Sum | _: Count => fsum(col(n)).cast(schema(n).dataType)
+        case _: Min            => fmin(col(n))
+        case _: Max            => fmax(col(n))
+        case other => throw new IllegalStateException(s"unmergeable $other")
+      }).as(n)
+    }
+    val merged =
+      if (aggCols.isEmpty) cur.unionByName(deltaSummary).distinct()
+      else cur.unionByName(deltaSummary)
+        .groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        .select(names.map(col): _*)
+    val next = s"${mv.path.stripSuffix("/").replaceAll("_v\\d+$", "")}_v${mv.version + 1}"
+    merged.write.mode("overwrite").parquet(next)
+    MaterializedViewRule.add(session, mv.copy(
+      relation = readRelation(session, name, next),
+      path = next, version = mv.version + 1))
   }
 
   private def readRelation(session: SparkSession, name: String,

@@ -111,6 +111,42 @@ class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
       s"q_mv_rollup still scans the fact table: $rollPaths")
   }
 
+  test("incremental refresh: delta merge equals recompute over the appended fact") {
+    val mvs = MaterializedView.sessionWith(spark)
+    val factDir = java.nio.file.Files.createTempDirectory("graft-mv-fact").toString
+    val mvPath = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
+
+    val all = Tables.lineitem(spark, sf)
+    all.filter(col("l_orderkey") % 3 =!= 0).write.mode("overwrite").parquet(factDir)
+
+    def cube(ss: SparkSession): DataFrame = ss.read.parquet(factDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_linenumber").cast("long")).as("sl"), count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+    MaterializedView.register(mvs, "mv_inc", cube(mvs), mvPath)
+
+    // new fact rows arrive (append-only ingest); summarize ONLY them
+    val delta = all.filter(col("l_orderkey") % 3 === 0)
+    delta.write.mode("append").parquet(factDir)
+    val deltaSummary = delta
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_linenumber").cast("long")).as("sl"), count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+    MaterializedView.refresh(mvs, "mv_inc", deltaSummary)
+
+    // a coarser roll-up over the appended fact table must hit the MV
+    // generation v1 and agree with a from-scratch recompute
+    def coarse(ss: SparkSession): DataFrame = ss.read.parquet(factDir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_linenumber").cast("long")).as("sl"), count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+      .orderBy(col("l_returnflag"))
+    val q = coarse(mvs)
+    assert(relationPaths(q).exists(_.contains("_v1")),
+      s"query does not read the refreshed generation:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().toSeq == coarse(spark).collect().toSeq)
+  }
+
   test("a different aggregate is not rewritten; parent session never rewrites") {
     val mvs = MaterializedView.sessionWith(spark)
     val path = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
