@@ -142,4 +142,29 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming materialized-view maintenance: every micro-batch of
+    * fact rows is summarized by `summarize` (the SAME aggregate shape
+    * the MV was registered with) and merged into the registered MV
+    * via [[graft.plans.MaterializedView.refresh]] — incremental view
+    * maintenance driven by the stream. Per-batch cost is
+    * O(|summary| + |batch summary|), never a fact-table rescan, so a
+    * dashboard summary stays current under 100 TB append-only ingest
+    * for the price of aggregating each batch once. The checkpoint
+    * makes maintenance restartable; because refresh merges partials
+    * (sum/count add, min/max compose), a replayed batch is the one
+    * failure mode to avoid — use the checkpoint, don't re-send data.
+    * Register the MV over a zero-row (schema-only) snapshot of the
+    * fact location so every row is accounted exactly once — by the
+    * stream. */
+  def maintainMv(facts: DataFrame, mvSession: SparkSession, name: String,
+      summarize: DataFrame => DataFrame, checkpoint: String) =
+    facts.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.plans.MaterializedView.refresh(mvSession, name, summarize(batch))
+      }
+      .start()
 }
