@@ -514,6 +514,27 @@ object Queries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** TPC-H Q5-shape star join: revenue per region through the full
+    * dimension chain region→nation→customer→orders→lineitem. The
+    * three dimension joins broadcast (region 5 rows, nation 25,
+    * customer ~n/4000 of lineitem) so the only shuffle-heavy join is
+    * orders⋈lineitem on orderkey, followed by one partial-aggregated
+    * rollup to 5 rows — the multi-join plan Catalyst should and does
+    * pick, which is exactly what survives a 100 TB fact table. */
+  def qStarJoin(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast(dec) *
+      (lit(1) - col("l_discount").cast(dec)))
+    Tables.region(s, dir)
+      .join(Tables.nation(s, dir), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(rev).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
   /** Path mining: the 10 most frequent 3-step event-type sequences
     * across user timelines. One partitioned window (two leads over
     * the per-user order), one hash aggregate on the path triple, and
@@ -1897,6 +1918,7 @@ object Queries {
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup" -> (qMvRollup _),
     "q_event_paths" -> (qEventPaths _),
+    "q_star_join" -> (qStarJoin _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
@@ -2353,6 +2375,19 @@ object Queries {
         |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY e1, e2, e3
         |ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // full dimension chain; decimal-routed revenue for exactness
+    "q_star_join" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM region
+        |JOIN nation   ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     // staged funnel mins carried through user-keyed aggregates;
     // COUNT(col) skips the users who never reach a stage
