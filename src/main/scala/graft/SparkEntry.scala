@@ -535,6 +535,70 @@ object Queries {
       .orderBy(col("r_name"))
   }
 
+  /** Table reconciliation: diff two snapshots of a table (the
+    * cross-replica / cross-engine audit every large pipeline runs).
+    * The "drifted" snapshot is derived deterministically from orders
+    * (keys ≡0 mod 97 deleted, ≡0 mod 13 repriced, a shifted-key
+    * slice added); the diff is ONE full outer join on the key with
+    * null-safe field comparison — no row hashing, so float-formatting
+    * differences between engines can't produce phantom diffs — and a
+    * per-class rollup (added/removed/changed/same) with key bounds.
+    * Scale shape: one key-partitioned shuffle each side; the classify
+    * + rollup is map-side combined. */
+  def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val left = o.select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").as("tp"))
+    val right = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("tp"))
+      .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 10000000L).as("k"),
+          col("o_orderstatus").as("st"), col("o_totalprice").as("tp")))
+    val l = left.select(col("k"), struct(col("st"), col("tp")).as("l"))
+    val r = right.select(col("k"), struct(col("st"), col("tp")).as("r"))
+    l.join(r, Seq("k"), "full_outer")
+      .withColumn("class",
+        when(col("l").isNull, "added")
+          .when(col("r").isNull, "removed")
+          .when(col("l") <=> col("r"), "same")
+          .otherwise("changed"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .orderBy(col("class"))
+  }
+
+  /** Global dense-id assignment WITHOUT a single-partition sort — the
+    * surrogate-key backfill every warehouse needs at 100 TB, where
+    * `row_number() OVER (ORDER BY key)` would funnel the table
+    * through one task. Three bounded steps instead: (1) range-
+    * partition by key (each partition holds a contiguous key range),
+    * (2) count rows per partition and prefix-sum those ~hundreds of
+    * counts into partition offsets (a window over a partition-count-
+    * sized relation, broadcast back), (3) row_number WITHIN each
+    * partition — fully parallel — plus the partition's offset. The
+    * result is bit-identical to the oracle's global ROW_NUMBER
+    * regardless of where the sampled range boundaries land, because
+    * offsets are computed from actual counts. */
+  def qDenseIds(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = Tables.documents(s, dir).select(col("doc_id"))
+      .repartitionByRange(16, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pid"), col("offset"))
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("dense_id", col("offset") + row_number().over(wIn) - 1)
+      .select(col("doc_id"), col("dense_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Path mining: the 10 most frequent 3-step event-type sequences
     * across user timelines. One partitioned window (two leads over
     * the per-user order), one hash aggregate on the path triple, and
@@ -1919,6 +1983,8 @@ object Queries {
     "q_mv_rollup" -> (qMvRollup _),
     "q_event_paths" -> (qEventPaths _),
     "q_star_join" -> (qStarJoin _),
+    "q_table_diff" -> (qTableDiff _),
+    "q_dense_ids" -> (qDenseIds _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
@@ -2388,6 +2454,35 @@ object Queries {
         |JOIN orders   ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // same drift construction; IS NOT DISTINCT FROM = Spark's <=>
+    "q_table_diff" ->
+      """WITH l AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice AS tp FROM orders),
+        |r AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS tp
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS k, o_orderstatus AS st,
+        |    o_totalprice AS tp FROM orders WHERE o_orderkey % 101 = 0),
+        |j AS (SELECT COALESCE(l.k, r.k) AS k,
+        |    l.k IS NOT NULL AS has_l, r.k IS NOT NULL AS has_r,
+        |    l.st IS NOT DISTINCT FROM r.st
+        |      AND l.tp IS NOT DISTINCT FROM r.tp AS eq
+        |  FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT CASE WHEN NOT has_l THEN 'added'
+        |            WHEN NOT has_r THEN 'removed'
+        |            WHEN eq THEN 'same' ELSE 'changed' END AS class,
+        |  COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM j GROUP BY class ORDER BY class""".stripMargin,
+
+    // the distributed prefix-sum assignment must equal the global
+    // row_number exactly
+    "q_dense_ids" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS dense_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // staged funnel mins carried through user-keyed aggregates;
     // COUNT(col) skips the users who never reach a stage
