@@ -1742,6 +1742,30 @@ object Queries {
         col("col").as("q_value"))
       .orderBy(col("l_returnflag"), col("q_idx"))
 
+  /** Robust per-group anomaly detection via median absolute
+    * deviation: per event type, median(value), MAD =
+    * median(|v − median|), and the count of 3-MAD outliers. Two exact
+    * percentile aggregates (ObjectHashAggregate over bounded groups —
+    * same engine-parity interpolation `q_quantiles` proves) and two
+    * broadcast-able joins of 5-row statistics back to the stream;
+    * unlike z-scores, the MAD gate doesn't let the outliers it hunts
+    * inflate the threshold that should catch them. */
+  def qAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fixed-window token chunking with overlap (64-token chunks,
     * 16-token overlap): the long-document split for a context-bounded
     * model. Pure projection + posexplode — zero shuffles. */
@@ -1940,6 +1964,7 @@ object Queries {
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_approx_distinct_hll" -> (qApproxDistinctHll _),
     "q_quantiles" -> (qQuantiles _),
+    "q_anomaly_mad" -> (qAnomalyMad _),
     "q_dedup_editdist" -> (qDedupEditDistance _),
     "q_sample_hash" -> (qSampleHash _),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
@@ -3270,6 +3295,23 @@ object Queries {
         |SELECT l_returnflag, CAST(i - 1 AS BIGINT) AS q_idx, qs[i] AS q_value
         |FROM q, (SELECT unnest([1, 2, 3, 4, 5]) i)
         |ORDER BY l_returnflag, q_idx""".stripMargin,
+
+    // same two-pass median/MAD; quantile_cont interpolation parity is
+    // the q_quantiles-proven contract
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, MIN(d.med) AS med, MIN(md.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.adev > 3 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  COUNT(*) AS n_total
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     // identical hash rule ⇒ identical sample on any engine
     "q_sample_hash" ->
