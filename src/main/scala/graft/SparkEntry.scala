@@ -1766,6 +1766,43 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Declarative data-quality checks over `orders` — the ingest-gate
+    * validation suite, evaluated the way it must be at 100 TB: every
+    * row-local metric (null counts, domain membership, range bounds)
+    * rides ONE aggregate pass over the table; key uniqueness is one
+    * count-vs-distinct comparison; referential integrity is one
+    * broadcast anti-join against the dimension. Output is one row per
+    * check with its violation count — the shape a quality dashboard
+    * ingests. (The reference validates control-plane resources with
+    * JSON Schema (`model/Validation`); this is the same gate applied
+    * to DATA, set-oriented.) */
+  def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val rowMetrics = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("neg_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status"),
+      countDistinct(col("o_orderkey")).as("n_keys"))
+    val fkViolations = o.join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_bad"))
+    val m = rowMetrics.crossJoin(fkViolations)
+    // one row per declared check; violations == 0 ⇒ passed
+    val checks = Seq(
+      ("key_not_null", col("null_key")),
+      ("key_unique", col("n") - col("n_keys")),
+      ("price_non_negative", col("neg_price")),
+      ("status_in_domain", col("bad_status")),
+      ("custkey_references_customer", col("fk_bad")))
+    checks.map { case (name, viol) =>
+      m.select(lit(name).as("check"), viol.cast("long").as("violations"),
+        (viol === 0).as("passed"))
+    }.reduce(_.unionByName(_)).orderBy(col("check"))
+  }
+
   /** Fixed-window token chunking with overlap (64-token chunks,
     * 16-token overlap): the long-document split for a context-bounded
     * model. Pure projection + posexplode — zero shuffles. */
@@ -1965,6 +2002,7 @@ object Queries {
     "q_approx_distinct_hll" -> (qApproxDistinctHll _),
     "q_quantiles" -> (qQuantiles _),
     "q_anomaly_mad" -> (qAnomalyMad _),
+    "q_dq_checks" -> (qDqChecks _),
     "q_dedup_editdist" -> (qDedupEditDistance _),
     "q_sample_hash" -> (qSampleHash _),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
@@ -3312,6 +3350,30 @@ object Queries {
         |  COUNT(*) AS n_total
         |FROM d JOIN md USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    // same five declared checks, one metrics scan + FK anti-join
+    "q_dq_checks" ->
+      """WITH m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_key,
+        |    CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS neg_price,
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0
+        |      END) AS BIGINT) AS bad_status,
+        |    COUNT(DISTINCT o_orderkey) AS n_keys
+        |  FROM orders),
+        |fk AS (SELECT COUNT(*) AS fk_bad FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey)),
+        |c AS (
+        |  SELECT 'key_not_null' AS check, null_key AS violations FROM m
+        |  UNION ALL SELECT 'key_unique', n - n_keys FROM m
+        |  UNION ALL SELECT 'price_non_negative', neg_price FROM m
+        |  UNION ALL SELECT 'status_in_domain', bad_status FROM m
+        |  UNION ALL SELECT 'custkey_references_customer', fk_bad FROM fk)
+        |SELECT "check", CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS passed
+        |FROM c ORDER BY "check"""".stripMargin,
 
     // identical hash rule ⇒ identical sample on any engine
     "q_sample_hash" ->
