@@ -70,7 +70,8 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
       outMeaning: Seq[Either[Expression, Expression]],
       relation: LogicalRelation,
       path: String,
-      version: Int = 0)
+      version: Int = 0,
+      lastBatchId: Option[Long] = None)
 
   private val registry =
     new java.util.WeakHashMap[SparkSession, List[Mv]]()
@@ -197,6 +198,10 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
 
 object MaterializedView {
 
+  /** Current storage path of a registered MV (advances on refresh). */
+  def currentPath(session: SparkSession, name: String): Option[String] =
+    MaterializedViewRule.mvsFor(session).find(_.name == name).map(_.path)
+
   /** Child session with the rewrite enabled; MVs registered on it are
     * invisible to the parent session. */
   def sessionWith(s: SparkSession): SparkSession = {
@@ -280,12 +285,16 @@ object MaterializedView {
     * exact-only registrations throw, since their column algebra is
     * unknown. */
   def refresh(session: SparkSession, name: String,
-      deltaSummary: DataFrame): Unit = {
+      deltaSummary: DataFrame, batchId: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.{col, max => fmax, min => fmin, sum => fsum}
     val mv = MaterializedViewRule.mvsFor(session).find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no MV named $name"))
     if (mv.childCanonical.isEmpty) throw new IllegalArgumentException(
       s"MV $name was registered exact-only; its columns cannot be merged")
+    // at-least-once guard: foreachBatch replays the last uncommitted
+    // batch after a restart; merging partials is NOT idempotent, so a
+    // replayed batch id must be a no-op rather than a double count
+    if (batchId.exists(b => mv.lastBatchId.exists(_ >= b))) return
     val schema = mv.relation.schema
     require(deltaSummary.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       schema.fields.map(f => (f.name, f.dataType)).toSeq,
@@ -314,7 +323,8 @@ object MaterializedView {
     merged.write.mode("overwrite").parquet(next)
     MaterializedViewRule.add(session, mv.copy(
       relation = readRelation(session, name, next),
-      path = next, version = mv.version + 1))
+      path = next, version = mv.version + 1,
+      lastBatchId = batchId.orElse(mv.lastBatchId)))
   }
 
   private def readRelation(session: SparkSession, name: String,

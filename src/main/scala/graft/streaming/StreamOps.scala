@@ -151,20 +151,21 @@ object StreamOps {
     * O(|summary| + |batch summary|), never a fact-table rescan, so a
     * dashboard summary stays current under 100 TB append-only ingest
     * for the price of aggregating each batch once. The checkpoint
-    * makes maintenance restartable; because refresh merges partials
-    * (sum/count add, min/max compose), a replayed batch is the one
-    * failure mode to avoid — use the checkpoint, don't re-send data.
-    * Register the MV over a zero-row (schema-only) snapshot of the
-    * fact location so every row is accounted exactly once — by the
-    * stream. */
+    * makes maintenance restartable; merging partials is not
+    * idempotent, so the batch id rides along and `refresh` drops a
+    * replayed id — foreachBatch's at-least-once redelivery after a
+    * crash becomes effectively-once merging. Register the MV over a
+    * zero-row (schema-only) snapshot of the fact location so every
+    * row is accounted exactly once — by the stream. */
   def maintainMv(facts: DataFrame, mvSession: SparkSession, name: String,
       summarize: DataFrame => DataFrame, checkpoint: String) =
     facts.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          graft.plans.MaterializedView.refresh(mvSession, name, summarize(batch))
+          graft.plans.MaterializedView.refresh(mvSession, name,
+            summarize(batch), Some(batchId))
       }
       .start()
 }

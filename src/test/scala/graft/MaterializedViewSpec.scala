@@ -186,6 +186,33 @@ class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
     assert(viaMv.collect().toSeq == expected.toSeq)
   }
 
+  test("a replayed batch id is a no-op: merge is effectively-once") {
+    val mvs = MaterializedView.sessionWith(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
+    def summarize(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_linenumber").cast("long")).as("sl"), count(lit(1)).as("n"))
+    val base = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 2 === 0)
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-mv-rfact").toString
+    base.write.mode("overwrite").parquet(baseDir)
+    MaterializedView.register(mvs, "mv_replay",
+      summarize(mvs.read.parquet(baseDir)), path)
+
+    val delta = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 2 =!= 0)
+    MaterializedView.refresh(mvs, "mv_replay", summarize(delta), Some(7L))
+    // the at-least-once replay: same batch id again must change nothing
+    MaterializedView.refresh(mvs, "mv_replay", summarize(delta), Some(7L))
+
+    val expect = summarize(Tables.lineitem(spark, sf))
+      .orderBy(col("l_returnflag")).collect()
+    // the current generation must equal base+delta merged exactly once
+    val cur = mvs.read.parquet(
+      MaterializedView.currentPath(mvs, "mv_replay").get)
+      .orderBy(col("l_returnflag")).collect()
+    assert(cur.toSeq == expect.toSeq,
+      s"replayed batch double-merged: ${cur.toSeq} vs ${expect.toSeq}")
+  }
+
   test("a different aggregate is not rewritten; parent session never rewrites") {
     val mvs = MaterializedView.sessionWith(spark)
     val path = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
