@@ -584,8 +584,11 @@ object Queries {
     * offsets are computed from actual counts. */
   def qDenseIds(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // partition count follows spark.sql.shuffle.partitions — the id
+    // assignment is invariant to it (offsets come from actual counts),
+    // so the same query scales from local[8] to a 1000-executor job
     val ranged = Tables.documents(s, dir).select(col("doc_id"))
-      .repartitionByRange(16, col("doc_id"))
+      .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
     val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .withColumn("offset", coalesce(sum(col("cnt")).over(
