@@ -1806,6 +1806,35 @@ object Queries {
     }.reduce(_.unionByName(_)).orderBy(col("check"))
   }
 
+  /** Phrase inverted-index build: word bigram → sorted posting list
+    * of "doc_id:position" entries plus document frequency, for
+    * phrases appearing in 2–25 docs (the rare-phrase band a phrase-
+    * search index exists for). The retrieval-index shape at corpus
+    * scale: one explode (linear, no pre-shuffle) then ONE shuffle on
+    * the phrase — posting lists assemble via map-side-combinable
+    * collect + an explicit sort_array so the list order is a property
+    * of the DATA, not of partition arrival order. Postings are packed
+    * as strings so the oracle comparison is dtype-trivial; a real
+    * deployment would keep the struct form. */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2) // sequence(0,-1) would descend
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i+1]))")).as(Seq("pos", "tok")))
+      .select(col("tok"),
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string")).as("posting"),
+        col("doc_id"))
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(col("posting"))).as("postings"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("df").between(2, 25))
+      .orderBy(col("tok"))
+  }
+
   /** Fixed-window token chunking with overlap (64-token chunks,
     * 16-token overlap): the long-document split for a context-bounded
     * model. Pure projection + posexplode — zero shuffles. */
@@ -2006,6 +2035,7 @@ object Queries {
     "q_quantiles" -> (qQuantiles _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_dq_checks" -> (qDqChecks _),
+    "q_inverted_index" -> (qInvertedIndex _),
     "q_dedup_editdist" -> (qDedupEditDistance _),
     "q_sample_hash" -> (qSampleHash _),
     "q_approx_distinct_kmv" -> (qApproxDistinctKmv _),
@@ -3377,6 +3407,25 @@ object Queries {
         |SELECT "check", CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS passed
         |FROM c ORDER BY "check"""".stripMargin,
+
+    // 0-based phrase positions; string-packed postings sort binary
+    // identically in both engines
+    "q_inverted_index" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, toks[i] || ' ' || toks[i+1] AS tok
+        |  FROM w, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |f AS (SELECT tok,
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) AS posting,
+        |    doc_id
+        |  FROM p)
+        |SELECT tok, list_sort(list(posting)) AS postings,
+        |  COUNT(DISTINCT doc_id) AS df
+        |FROM f GROUP BY tok
+        |HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 25
+        |ORDER BY tok""".stripMargin,
 
     // identical hash rule ⇒ identical sample on any engine
     "q_sample_hash" ->
