@@ -722,10 +722,12 @@ object Queries {
     val sym = e0.select(col("c").as("src"), col("sup").as("dst"))
       .union(e0.select(col("sup").as("src"), col("c").as("dst")))
       .repartition(col("src"))
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .cache() // read twice below (deg agg + join) — materialize once
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
     val edges = sym.join(deg, "src").cache() // co-partitioned: no extra exchange
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
-    val n = nodes.count() // bounded scalar for the teleport term; also populates the caches
+    // deg's keys ARE the distinct node set — no separate distinct pass
+    val nodes = deg.select(col("src").as("node"))
+    val n = deg.count() // bounded scalar for the teleport term; also populates the caches
     var r = nodes.select(col("node"), lit(1000000000L / n).as("r"))
     for (_ <- 1 to 3) {
       // the symmetrized graph has every node as a dst (out-degree ≥ 1
