@@ -15,8 +15,38 @@ import org.apache.spark.sql.SparkSession
   * it hits, but it cannot hit the same query in both passes — the min
   * self-certifies. Both pass totals are emitted so a disagreement
   * (>±1 s) flags a noisy window instead of silently shipping it.
+  *
+  * Min-of-2 is blind to a window that is UNIFORMLY slow (both passes
+  * agree, both contended — the r5 failure mode: every number 1.6-9×
+  * inflated yet `noisy_host:false`). Defense: an absolute calibration
+  * probe — a fixed-work, IO-free query (`bit_xor(xxhash64)` over
+  * `spark.range`, deterministic plan, whole-stage codegen) timed at
+  * the start and end of each measured pass and compared against a
+  * COMMITTED idle-host reference time. Any probe >1.5× reference ⇒
+  * `contended_window:true`: the artifact self-certifies instead of
+  * needing an out-of-band re-run. Recalibrate with
+  * `runMain graft.Bench --probe-cal` on a quiet host.
   */
 object Bench {
+  /** Fixed probe work: 500M-row hash-reduce, zero IO, one stage —
+    * big enough (~1 s idle) that scheduler jitter amortizes. */
+  private val ProbeRows = 500000000L
+  /** Idle-host reference seconds for the probe (min of 6, this repo's
+    * sandbox host, local[32]; see BASELINE.md "bench calibration"). */
+  val ProbeRefSec = 0.50 // calibrated 2026-08-13: steady state 0.46-0.51
+
+  def probeOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, ProbeRows, 1, 32)
+      .selectExpr("bit_xor(xxhash64(id, id * 2654435761)) AS h").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One calibration point = min of 2 back-to-back probes: a stray
+    * scheduling hiccup on one probe must not fake a contended window. */
+  def probePoint(spark: SparkSession): Double =
+    math.min(probeOnce(spark), probeOnce(spark))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,6 +58,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.contains("--probe-cal")) {
+      probeOnce(spark) // warm codegen + JIT
+      val ts = Seq.fill(6)(probeOnce(spark))
+      println("probe_cal_times=" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+        + f" min=${ts.min}%.3f")
+      spark.stop(); return
+    }
 
     def run(name: String): Double = {
       spark.catalog.clearCache() // query-local caches must not leak across measurements
@@ -49,7 +87,16 @@ object Bench {
       try Queries.all(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case scala.util.control.NonFatal(_) => }
     }
-    val passes = Seq.fill(2)(names.map(n => n -> run(n)).toMap)
+    // warm the probe to JIT steady state (first runs are ~1.6× slower
+    // while C2 compiles the hash loop — measured in --probe-cal)
+    (1 to 3).foreach(_ => probeOnce(spark))
+    val probeTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    val passes = Seq.fill(2) {
+      probeTimes += probePoint(spark) // start-of-pass calibration
+      val p = names.map(n => n -> run(n)).toMap
+      probeTimes += probePoint(spark) // end-of-pass calibration
+      p
+    }
     val best = names.map { n =>
       val valid = passes.map(_(n)).filter(_ >= 0)
       n -> (if (valid.isEmpty) -1.0 else valid.min)
@@ -63,7 +110,11 @@ object Bench {
     // host window; the per-query min is still sound, but flag it so a
     // reader never mistakes contamination for regression (or vice versa)
     val noisy = totals.max > totals.min * 1.5
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"noisy_host":$noisy,"sf":"$sfDir"}""")
+    // absolute check: any calibration probe >1.5× the committed idle-host
+    // reference means the WHOLE window (not just one pass) was contended
+    val contended = probeTimes.exists(_ > ProbeRefSec * 1.5)
+    val probeJson = probeTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"noisy_host":$noisy,"probe_ref_sec":$ProbeRefSec,"probe_times":$probeJson,"contended_window":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1158,6 +1158,13 @@ object Queries {
     cands
       .join(sig.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
       .join(sig.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+      // free per-pair prune BEFORE the DP kernel: |len_a - len_b| lower-
+      // bounds edit distance, so any pair whose length gap alone exceeds
+      // 0.2·maxlen can never reach sim >= 0.8 — a codegen'd filter that
+      // keeps one long outlier from dragging every short pair through
+      // the (corpus-wide-thresholded) levenshtein
+      .filter(abs(length(col("t_a")) - length(col("t_b"))).cast("double")
+        <= lit(0.2) * greatest(length(col("t_a")), length(col("t_b"))).cast("double"))
       .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b"), thr).cast("long"))
       .withColumn("edit_sim",
         lit(1.0) - col("edit_dist").cast("double") /
@@ -1815,9 +1822,10 @@ object Queries {
     * scale: one explode (linear, no pre-shuffle) then ONE shuffle on
     * the phrase — posting lists assemble via map-side-combinable
     * collect + an explicit sort_array so the list order is a property
-    * of the DATA, not of partition arrival order. Postings are packed
-    * as strings so the oracle comparison is dtype-trivial; a real
-    * deployment would keep the struct form. */
+    * of the DATA, not of partition arrival order. The posting list is
+    * flattened to one comma-joined VARCHAR so the whole row is scalar
+    * and comparable by any harness; a real deployment would keep the
+    * array/struct form. */
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -1831,7 +1839,8 @@ object Queries {
           col("pos").cast("string")).as("posting"),
         col("doc_id"))
       .groupBy(col("tok"))
-      .agg(sort_array(collect_list(col("posting"))).as("postings"),
+      .agg(array_join(sort_array(collect_list(col("posting"))), ",")
+          .as("postings"),
         countDistinct(col("doc_id")).as("df"))
       .filter(col("df").between(2, 25))
       .orderBy(col("tok"))
@@ -3423,7 +3432,8 @@ object Queries {
         |    CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) AS posting,
         |    doc_id
         |  FROM p)
-        |SELECT tok, list_sort(list(posting)) AS postings,
+        |SELECT tok,
+        |  array_to_string(list_sort(list(posting)), ',') AS postings,
         |  COUNT(DISTINCT doc_id) AS df
         |FROM f GROUP BY tok
         |HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 25

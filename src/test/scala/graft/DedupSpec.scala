@@ -112,6 +112,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(editPairs.intersect(ngramPairs).nonEmpty)
   }
 
+  test("edit-distance prune: length-gap filter guards the levenshtein kernel") {
+    // |len_a - len_b| lower-bounds edit distance, so the cheap codegen'd
+    // prune must sit in the plan guarding (short-circuiting before) the
+    // O(thr·len) levenshtein kernel
+    val plan = Queries.qDedupEditDistance(spark, sf).queryExecution.optimizedPlan
+    val conds = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.toString
+    }
+    assert(conds.exists(c => c.contains("abs(") && c.contains("length(")),
+      s"no length-gap prune filter in plan:\n$plan")
+    // when Catalyst fuses both filters into one conjunct, the prune must
+    // come first so And short-circuits past the DP kernel
+    conds.filter(_.contains("levenshtein")).foreach { c =>
+      assert(!c.contains("abs(") || c.indexOf("abs(") < c.indexOf("levenshtein"),
+        s"prune conjunct does not precede levenshtein: $c")
+    }
+  }
+
   test("connected components: transitive chains collapse to the min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
       .toDF("doc_a", "doc_b")
