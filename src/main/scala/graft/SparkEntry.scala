@@ -481,6 +481,34 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Materialized-view AVG roll-up: avg is not a partial-mergeable
+    * aggregate, but it is DERIVABLE when the cube carries both sum(e)
+    * and count(e) — the optimizer rewrites `avg(e)` over the fact
+    * table to `sum(mv.sum_e) / sum(mv.n)` over the summary. Guarded
+    * to DECIMAL(p,2) measures: decimal partials re-aggregate exactly
+    * and the quotient rounds once at Average's own result scale,
+    * whereas double sums are partition-order sensitive (this repo's
+    * correctness rule — MaterializedViewSpec proves the double form
+    * refuses). Output rides integer micro-units so the oracle compare
+    * is dtype-trivial; the oracle derives the identical half-up
+    * rounding with exact HUGEINT arithmetic. */
+  def qMvRollupAvg(s: SparkSession, dir: String): DataFrame = {
+    val mvs = graft.plans.MaterializedView.sessionWith(s)
+    def pc = col("l_extendedprice").cast(dec)
+    def fine(ss: SparkSession): DataFrame = Tables.lineitem(ss, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(pc).as("sum_price"), count(pc).as("n_price"))
+    val path = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    graft.plans.MaterializedView.register(mvs, "mv_avg_fine", fine(mvs), path)
+    Tables.lineitem(mvs, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(pc).as("avg_price"), count(pc).as("n_rows"))
+      .select(col("l_returnflag"),
+        (col("avg_price") * 1000000).cast("long").as("avg_price_micros"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Point-in-time join — the feature-store pattern: each fact
     * (purchase) reads the dimension value that was current at its
     * timestamp, where the dimension is the per-user changelog of
@@ -2088,6 +2116,7 @@ object Queries {
     "q_pit_join" -> (qPitJoin _),
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup" -> (qMvRollup _),
+    "q_mv_rollup_avg" -> (qMvRollupAvg _),
     "q_event_paths" -> (qEventPaths _),
     "q_star_join" -> (qStarJoin _),
     "q_table_diff" -> (qTableDiff _),
@@ -2532,6 +2561,21 @@ object Queries {
         |    AS max_price_cents
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // from-scratch avg in exact HUGEINT arithmetic: Spark's decimal
+    // avg rounds S/N half-up at scale 6, i.e. micros =
+    // floor((2*cents*10^4 + n) / (2n)) for positive sums — the MV
+    // avg roll-up must reproduce it bit-exactly
+    "q_mv_rollup_avg" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS sc,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST((2 * sc * 10000 + n) // (2 * n) AS BIGINT) AS avg_price_micros,
+        |  CAST(n AS BIGINT) AS n_rows
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     // two leads over the per-user order; count unique per triple so
     // (n DESC, e1, e2, e3) is a total order

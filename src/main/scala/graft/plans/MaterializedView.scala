@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Cast, Coalesce, Divide, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -29,9 +30,17 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   *      `min(e)` → `min(mv.min_e)`, `max(e)` → `max(mv.max_e)`.
   *      The aggregate then runs over the summary instead of the fact
   *      table — the decisive case in practice, since dashboards
-  *      slice one fine-grained cube many coarse ways. DISTINCT
-  *      aggregates, avg, and FILTER clauses are NOT re-aggregable
-  *      from partials and correctly fall through to the base plan.
+  *      slice one fine-grained cube many coarse ways. `avg(e)` is
+  *      DERIVABLE when the MV carries both `sum(e)` and `count(e)`
+  *      (or `count(*)` for a non-nullable e) — rewritten to
+  *      `sum(mv.sum_e) / sum(mv.n)` — but ONLY for DECIMAL(p,2)
+  *      inputs: double sums are partition-order sensitive (the
+  *      repo's correctness rule), and scale-2 is the shape whose
+  *      quotient scale (6) equals Average's own result scale, so the
+  *      division rounds exactly once, exactly where Average rounds.
+  *      DISTINCT aggregates, other-scale/double avg, and FILTER
+  *      clauses are NOT re-aggregable from partials and correctly
+  *      fall through to the base plan.
   *
   * Matching is cross-plan-safe: expressions are compared after
   * rebinding their attribute references to ordinals of the (already
@@ -165,31 +174,87 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
     }
 
     val tz = Some(conf.sessionLocalTimeZone)
+
+    /** Rewrite one aggregate call over the fact table into the
+      * equivalent re-aggregation of MV partials; None = not derivable. */
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case Sum(e, _) =>
+          normalize(ae, base).flatMap(aggCol).map { src =>
+            val s = ae.copy(aggregateFunction = Sum(src),
+              resultId = NamedExpression.newExprId)
+            if (s.dataType == ae.dataType) s else Cast(s, ae.dataType, tz)
+          }
+        case Count(_) =>
+          normalize(ae, base).flatMap(aggCol).map { src =>
+            // count over partials = sum of partial counts; empty scan
+            // must still read 0, matching Count's never-null contract
+            Coalesce(Seq(Cast(ae.copy(aggregateFunction = Sum(src),
+              resultId = NamedExpression.newExprId), ae.dataType, tz),
+              Literal(0L)))
+          }
+        case Min(e) =>
+          normalize(ae, base).flatMap(aggCol).map(src =>
+            ae.copy(aggregateFunction = Min(src),
+              resultId = NamedExpression.newExprId))
+        case Max(e) =>
+          normalize(ae, base).flatMap(aggCol).map(src =>
+            ae.copy(aggregateFunction = Max(src),
+              resultId = NamedExpression.newExprId))
+        case Average(e, _) =>
+          // avg is derivable from (sum, count) partials ONLY in exact
+          // arithmetic: a double sum is partition-order sensitive.
+          // Scale restricted to 2 so the rewritten quotient (adjusted
+          // scale 6 for decimal(38,2)/decimal(38,2)) rounds exactly
+          // once at the same scale Average's decimal(p+4, s+4)
+          // result does — any other scale double-rounds.
+          e.dataType match {
+            case d: DecimalType if d.scale == 2 && d.precision + 4 <= 38 =>
+            case _ => return None
+          }
+          def partial(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction) =
+            normalize(ae.copy(aggregateFunction = fn), base).flatMap(aggCol)
+          for {
+            sumSrc <- partial(Sum(e))
+            // count(e) is the null-correct divisor; count(*) partials
+            // are acceptable only when e can never be null
+            cntSrc <- partial(Count(Seq(e))).orElse(
+              if (e.nullable) None else partial(Count(Seq(Literal(1)))))
+          } yield {
+            val wide = DecimalType(38, 2)
+            val totalSum = Cast(ae.copy(aggregateFunction = Sum(sumSrc),
+              resultId = NamedExpression.newExprId), wide, tz)
+            val totalCnt = Cast(ae.copy(aggregateFunction = Sum(cntSrc),
+              resultId = NamedExpression.newExprId), wide, tz)
+            // LEGACY eval: null (not error) on the impossible count=0,
+            // matching Average's own divide
+            Cast(Divide(totalSum, totalCnt, EvalMode.LEGACY), ae.dataType, tz)
+          }
+        case _ => None // not re-aggregable from partials
+      }
+    }
+
+    /** Rewrite an arbitrary output expression: aggregate calls map to
+      * partial re-aggregations, bare attributes to MV grouping columns,
+      * and any surrounding scalar arithmetic (e.g. a CollapseProject-
+      * inlined unit conversion over an avg) is rebuilt over the
+      * rewritten children. */
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAgg(ae)
+      case a: AttributeReference   => groupCol(a)
+      case leaf if leaf.children.isEmpty => Some(leaf)
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
     val newOut: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference => // grouping column in the output
         Alias(groupCol(a).getOrElse(return None), a.name)(exprId = a.exprId)
-      case al @ Alias(ae: AggregateExpression, name)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        val rewritten: Expression = ae.aggregateFunction match {
-          case Sum(e, _) =>
-            val src = normalize(ae, base).flatMap(aggCol).getOrElse(return None)
-            val s = ae.copy(aggregateFunction = Sum(src))
-            if (s.dataType == ae.dataType) s else Cast(s, ae.dataType, tz)
-          case Count(_) =>
-            val src = normalize(ae, base).flatMap(aggCol).getOrElse(return None)
-            // count over partials = sum of partial counts; empty scan
-            // must still read 0, matching Count's never-null contract
-            Coalesce(Seq(Cast(ae.copy(aggregateFunction = Sum(src)), ae.dataType, tz),
-              Literal(0L)))
-          case Min(e) =>
-            val src = normalize(ae, base).flatMap(aggCol).getOrElse(return None)
-            ae.copy(aggregateFunction = Min(src))
-          case Max(e) =>
-            val src = normalize(ae, base).flatMap(aggCol).getOrElse(return None)
-            ae.copy(aggregateFunction = Max(src))
-          case _ => return None // not re-aggregable from partials
-        }
-        Alias(rewritten, name)(exprId = al.exprId)
+      case al: Alias =>
+        Alias(rewriteExpr(al.child).getOrElse(return None), al.name)(exprId = al.exprId)
       case _ => return None
     }
     Some(Aggregate(newGroups, newOut, rel))

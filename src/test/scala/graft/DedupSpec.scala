@@ -116,10 +116,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // |len_a - len_b| lower-bounds edit distance, so the cheap codegen'd
     // prune must sit in the plan guarding (short-circuiting before) the
     // O(thr·len) levenshtein kernel
+    // Catalyst may keep the prune as a Filter or fold it into the join
+    // condition itself — inspect both
     val plan = Queries.qDedupEditDistance(spark, sf).queryExecution.optimizedPlan
     val conds = plan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition.toString
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
     }
     assert(conds.exists(c => c.contains("abs(") && c.contains("length(")),
       s"no length-gap prune filter in plan:\n$plan")

@@ -80,14 +80,18 @@ class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
     assert(g.collect().toSeq == global(spark).collect().toSeq)
   }
 
-  test("roll-up refuses what partials cannot answer: avg and distinct") {
+  test("roll-up refuses what partials cannot answer: double avg and distinct") {
     val mvs = MaterializedView.sessionWith(spark)
     val path = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
     MaterializedView.register(mvs, "mv_cube", fineCube(mvs), path)
 
+    // l_quantity is DOUBLE: its sum partials are partition-order
+    // sensitive, so the avg derivation must refuse even though the
+    // cube carries both sum(l_quantity) and count
     val avgQ = Tables.lineitem(mvs, sf)
       .groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("aq"))
-    assert(!relationPaths(avgQ).exists(_.contains(path)), "avg must not roll up")
+    assert(!relationPaths(avgQ).exists(_.contains(path)),
+      "double-typed avg must not roll up")
 
     val distinctQ = Tables.lineitem(mvs, sf)
       .groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("nd"))
@@ -100,6 +104,38 @@ class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
     assert(!relationPaths(otherGroup).exists(_.contains(path)))
   }
 
+  test("avg roll-up: decimal avg derives from (sum, count) partials, bit-exact") {
+    val mvs = MaterializedView.sessionWith(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
+    def pc = col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    def fine(ss: SparkSession): DataFrame = Tables.lineitem(ss, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(pc).as("sp"), count(pc).as("np"))
+    MaterializedView.register(mvs, "mv_avg_cube", fine(mvs), path)
+
+    def coarse(ss: SparkSession): DataFrame = Tables.lineitem(ss, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(pc).as("ap"), sum(pc).as("sp"))
+      .orderBy(col("l_returnflag"))
+    val q = coarse(mvs)
+    assert(relationPaths(q).exists(_.contains(path)),
+      s"decimal avg did not roll up:\n${q.queryExecution.optimizedPlan}")
+    // decimal equality is exact: the derived sum(sum)/sum(n) must
+    // round once at Average's own result scale and agree bit-for-bit
+    assert(q.collect().toSeq == coarse(spark).collect().toSeq)
+
+    // a cube WITHOUT the count column cannot answer avg
+    val path2 = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
+    def sumOnly(ss: SparkSession): DataFrame = Tables.lineitem(ss, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus")).agg(sum(pc).as("sp"))
+    val mvs2 = MaterializedView.sessionWith(spark)
+    MaterializedView.register(mvs2, "mv_sum_only", sumOnly(mvs2), path2)
+    val q2 = Tables.lineitem(mvs2, sf)
+      .groupBy(col("l_returnflag")).agg(avg(pc).as("ap"))
+    assert(!relationPaths(q2).exists(_.contains(path2)),
+      "avg must not roll up without a count partial")
+  }
+
   test("catalog q_mv_rewrite and q_mv_rollup actually plan over the summary") {
     val exact = Queries.qMvRewrite(spark, sf)
     val exactPaths = relationPaths(exact)
@@ -109,6 +145,10 @@ class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
     val rollPaths = relationPaths(roll)
     assert(rollPaths.nonEmpty && !rollPaths.exists(_.contains("lineitem")),
       s"q_mv_rollup still scans the fact table: $rollPaths")
+    val rollAvg = Queries.qMvRollupAvg(spark, sf)
+    val rollAvgPaths = relationPaths(rollAvg)
+    assert(rollAvgPaths.nonEmpty && !rollAvgPaths.exists(_.contains("lineitem")),
+      s"q_mv_rollup_avg still scans the fact table: $rollAvgPaths")
   }
 
   test("incremental refresh: delta merge equals recompute over the appended fact") {
