@@ -615,9 +615,18 @@ object Queries {
     // partition count follows spark.sql.shuffle.partitions — the id
     // assignment is invariant to it (offsets come from actual counts),
     // so the same query scales from local[8] to a 1000-executor job
+    // CACHED: both consumers below (the offset aggregate and the
+    // per-partition row_number join) must observe IDENTICAL partition
+    // boundaries. RangePartitioner SAMPLES its boundaries, so two
+    // independent evaluations of this subtree can legally disagree —
+    // exchange reuse usually saves us locally, but AQE replanning one
+    // branch or disabled reuse would silently misalign ids. One
+    // materialization feeding both branches makes the correctness
+    // unconditional.
     val ranged = Tables.documents(s, dir).select(col("doc_id"))
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .cache()
     val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .withColumn("offset", coalesce(sum(col("cnt")).over(
         Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),

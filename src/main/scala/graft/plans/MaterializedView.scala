@@ -79,9 +79,21 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
       outMeaning: Seq[Either[Expression, Expression]],
       relation: LogicalRelation,
       path: String,
+      /** Registration-time path: generation suffixes derive from this
+        * stored base, never by regex-stripping the current path — a
+        * user-supplied base that itself ends in a version-like suffix
+        * must not be mangled into overwriting its own directory. */
+      basePath: String,
       version: Int = 0,
       lastBatchId: Option[Long] = None)
 
+  /** Per-session MV lists. NOTE on lifecycle: weak KEYS alone cannot
+    * free an entry here, because the value's plans (canonical
+    * definition + summary relation) strongly reference the owning
+    * session — the textbook WeakHashMap value→key cycle. Sessions
+    * created per-query (the catalog demos) bound their own growth;
+    * long-lived services must call [[MaterializedView.unregister]] /
+    * [[MaterializedView.dropAll]] when done with an MV or session. */
   private val registry =
     new java.util.WeakHashMap[SparkSession, List[Mv]]()
 
@@ -91,6 +103,18 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
 
   private[plans] def add(s: SparkSession, mv: Mv): Unit = registry.synchronized {
     registry.put(s, mv :: mvsFor(s).filterNot(_.name == mv.name))
+  }
+
+  private[plans] def remove(s: SparkSession, name: String): Unit =
+    registry.synchronized {
+      mvsFor(s).filterNot(_.name == name) match {
+        case Nil  => registry.remove(s): Unit
+        case rest => registry.put(s, rest): Unit
+      }
+    }
+
+  private[plans] def removeAll(s: SparkSession): Unit = registry.synchronized {
+    registry.remove(s): Unit
   }
 
   /** Column pruning gives every query a differently-shaped pure
@@ -318,7 +342,7 @@ object MaterializedView {
     definition.write.mode("overwrite").parquet(path)
     MaterializedViewRule.add(session,
       Mv(name, canonical, childCanon, meaning, readRelation(session, name, path),
-        path))
+        path, basePath = path))
   }
 
   private def registerExactOnly(session: SparkSession, name: String,
@@ -326,7 +350,34 @@ object MaterializedView {
     definition.write.mode("overwrite").parquet(path)
     MaterializedViewRule.add(session,
       MaterializedViewRule.Mv(name, canonical, None, Seq.empty,
-        readRelation(session, name, path), path))
+        readRelation(session, name, path), path, basePath = path))
+  }
+
+  /** Drop one MV registration: the rewrite stops firing for it, and
+    * any refresh-created generation directories (never the original
+    * registration path — the caller owns that) are deleted. Part of
+    * the registry's lifecycle contract: weak session keys alone cannot
+    * free entries (an MV's plans reference the owning session), so
+    * long-lived services drop explicitly. */
+  def unregister(session: SparkSession, name: String): Unit = {
+    MaterializedViewRule.mvsFor(session).find(_.name == name).foreach { mv =>
+      MaterializedViewRule.remove(session, name)
+      if (mv.path != mv.basePath) deleteDir(session, mv.path)
+    }
+  }
+
+  /** Drop every MV registered on `session` (see [[unregister]]). */
+  def dropAll(session: SparkSession): Unit = {
+    MaterializedViewRule.mvsFor(session).foreach { mv =>
+      if (mv.path != mv.basePath) deleteDir(session, mv.path)
+    }
+    MaterializedViewRule.removeAll(session)
+  }
+
+  private def deleteDir(session: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(session.sessionState.newHadoopConf())
+    fs.delete(p, true): Unit
   }
 
   /** Incremental refresh: merge `deltaSummary` — the SAME aggregate
@@ -342,10 +393,17 @@ object MaterializedView {
     * contributes a null that the merge aggregate skips, exactly as a
     * recompute would.
     *
-    * The merged generation is written to `<path>_v<n>` (a parquet dir
-    * cannot be overwritten while being read) and the registry entry
-    * swaps to it atomically; matching metadata (canonical forms,
-    * column meanings) is unchanged, so rewrites keep firing. Only
+    * The merged generation is written to `<basePath>_v<n>` (a parquet
+    * dir cannot be overwritten while being read) and the registry
+    * entry swaps to it atomically; matching metadata (canonical forms,
+    * column meanings) is unchanged, so rewrites keep firing. The
+    * suffix derives from the STORED registration path — never by
+    * pattern-stripping the current one, which would mangle a user
+    * path that happens to end version-like. After the swap the
+    * PREVIOUS refresh-created generation is deleted (the original
+    * registration dir is the caller's and is kept), so a long-running
+    * maintained stream holds at most base + previous-swap + current —
+    * bounded storage, not one summary copy per micro-batch. Only
     * roll-up-capable MVs (single-Aggregate definitions) can refresh —
     * exact-only registrations throw, since their column algebra is
     * unknown. */
@@ -384,12 +442,16 @@ object MaterializedView {
       else cur.unionByName(deltaSummary)
         .groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
         .select(names.map(col): _*)
-    val next = s"${mv.path.stripSuffix("/").replaceAll("_v\\d+$", "")}_v${mv.version + 1}"
+    val next = s"${mv.basePath.stripSuffix("/")}_v${mv.version + 1}"
     merged.write.mode("overwrite").parquet(next)
     MaterializedViewRule.add(session, mv.copy(
       relation = readRelation(session, name, next),
       path = next, version = mv.version + 1,
       lastBatchId = batchId.orElse(mv.lastBatchId)))
+    // bounded storage: the superseded refresh-created generation is
+    // dead once the registry points at `next`; the original
+    // registration dir stays (the caller owns it)
+    if (mv.path != mv.basePath && mv.path != next) deleteDir(session, mv.path)
   }
 
   private def readRelation(session: SparkSession, name: String,

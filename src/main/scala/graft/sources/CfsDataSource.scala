@@ -148,13 +148,24 @@ final class CfsScanBuilder(root: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var collectionEq: Option[String] = None
   private var docIdEq: Option[String] = None
+  /** Two DIFFERENT pushed equalities on one column (collection = 'a'
+    * AND collection = 'b') are a contradiction: the scan must return
+    * empty. Keeping only the last value while reporting both filters
+    * as handled would silently return 'b' rows. */
+  private var contradiction: Boolean = false
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CfsDataSource.Schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def accept(slot: Option[String], v: String): Option[String] = {
+      if (slot.exists(_ != v)) contradiction = true
+      slot.orElse(Some(v))
+    }
     val (accepted, rejected) = filters.partition {
-      case EqualTo("collection", v: String) => collectionEq = Some(v); true
-      case EqualTo("doc_id", v: String)     => docIdEq = Some(v); true
+      case EqualTo("collection", v: String) =>
+        collectionEq = accept(collectionEq, v); true
+      case EqualTo("doc_id", v: String) =>
+        docIdEq = accept(docIdEq, v); true
       case IsNotNull("collection" | "doc_id" | "json") => true // never null by construction
       case _ => false
     }
@@ -166,7 +177,23 @@ final class CfsScanBuilder(root: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new CfsScan(root, collectionEq, docIdEq, required)
+  override def build(): Scan =
+    if (contradiction) new CfsEmptyScan(required)
+    else new CfsScan(root, collectionEq, docIdEq, required)
+}
+
+/** Scan for a provably-empty result (contradictory pushed equalities):
+  * zero partitions, no IO. */
+final class CfsEmptyScan(required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = "graft-cfs CONTRADICTION (empty)"
+  override def planInputPartitions(): Array[InputPartition] = Array.empty
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        throw new IllegalStateException("empty scan has no partitions")
+    }
 }
 
 final case class CfsInputPartition(dir: String, collection: String) extends InputPartition

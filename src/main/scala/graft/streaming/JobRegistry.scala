@@ -139,6 +139,12 @@ final class JobRegistry(spark: SparkSession, tenant: String,
 
   private def jobFor(queryId: UUID): Option[String] = queryToJob.get(queryId)
 
+  /** Live query-id→job entries (test observability): must stay bounded
+    * at O(active queries) under a restart storm — onQueryTerminated
+    * drops the dead run's mapping, so supervised restarts cannot
+    * accumulate one stale entry per replaced query. */
+  private[graft] def trackedQueryCount: Int = queryToJob.size
+
   private def scheduleRestart(jobId: String): Unit = synchronized {
     runtimes.get(jobId) match {
       case Some(rt) if jobs.contains(jobId) =>

@@ -27,6 +27,28 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked event-time SESSION windows (gap-based): per-key
+    * sessions close when `gap` passes with no new event, and their
+    * aggregate is emitted in append mode once the watermark clears the
+    * session end — the streaming form of the batch `q_sessionize`
+    * gap-split. Uses Spark's native `session_window`, so state merging
+    * (two open sessions bridged by a late-but-in-watermark event
+    * collapse into one) and eviction are handled by the engine: state
+    * per key is bounded by its OPEN sessions only, and rows later than
+    * the watermark are dropped rather than reopening closed sessions —
+    * the property that keeps session state finite on an unbounded
+    * stream. */
+  def sessionWindowAgg(df: DataFrame, nsCol: String, lateness: String,
+      gap: String, keyCol: String): DataFrame =
+    eventTime(df, nsCol)
+      .withWatermark("event_time", lateness)
+      .groupBy(session_window(col("event_time"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   final case class SessionState(nEvents: Long, totalValue: Double)
   final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
 

@@ -45,6 +45,25 @@ class CfsSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(one.collect().map(_.getString(1)).sorted === Array("p1", "p2"))
   }
 
+  test("contradictory pushed equalities return empty, not last-filter-wins") {
+    val root = freshStore()
+    // both equalities are pushed and fully handled; keeping only the
+    // second would wrongly return purchase rows for this always-false
+    // predicate
+    val contradictory = read(root)
+      .filter(col("collection") === "_aether/entities/click" &&
+        col("collection") === "_aether/entities/purchase")
+    assert(contradictory.count() === 0,
+      "collection='a' AND collection='b' must be empty")
+    val docContra = read(root)
+      .filter(col("doc_id") === "c1" && col("doc_id") === "c2")
+    assert(docContra.count() === 0)
+    // a repeated IDENTICAL equality is not a contradiction
+    val same = read(root)
+      .filter(col("doc_id") === "c1" && col("doc_id") === "c1")
+    assert(same.count() === 1)
+  }
+
   test("doc_id equality prunes to a single file per collection") {
     val root = freshStore()
     val df = read(root).filter(col("doc_id") === "c1")

@@ -51,4 +51,39 @@ class LineageSpec extends AnyFunSuite with SparkTestBase {
     assert(Lineage.of(u)("s") ==
       Set(SourceCol("lineitem", "l_quantity"), SourceCol("lineitem", "l_tax")))
   }
+
+  test("subquery lineage: dependence through scalar/EXISTS plans is not cleared") {
+    val s = spark
+    Tables.orders(s, sf).createOrReplaceTempView("lin_orders")
+    Tables.customer(s, sf).createOrReplaceTempView("lin_customer")
+    // output only names o_orderkey, but which rows survive is decided
+    // by c_acctbal inside the EXISTS — a PII audit must see it
+    val exists = s.sql(
+      """SELECT o_orderkey FROM lin_orders o
+        |WHERE EXISTS (SELECT 1 FROM lin_customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)""".stripMargin)
+    assert(Lineage.dependsOn(exists, "customer", "c_acctbal"),
+      "EXISTS filter column escaped the audit")
+    // scalar subquery in the projection: value flows into the output
+    val scalar = s.sql(
+      """SELECT o_orderkey,
+        |  (SELECT max(c_acctbal) FROM lin_customer c
+        |   WHERE c.c_custkey = o.o_custkey) AS bal
+        |FROM lin_orders o""".stripMargin)
+    assert(Lineage.of(scalar)("bal").contains(SourceCol("customer", "c_acctbal")))
+    assert(Lineage.dependsOn(scalar, "customer", "c_custkey"))
+  }
+
+  test("unmodeled operators fail closed: minted attributes answer dependsOn=true") {
+    import spark.implicits._
+    // typed map mints entirely new attributes the walk cannot model —
+    // provenance must be Unknown, and dependsOn must refuse to clear
+    // ANY column rather than falsely report independence
+    val df = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, t) => (id * 2, t.length) }
+      .toDF("k", "len")
+    assert(Lineage.of(df).values.exists(_.contains(Lineage.Unknown)))
+    assert(Lineage.dependsOn(df, "documents", "text"),
+      "fail-closed contract: unknown derivation must not clear text")
+  }
 }

@@ -226,6 +226,43 @@ class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
     assert(viaMv.collect().toSeq == expected.toSeq)
   }
 
+  test("refresh generations are bounded on disk; version-like user paths are not mangled") {
+    val mvs = MaterializedView.sessionWith(spark)
+    val parent = java.nio.file.Files.createTempDirectory("graft-mv-gen").toString
+    // a user path that itself ends version-like: the generation suffix
+    // must derive from the stored base, never regex-strip this
+    val path = s"$parent/user_mv_v3"
+    def summarize(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_linenumber").cast("long")).as("sl"), count(lit(1)).as("n"))
+    val base = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 4 === 0)
+    MaterializedView.register(mvs, "mv_gen", summarize(base), path)
+
+    (1 to 3).foreach { k =>
+      val delta = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 4 === k)
+      MaterializedView.refresh(mvs, "mv_gen", summarize(delta))
+    }
+    val cur = MaterializedView.currentPath(mvs, "mv_gen").get
+    assert(cur == s"$parent/user_mv_v3_v3", s"generation path derived wrong: $cur")
+    // merged content equals a from-scratch recompute
+    val expect = summarize(Tables.lineitem(spark, sf))
+      .orderBy(col("l_returnflag")).collect()
+    assert(mvs.read.parquet(cur).orderBy(col("l_returnflag")).collect().toSeq
+      == expect.toSeq)
+    // bounded storage: original + current only — superseded refresh
+    // generations (_v1, _v2) are deleted after each swap
+    val dirs = new java.io.File(parent).list().sorted.toSeq
+    assert(dirs == Seq("user_mv_v3", "user_mv_v3_v3"),
+      s"stale generations left on disk: $dirs")
+
+    // unregister drops the rewrite and the refresh-created generation,
+    // keeping the caller's registration dir
+    MaterializedView.unregister(mvs, "mv_gen")
+    assert(MaterializedView.currentPath(mvs, "mv_gen").isEmpty)
+    val after = new java.io.File(parent).list().sorted.toSeq
+    assert(after == Seq("user_mv_v3"), s"unregister left: $after")
+  }
+
   test("a replayed batch id is a no-op: merge is effectively-once") {
     val mvs = MaterializedView.sessionWith(spark)
     val path = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString

@@ -96,6 +96,51 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session windows: gap-split sessions emit on watermark, late data is evicted") {
+    val input = Files.createTempDirectory("sesswin-in").toString
+    val secNs = 1000L * 1000 * 1000
+    // user 7: two events 5s apart (one session, gap 30s);
+    // user 8: a lone event far later that will advance the watermark
+    val b1 = Seq((7L, 100L * secNs, 1.0), (7L, 105L * secNs, 2.0))
+      .toDF("user_id", "ts", "value")
+    b1.coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema(b1.schema).parquet(input)
+    val q = StreamOps.sessionWindowAgg(stream, "ts", "10 seconds", "30 seconds", "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin_test").start()
+    try {
+      q.processAllAvailable()
+      // watermark still at 105s-10s: the open session must NOT emit yet
+      assert(spark.table("sesswin_test").count() == 0,
+        "open session emitted before the watermark closed it")
+
+      // advance event time far past session end (135s) + lateness
+      Seq((8L, 1000L * secNs, 9.0)).toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      val closed = spark.table("sesswin_test")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(closed == Set((7L, 2L, 3.0)),
+        s"expected user 7's merged 2-event session, got $closed")
+
+      // a late event INSIDE the closed session (behind the watermark)
+      // must be dropped, not reopen/duplicate the session
+      Seq((7L, 106L * secNs, 100.0)).toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(input)
+      // and another watermark push so any wrongly-opened session would flush
+      Seq((8L, 2000L * secNs, 9.0)).toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      val after = spark.table("sesswin_test")
+        .filter($"user_id" === 7L)
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(after == Set((7L, 2L, 3.0)),
+        s"late event must be evicted, got $after")
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags cross-batch LSH collisions against first-seen reps") {
     val input = Files.createTempDirectory("neardup-in").toString
     val textA = (1 to 40).map(i => s"token$i").mkString(" ")

@@ -464,6 +464,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     try assert(eventually(30000)(reg.getStatus("jr") == "NORMAL"))
     finally reg.pauseJob("jr")
   }
+
+  test("supervisor restart storm: permanent failure keeps state bounded, backoff monotone, then STOPPED") {
+    val input = tmp(); val work = tmp()
+    val maxRestarts = 4
+    val reg = new graft.streaming.JobRegistry(spark, "tnt",
+      restartBackoffMs = 100, maxBackoffMs = 400, maxRestarts = maxRestarts)
+    assert(reg.addSubscription(Subscription("ss", "ss", "t?")).isRight)
+    assert(reg.addFirebase(FirebaseInstance("fs", "fs", "http://emulator")).isRight)
+    assert(reg.addJob(FirebaseJob("js2", "js2", "fs", Seq("ss"))).isRight)
+
+    val batch = Seq(("tnt.t1", 1L, "a")).toDF("kafka_topic", "id", "name")
+    batch.coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema(batch.schema).parquet(input)
+    // every commit throws: the supervisor must retry maxRestarts times
+    // with doubling (capped) delays and then give up
+    val started = reg.startJob("js2", stream, () => new AlwaysFailSink, work)
+    assert(started.isRight, started)
+    try {
+      try started.toOption.get.processAllAvailable()
+      catch { case _: Exception => }
+      // "STOPPED" alone also covers a merely-inactive query, so gate on
+      // the supervisor's give-up line landing in the ring first
+      assert(eventually(60000)(reg.getLogs("js2").exists(_.contains("giving up after"))),
+        s"supervisor never gave up; logs: ${reg.getLogs("js2").mkString(" | ")}")
+      assert(reg.getStatus("js2") == "STOPPED",
+        s"status ${reg.getStatus("js2")} after give-up")
+
+      val logs = reg.getLogs("js2")
+      // exactly maxRestarts scheduled retries, then the give-up line
+      val delayRe = """restart #(\d+) in (\d+) ms""".r
+      val delays = logs.flatMap(l => delayRe.findFirstMatchIn(l)
+        .map(m => (m.group(1).toInt, m.group(2).toLong)))
+      assert(delays.map(_._1) == (1 to maxRestarts).toSeq,
+        s"attempt sequence: $delays; logs: ${logs.mkString(" | ")}")
+      // backoff doubles 100→200→400 and stays capped at maxBackoffMs
+      assert(delays.map(_._2) == Seq(100L, 200L, 400L, 400L),
+        s"delays not monotone-doubling-capped: $delays")
+      assert(logs.exists(_.contains("giving up after")), logs.mkString(" | "))
+
+      // a restart STORM must not leak one queryToJob entry per dead
+      // run: every terminated run's mapping is dropped, so the map is
+      // bounded by the active-query count (0 — the job is STOPPED)
+      assert(eventually(10000)(reg.trackedQueryCount == 0),
+        s"queryToJob leaked ${reg.trackedQueryCount} entries after the storm")
+    } finally { try reg.pauseJob("js2") catch { case _: Exception => } }
+  }
+}
+
+/** Sink whose EVERY commit throws — drives the restart-storm spec. */
+final class AlwaysFailSink extends graft.sources.DocumentSink {
+  override def commitBatch(docs: Seq[graft.sources.DocumentSink.Doc]): Unit =
+    throw new RuntimeException("injected permanent sink failure (test)")
 }
 
 /** Sink whose FIRST commit throws (marker file arbitrates across
