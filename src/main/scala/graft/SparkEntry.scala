@@ -781,6 +781,74 @@ object Queries {
     r.select(col("node"), col("r").as("rank_ppb")).orderBy(col("node"))
   }
 
+  /** Triangle counting with DEGREE ORIENTATION over the supplier
+    * co-occurrence graph (two suppliers linked iff they share an
+    * order; pair explosion bounded by per-order line count). Each
+    * undirected edge is directed from its lower-(degree, id) endpoint
+    * to the higher, which makes the graph a DAG whose max out-degree
+    * is O(√m) regardless of hub size — THE trick that keeps wedge
+    * enumeration from going quadratic on power-law graphs at 100 TB
+    * (a raw hub of degree d contributes d² wedges; oriented, at most
+    * arboricity²). Count = wedges (a→b, b→c) closed by edge (a→c);
+    * each triangle is counted exactly once because orientation is a
+    * total order. Output: the 20 most triangle-heavy suppliers, per-
+    * node participation counts — exact, verified against the O(n³)
+    * 3-way-join oracle. */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sn")).distinct()
+    val e = li.as("x").join(li.as("y"), col("x.o") === col("y.o") &&
+        col("x.sn") < col("y.sn"))
+      .select(col("x.sn").as("u"), col("y.sn").as("v")).distinct()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient: src = endpoint with smaller (degree, id); total order ⇒
+    // each triangle materializes as exactly one (a→b→c, a→c) pattern
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val ed = e.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .cache() // read three times below (two wedge sides + closure)
+    val tri = ed.as("e1")
+      .join(ed.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(ed.as("e3"), col("a") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("supp_id"))
+      .groupBy(col("supp_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("supp_id"))
+      .limit(20)
+  }
+
+  /** Rolling time-window aggregates (RANGE frame): for every event,
+    * the same user's event count and value sum over the PRECEDING
+    * HOUR including this event — the feature-engineering staple
+    * ("activity in the last h"). A RANGE BETWEEN frame over integer
+    * epoch seconds: one shuffle on the user key, then a per-partition
+    * sliding frame whose state is bounded by the window span — never
+    * a self-join on an inequality (the O(n·m) shape q_range_autobin
+    * exists to kill). Value rides integer cents so the rolling sum is
+    * bit-exact in any engine. */
+  def qRollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("t"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_cents_1h", sum(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("t"),
+        col("n_1h"), col("sum_cents_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Per-group top-k via rank filter — written declaratively
     * (row_number over a partition, filter rk <= 5) and optimized by
     * Spark's InferWindowGroupLimit into a WindowGroupLimit physical
@@ -1209,6 +1277,32 @@ object Queries {
       .filter(col("edit_dist") >= 0 && col("edit_sim") >= 0.8)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("edit_dist"), col("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** EXACT Jaccard similarity self-join (threshold 0.5) via prefix
+    * filtering — the recall-1 complement to the LSH pipeline: LSH
+    * trades recall for speed (a true pair can miss every band);
+    * prefix filtering finds EVERY pair with J ≥ t by blocking on the
+    * first n−⌈t·n⌉+1 rarest-first canonical tokens (AllPairs/SSJoin
+    * principle). Verification and the threshold test run in exact
+    * integers (2·|∩| ≥ |∪|), so the oracle — a brute-force O(n²)
+    * DuckDB cross join — must agree pair-for-pair, proving both the
+    * filter's completeness (no lost pair) and its soundness. */
+  def qSimJoinExact(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigned(s, dir)
+    val sets = sig.select(col("doc_id"), col("sh")).filter(size(col("sh")) > 0)
+    val cands = Dedup.prefixSimCandidates(sets, "doc_id", "sh", 1, 2)
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter_n",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_n",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter_n"))
+      .filter(col("inter_n") * 2 >= col("union_n")) // J >= 1/2, integer-exact
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter_n"), col("union_n"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -2116,6 +2210,9 @@ object Queries {
     "q_ngram_lm_score" -> (qNgramLmScore _),
     "q_dup_spans" -> (qDupSpans _),
     "q_pagerank" -> (qPagerank _),
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_rolling_window" -> (qRollingWindow _),
+    "q_sim_join_exact" -> (qSimJoinExact _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -2720,6 +2817,36 @@ object Queries {
         |       FROM nodes LEFT JOIN c3 ON nodes.node = c3.dst)
         |SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3 ORDER BY node""".stripMargin,
 
+    // brute-force 3-way-join triangle enumeration (a<b<c): the degree-
+    // oriented DAG enumeration must find the identical triangle set
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sn FROM lineitem),
+        |e AS (SELECT DISTINCT x.sn AS u, y.sn AS v
+        |      FROM li x JOIN li y ON x.o = y.o AND x.sn < y.sn),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |p AS (SELECT a AS supp_id FROM t
+        |      UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |SELECT supp_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM p GROUP BY supp_id
+        |ORDER BY n_triangles DESC, supp_id LIMIT 20""".stripMargin,
+
+    // ANSI RANGE frames include value peers in both engines; cents
+    // ride integers so the rolling sum is bit-exact
+    "q_rolling_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_id, t,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // null corner rules: COUNT(col) skips nulls, <=> is IS NOT
     // DISTINCT FROM, NULLIF(x,0), aggregates skip nulls
     "q_null_semantics" ->
@@ -2955,6 +3082,21 @@ object Queries {
          |JOIN sig sb ON id_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    // brute-force O(n²) cross join with exact integer threshold — the
+    // prefix-filtered join must agree pair-for-pair (completeness AND
+    // soundness of the filter)
+    "q_sim_join_exact" ->
+      s"""WITH $shingleCte,
+         |f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
+         |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+         |    AS BIGINT) AS union_n
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE 2 * len(list_intersect(a.sh, b.sh))
+         |  >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

@@ -97,6 +97,47 @@ object Dedup {
       .drop("band")
   }
 
+  /** EXACT set-similarity self-join candidates via prefix filtering —
+    * the recall-1 alternative to LSH banding (SSJoin/AllPairs prefix
+    * principle: Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07).
+    * Tokens get a global canonical order (document frequency ASC,
+    * token — rarest first, which minimizes candidates); a record with
+    * set size n can reach Jaccard ≥ t = tNum/tDen with some partner
+    * only through an intersection of ≥ ceil(t·n) tokens, so any
+    * qualifying pair must collide inside each other's first
+    * n − ceil(t·n) + 1 canonical tokens. Blocking on prefix tokens
+    * therefore finds EVERY pair with J ≥ t — no probabilistic recall
+    * loss — while pruning the n² pair space by the prefix/df skew.
+    *
+    * Scale shape: one token-frequency aggregate (shuffle on token),
+    * one group-back per doc, then the prefix-token equi-join is the
+    * only pair-producing shuffle; the Zipf head is exactly what the
+    * rarest-first order keeps OUT of prefixes. Prefix length uses
+    * exact integer arithmetic — ceil(t·n) = (tNum·n + tDen − 1) div
+    * tDen — so the bound never wobbles through a double.
+    *
+    * Returns distinct (id_a < id_b) candidate pairs; callers verify
+    * with exact intersection/union counts on the full sets. */
+  def prefixSimCandidates(sets: DataFrame, idCol: String, setCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val tok = sets.select(col(idCol), explode(col(setCol)).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col(idCol), expr(
+        // n - ceil(t*n) + 1 canonical tokens, integer-exact
+        s"slice(transform(st, x -> x.tok), 1, " +
+          s"size(st) - ((${tNum}L * size(st) + ${tDen - 1}L) div ${tDen}L) + 1)")
+        .as("prefix"))
+      .select(col(idCol), explode(col("prefix")).as("tok"))
+    prefix.select(col(idCol).as("id_a"), col("tok"))
+      .join(prefix.select(col(idCol).as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Distinct candidate pairs (id_a < id_b) sharing any LSH band.
     * The join key (band_idx, band_key) is the blocking key — this is
     * the only shuffle in the pipeline. */

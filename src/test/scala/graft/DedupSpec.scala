@@ -135,6 +135,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("prefix-filtered exact sim-join: recall 1 vs LSH, candidates bounded") {
+    // completeness: every LSH+verify pair (J >= 0.5) must also be found
+    // by the exact join — prefix filtering has recall 1 by theorem,
+    // LSH does not, so exact ⊇ lsh-verified
+    val exact = Queries.qSimJoinExact(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshVerified = Queries.qDedupNgram(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lshVerified.nonEmpty)
+    assert(lshVerified.subsetOf(exact),
+      s"exact join missed LSH-verified pairs: ${lshVerified -- exact}")
+    // the prefix filter must prune the pair space, not enumerate n²
+    val sets = graft.operators.Dedup.withShingles(
+        Tables.documents(spark, sf).select($"doc_id", $"text"), "text")
+      .select($"doc_id", $"sh").filter(size($"sh") > 0)
+    val n = sets.count()
+    val cands = graft.operators.Dedup
+      .prefixSimCandidates(sets, "doc_id", "sh", 1, 2).count()
+    assert(cands < n * n / 4, s"prefix filter barely pruned: $cands of ${n * n / 2}")
+  }
+
   test("connected components: transitive chains collapse to the min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
       .toDF("doc_a", "doc_b")
