@@ -990,6 +990,24 @@ object Queries {
       .orderBy(col("n_regionkey"))
   }
 
+  /** ORC source/sink round-trip on orders — the third columnar
+    * format after parquet and the CFS DSv2 store. ORC round-trips
+    * Spark types losslessly (stripe-level stats, predicate pushdown
+    * come free from the built-in reader); the oracle aggregates the
+    * original parquet, so the hash-match proves write+read fidelity
+    * for longs, strings, and DECIMAL-routed sums. */
+  def qSourceOrc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    o.write.mode("overwrite").orc(tmp)
+    s.read.schema(o.schema).orc(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** JSON-lines source/sink round-trip on customer — doubles survive
     * because Spark serializes with shortest-round-trip repr. Proves
     * the JSON reader/writer path against the same parquet oracle. */
@@ -2201,6 +2219,7 @@ object Queries {
     "q_bloom_join" -> (qBloomJoin _),
     "q_interval_overlap" -> (qIntervalOverlapJoin _),
     "q_source_csv" -> (qSourceCsv _),
+    "q_source_orc" -> (qSourceOrc _),
     "q_source_cfs" -> (qSourceCfs _),
     "q_quantile_global" -> (qQuantileGlobal _),
     "q_gapfill" -> (qGapFill _),
@@ -2933,6 +2952,14 @@ object Queries {
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // aggregates the original parquet; the ORC write+read round-trip
+    // must be value-invisible
+    "q_source_orc" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // round-trips documents through the DSv2 document-store scan;
     // the oracle is the same rollup on the original table
