@@ -2,23 +2,37 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan inspector: prints the formatted physical plan of each catalog
-  * query (or a named subset) so pushdown/pruning/broadcast choices can
-  * be reviewed. Usage: runMain graft.Explain [sfDir] [query...] */
+/** Plan-inspection tool: prints the formatted physical plan (and
+  * optionally times one execution) of any catalog query, at any SF —
+  * `runMain graft.Explain <sfDir> <queryName> [--run]`. This is how
+  * the "is the join broadcast? did the filter push down?" questions
+  * get answered during development without waiting for a full bench
+  * pass.
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else Queries.all.keys.toSeq.sorted
+    require(args.length >= 2, "usage: Explain <sfDir> <queryName>... [--run]")
+    val sfDir = args(0)
+    val run = args.contains("--run")
+    val names = args.drop(1).filterNot(_ == "--run")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      Queries.all(n)(spark, sfDir).explain("formatted")
+    for (name <- names) {
+      val df = Queries.all(name)(spark, sfDir)
+      println(s"===== $name =====")
+      df.explain("formatted")
+      if (run) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[explain] $name ran in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

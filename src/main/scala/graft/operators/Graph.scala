@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, when}
+
+/** Graph analytics over edge relations.
+  *
+  * Triangle counting ships TWO exact plans behind one API, selected by
+  * the measured node count — the distributed-systems version of an
+  * adaptive join strategy:
+  *
+  *  - '''Dense/bounded-domain path''' (n ≤ `denseMaxNodes`): the
+  *    undirected identity `tri(n) = ½ · Σ_{v∈N(n)} |N(n) ∩ N(v)|`
+  *    computed over per-node adjacency BITMAPS (dense-ranked ids,
+  *    `ceil(n/64)` longs per node). Each directed edge costs one
+  *    16-word AND+popcount instead of a join probe, and — the real
+  *    win — NO wedge or triangle relation is ever materialized: the
+  *    plan streams |E| rows, not O(Σdeg²). On the near-complete
+  *    supplier co-occurrence graph (1000 nodes, 453k edges, 271M
+  *    wedges, 124M triangles at sf0.1) this replaces two SortMergeJoins
+  *    over a 271M-row wedge stream with a 907k-row broadcast pipeline.
+  *    Memory: adjacency table is n·n/8 bytes total (16k nodes → 32 MB
+  *    broadcast), which is why the path is gated.
+  *
+  *  - '''Sparse/unbounded path''' (n > `denseMaxNodes`): degree
+  *    orientation — direct each edge from its lower-(degree, id)
+  *    endpoint to the higher, making a DAG with max out-degree
+  *    O(√m) regardless of hub size — then count wedges (a→b, b→c)
+  *    closed by edge (a→c). Work is O(Σ outdeg²) ≤ O(m^1.5), the
+  *    100 TB-safe bound for power-law graphs; all joins are plain
+  *    equi-joins that shuffle-partition on the wedge key.
+  *
+  * Both paths return identical results (GraphSpec cross-checks them on
+  * the same graphs); the sf0.01 DuckDB oracle verifies the dispatching
+  * entry end-to-end.
+  */
+object Graph {
+
+  /** Per-node exact triangle participation counts.
+    *
+    * @param edges undirected edge relation with columns `u`, `v` —
+    *              distinct, no self-loops (`u < v` canonical form).
+    * @return one row per node that participates in ≥1 triangle:
+    *         (`node`, `n_triangles`).
+    */
+  def triangleCounts(edges: DataFrame, denseMaxNodes: Int = 16384): DataFrame = {
+    // |V| decides the plan. Cache the canonical edge list — it is the
+    // narrowest relation every downstream consumer derives from — and
+    // pay the upstream edge-construction pipeline exactly once (the
+    // node-count action materializes it).
+    val e = edges.cache()
+    val nodes = e.select(F.explode(F.array(col("u"), col("v"))).as("node"))
+      .distinct()
+    val n = nodes.count()
+    if (n <= denseMaxNodes) denseTriangles(e, nodes, n)
+    else { e.unpersist(); orientedTriangles(edges) }
+  }
+
+  /** Dense path over the DIRECTED (both-ways) edge relation `both`
+    * with `n` distinct nodes. Package-private so GraphSpec can force
+    * it regardless of graph size.
+    *
+    * The bitmap lives in `ceil(n/64)` separate LONG COLUMNS, not an
+    * array: conditional `bit_or` aggregates build it and a flat sum of
+    * `bit_count(a_i & b_i)` terms intersects it — every expression is
+    * whole-stage-codegen'd straight-line code. (The array form with
+    * `aggregate`/`transform`/`zip_with` lambdas was 5-8 s on the same
+    * input: higher-order functions are interpreted and allocate a new
+    * array per element.) */
+  private[graft] def denseTriangles(e: DataFrame, nodes: DataFrame,
+      n: Long): DataFrame = {
+    // dense-rank nodes to 0..n-1 so ids index bitmap bits. The
+    // single-partition window is bounded by the dense-path gate
+    // (n ≤ denseMaxNodes), never by the data.
+    val ids = nodes.withColumn("nid",
+      F.row_number().over(Window.orderBy(col("node"))).cast("long") - 1)
+    // both directions from ONE scan of the cached edge list via
+    // explode(array(...)) — a unionAll of two selects would read the
+    // cache twice for the same rows
+    val both = e.select(F.explode(F.array(
+        F.struct(col("u").as("a"), col("v").as("b")),
+        F.struct(col("v").as("a"), col("u").as("b")))).as("d"))
+      .select(col("d.a").as("a"), col("d.b").as("b"))
+    // eb feeds three consumers (bitmap build + both probe joins'
+    // stream side); adj feeds two broadcast exchanges that Spark
+    // cannot dedup (different output projections). Cache both — eb is
+    // |2E| narrow rows, adj is n rows — or each broadcast build
+    // re-runs the id-mapping joins.
+    val eb = both
+      .join(broadcast(ids.select(col("node").as("a"), col("nid").as("aid"))), "a")
+      .join(broadcast(ids.select(col("node").as("b"), col("nid").as("bid"))), "b")
+      .cache()
+    val words = ((n + 63) / 64).toInt
+    // adjacency bitmap per node: word bid/64 gets bit bid%64; one
+    // codegen'd hash aggregate, n rows out
+    val pre = eb.select(col("aid"), expr("bid div 64").as("w"),
+      expr("shiftleft(1L, CAST(bid % 64 AS INT))").as("b"))
+    val aggs = (0 until words).map(wi =>
+      expr(s"bit_or(CASE WHEN w = $wi THEN b ELSE 0L END)").as(s"bm_$wi"))
+    val adj = pre.groupBy(col("aid")).agg(aggs.head, aggs.tail: _*).cache()
+    val adjA = adj.select(col("aid") +:
+      (0 until words).map(wi => col(s"bm_$wi").as(s"a_bm_$wi")): _*)
+    val adjB = adj.select(col("aid").as("bid") +:
+      (0 until words).map(wi => col(s"bm_$wi").as(s"b_bm_$wi")): _*)
+    // tri(a) = ½ Σ_{b∈N(a)} popcount(bm[a] & bm[b]): one streamed pass
+    // over the directed edges, two broadcast joins, zero wide
+    // intermediates. The sum is even by construction, so `div 2` is
+    // exact.
+    val common = (0 until words)
+      .map(wi => expr(s"CAST(bit_count(a_bm_$wi & b_bm_$wi) AS BIGINT)"))
+      .reduce(_ + _)
+    eb.join(broadcast(adjA), "aid")
+      .join(broadcast(adjB), "bid")
+      .select(col("a").as("node"), common.as("common"))
+      .groupBy(col("node"))
+      .agg(expr("sum(common) div 2").as("n_triangles"))
+      .filter(col("n_triangles") > 0)
+  }
+
+  /** Sparse path: degree-oriented wedge enumeration over the
+    * undirected canonical edge relation (`u < v`). */
+  private[graft] def orientedTriangles(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient: src = endpoint with smaller (degree, id); total order ⇒
+    // each triangle materializes as exactly one (a→b→c, a→c) pattern
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val ed = e.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .cache() // read three times below (two wedge sides + closure)
+    val tri = ed.as("e1")
+      .join(ed.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(ed.as("e3"), col("a") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(F.explode(F.array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

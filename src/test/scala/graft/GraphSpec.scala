@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Reference triangle counter: brute-force over a driver-side edge
+    * set — O(n·m), fine for test graphs. */
+  private def bruteCounts(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((u, v) <- edges; w <- adj(u) if w > v && adj(v).contains(w)) {
+      counts(u) += 1; counts(v) += 1; counts(w) += 1
+    }
+    counts.toMap
+  }
+
+  private def edgeDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("u", "v")
+  }
+
+  private def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // a graph with hubs, a clique, a triangle-free path, and an isolated
+  // edge — exercises zero-count filtering and skewed degrees
+  private val testEdges: Seq[(Long, Long)] = {
+    val clique = for (i <- 0L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val hub = (10L to 30L).map(x => (7L, x)) ++ (11L to 25L).map(x => (8L, x)) ++
+      Seq((7L, 8L)) // hub-hub edge closes triangles via shared leaves 11..25
+    val path = Seq((40L, 41L), (41L, 42L), (42L, 43L))
+    val lone = Seq((50L, 51L))
+    clique ++ hub ++ path ++ lone
+  }
+
+  test("dense bitmap path matches brute force") {
+    val e = edgeDf(testEdges)
+    val got = toMap(Graph.triangleCounts(e, denseMaxNodes = 1000))
+    val want = bruteCounts(testEdges).filter(_._2 > 0)
+    assert(got == want)
+  }
+
+  test("oriented wedge path matches brute force and the dense path") {
+    val e = edgeDf(testEdges)
+    val oriented = toMap(Graph.orientedTriangles(e))
+    val want = bruteCounts(testEdges).filter(_._2 > 0)
+    assert(oriented == want)
+    // forcing the gate below |V| switches to the oriented plan and
+    // must not change the answer
+    val viaGate = toMap(Graph.triangleCounts(e, denseMaxNodes = 3))
+    assert(viaGate == want)
+  }
+
+  test("bitmap ids span word boundaries (graph wider than 64 nodes)") {
+    // ring of 130 nodes with chords: triangles (i, i+1, i+2)
+    val n = 130L
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val chords = (0L until n).map(i => (i, (i + 2) % n))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val edges = (ring ++ chords).distinct
+    val got = toMap(Graph.triangleCounts(edgeDf(edges), denseMaxNodes = 1000))
+    val want = bruteCounts(edges).filter(_._2 > 0)
+    assert(got == want)
+    // every ring node sits in exactly 3 triangles (i-2,i-1,i), (i-1,i,i+1), (i,i+1,i+2)
+    assert(got.values.toSet == Set(3L))
+  }
+
+  test("triangle-free graph yields no rows") {
+    val star = (1L to 10L).map(x => (0L, x))
+    assert(Graph.triangleCounts(edgeDf(star), denseMaxNodes = 1000).count() == 0)
+    assert(Graph.orientedTriangles(edgeDf(star)).count() == 0)
+  }
+}
