@@ -1292,17 +1292,15 @@ object Queries {
     * DuckDB cross join — must agree pair-for-pair, proving both the
     * filter's completeness (no lost pair) and its soundness. */
   def qSimJoinExact(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigned(s, dir)
-    val sets = sig.select(col("doc_id"), col("sh")).filter(size(col("sh")) > 0)
-    val cands = Dedup.prefixSimCandidates(sets, "doc_id", "sh", 1, 2)
-    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cands.join(a, "id_a").join(b, "id_b")
-      .withColumn("inter_n",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("union_n",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter_n"))
-      .filter(col("inter_n") * 2 >= col("union_n")) // J >= 1/2, integer-exact
+    // exploded (doc_id, shingle) tokens — the narrow relation
+    // exactSimJoin caches and derives everything from. No minhash
+    // signatures, no shipped arrays: intersections are COUNTED by the
+    // adaptive token join (direct when Σdf² is benign — this corpus
+    // has max df 25 — prefix-filtered against a Zipf head).
+    val tokens = Dedup.withShingles(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+    Dedup.exactSimJoin(tokens, "doc_id", 1, 2)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("inter_n"), col("union_n"))
       .orderBy(col("doc_a"), col("doc_b"))

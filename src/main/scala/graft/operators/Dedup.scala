@@ -18,15 +18,11 @@ object Dedup {
 
   /** df + `sh` column: distinct word-n-gram shingles of textCol. Rows
     * with fewer than n tokens get an empty shingle set. */
-  def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val concatParts = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ' ', ")
-    df.withColumn("w", split(col(textCol), " "))
-      .withColumn("sh",
-        when(size(col("w")) >= n,
-          array_distinct(expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat($concatParts))")))
-        .otherwise(array().cast("array<string>")))
-      .drop("w")
-  }
+  def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    // fused codegen'd expression — the interpreted
+    // array_distinct(transform(...)) formulation it replaces was the
+    // dedup family's dominant cost (see ShinglesExpr)
+    df.withColumn("sh", graft.functions.Shingles.shingles(col(textCol), n))
 
   /** Universal-hash family for minhash: h_i(x) = (a_i·x + b_i) mod p
     * over a 32-bit md5-derived base hash. ONE md5 per shingle instead
@@ -120,22 +116,121 @@ object Dedup {
     * with exact intersection/union counts on the full sets. */
   def prefixSimCandidates(sets: DataFrame, idCol: String, setCol: String,
       tNum: Int, tDen: Int): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
     val tok = sets.select(col(idCol), explode(col(setCol)).as("tok"))
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    prefixCandidatesFromTokens(tok, dfreq, idCol, tNum, tDen)
+  }
+
+  /** Prefix-filtered candidate pairs from an exploded (id, tok)
+    * relation plus its document-frequency table. See
+    * [[prefixSimCandidates]] for the algorithm contract. */
+  private def prefixCandidatesFromTokens(tok: DataFrame, dfreq: DataFrame,
+      idCol: String, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    // canonical order per doc WITH positions and set size: the prefix
+    // rows carry (n, p) so the pair join can apply the PPJoin-style
+    // size and positional prunes below — at loose thresholds (t=1/2
+    // the prefix is half the set) the bare prefix-collision test
+    // passes ~3% of all pairs and the prunes are what keep the
+    // verify stage candidate-sized
+    val L = s"(size(ts) - ((${tNum}L * size(ts) + ${tDen - 1}L) div ${tDen}L) + 1)"
     val prefix = tok.join(dfreq, "tok")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
-      .select(col(idCol), expr(
-        // n - ceil(t*n) + 1 canonical tokens, integer-exact
-        s"slice(transform(st, x -> x.tok), 1, " +
-          s"size(st) - ((${tNum}L * size(st) + ${tDen - 1}L) div ${tDen}L) + 1)")
-        .as("prefix"))
-      .select(col(idCol), explode(col("prefix")).as("tok"))
-    prefix.select(col(idCol).as("id_a"), col("tok"))
-      .join(prefix.select(col(idCol).as("id_b"), col("tok")), Seq("tok"))
+      .select(col(idCol), expr("transform(st, x -> x.tok)").as("ts"))
+      .select(col(idCol), size(col("ts")).cast("long").as("n"),
+        posexplode(expr(s"slice(ts, 1, $L)")).as(Seq("p0", "tok")))
+      .select(col(idCol), col("n"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+    val a = prefix.select(col(idCol).as("id_a"), col("n").as("n_a"),
+      col("p").as("p_a"), col("tok"))
+    val b = prefix.select(col(idCol).as("id_b"), col("n").as("n_b"),
+      col("p").as("p_b"), col("tok"))
+    a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
+      // size prune: J ≥ tN/tD forces tD·min(n_a,n_b) ≥ tN·max(n_a,n_b)
+      .filter(lit(tDen) * least(col("n_a"), col("n_b")) >=
+        lit(tNum) * greatest(col("n_a"), col("n_b")))
+      // positional prune: the canonical order is GLOBAL, so common
+      // tokens before this collision sit before p in BOTH docs
+      // (≤ min(p_a,p_b)−1 of them) and common tokens from it on are
+      // ≤ min(n_a−p_a, n_b−p_b)+1 — a valid intersection upper bound
+      // at EVERY common token, hence no qualifying pair is lost.
+      // J ≥ tN/tD ⇔ (tN+tD)·|∩| ≥ tN·(n_a+n_b), integer-exact.
+      .filter(lit(tNum + tDen) *
+        (least(col("p_a"), col("p_b")) - 1 +
+          least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) + 1) >=
+        lit(tNum) * (col("n_a") + col("n_b")))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Direct-join gate for [[exactSimJoin]]: the co-token pair volume
+    * Σ df² the direct plan may shuffle before the prefix-filtered
+    * plan takes over. 2²⁶ ≈ 67M narrow rows — an easy single-stage
+    * shuffle for a cluster, far past anything a benign (non-Zipf)
+    * token distribution produces at test scale. */
+  val DirectSimJoinMaxPairs: Long = 1L << 26
+
+  /** EXACT set-similarity self-join (Jaccard ≥ tNum/tDen) over an
+    * exploded token relation — returns verified pairs, not just
+    * candidates: (id_a, id_b, inter_n, union_n) with id_a < id_b.
+    *
+    * Adaptive plan, gated on the MEASURED co-token pair volume
+    * Σ_tok df(tok)² (one aggregate over the df table, which both
+    * plans need anyway):
+    *
+    *  - '''Direct count''' (volume ≤ maxDirectPairs): self-join the
+    *    token relation on tok, count rows per (id_a, id_b) — that
+    *    count IS |∩| — then one sizes join derives |∪| = n_a+n_b−|∩|.
+    *    No arrays are ever shipped or intersected; intersection
+    *    counting rides the partial-aggregate machinery. This is the
+    *    whole algorithm when no token is hot.
+    *
+    *  - '''Prefix-filtered''' (Zipf-headed data): candidates from
+    *    [[prefixSimCandidates]]'s rarest-first prefix collision with
+    *    PPJoin size/positional prunes — recall 1 by construction —
+    *    then the same count-based verify restricted to candidates.
+    *    The Zipf head that would explode Σ df² is exactly what the
+    *    rarest-first prefix keeps out of the blocking key.
+    *
+    * Both plans are exact (a J ≥ t pair shares ≥1 token, and prefix
+    * filtering loses nothing), so the choice is invisible to results
+    * — DedupSpec forces each side of the gate and cross-checks.
+    *
+    * @param tokens (idCol, "tok") relation, tokens DISTINCT per id.
+    *               Cached internally: every stage derives from it. */
+  def exactSimJoin(tokens: DataFrame, idCol: String, tNum: Int, tDen: Int,
+      maxDirectPairs: Long = DirectSimJoinMaxPairs): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val tok = tokens.cache()
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pairVolume =
+      dfreq.agg(sum(col("df") * col("df"))).head().getLong(0)
+    val inter =
+      if (pairVolume <= maxDirectPairs) {
+        tok.select(col(idCol).as("id_a"), col("tok"))
+          .join(tok.select(col(idCol).as("id_b"), col("tok")), Seq("tok"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter_n"))
+      } else {
+        val cands = prefixCandidatesFromTokens(tok, dfreq, idCol, tNum, tDen)
+        cands
+          .join(tok.select(col(idCol).as("id_a"), col("tok")), "id_a")
+          .join(tok.select(col(idCol).as("id_b"), col("tok")), Seq("id_b", "tok"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter_n"))
+      }
+    // sizes join: keyed by id, AQE broadcasts when small; at corpus
+    // scale it shuffle-joins on the pair relation's existing keys
+    val sz = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sz.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      // J ≥ tN/tD ⇔ (tN+tD)·|∩| ≥ tN·(n_a+n_b), integer-exact
+      .filter(lit(tNum + tDen) * col("inter_n") >=
+        lit(tNum) * (col("n_a") + col("n_b")))
+      .select(col("id_a"), col("id_b"), col("inter_n"),
+        (col("n_a") + col("n_b") - col("inter_n")).as("union_n"))
   }
 
   /** Distinct candidate pairs (id_a < id_b) sharing any LSH band.

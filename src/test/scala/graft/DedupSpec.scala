@@ -156,6 +156,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cands < n * n / 4, s"prefix filter barely pruned: $cands of ${n * n / 2}")
   }
 
+  test("exactSimJoin: direct and prefix-filtered plans agree pair-for-pair") {
+    val tokens = graft.operators.Dedup.withShingles(
+        Tables.documents(spark, sf).select($"doc_id", $"text"), "text")
+      .select($"doc_id", explode($"sh").as("tok"))
+    def run(maxDirect: Long) = graft.operators.Dedup
+      .exactSimJoin(tokens, "doc_id", 1, 2, maxDirectPairs = maxDirect)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val direct = run(Long.MaxValue) // force the direct token-join plan
+    val prefix = run(0L)            // force the prefix-filtered plan
+    assert(direct.nonEmpty, "no similar pairs found at sf0.001")
+    assert(direct == prefix,
+      s"plans disagree: onlyDirect=${direct -- prefix} onlyPrefix=${prefix -- direct}")
+  }
+
   test("connected components: transitive chains collapse to the min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
       .toDF("doc_a", "doc_b")
