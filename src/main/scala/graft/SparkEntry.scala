@@ -243,14 +243,15 @@ object Queries {
     * on (w1,w2)/(w1) — Zipf-skewed keys are exactly what AQE skew
     * splitting (on) handles. No driver state, no vocabulary cap. */
   def qNgramLmScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    // fused 2-word windows (an interpreted struct-building transform
+    // before); the window string splits back into (w1, w2) with
+    // codegen'd substring_index — tokens are split on spaces so the
+    // single interior space is unambiguous
+    val bigrams = Tables.documents(s, dir)
       .select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("toks"))
-    val bigrams = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-2), " +
-          "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        explode(graft.functions.Shingles.wordWindows(col("text"), 2)).as("bg"))
+      .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
       .cache() // feeds the count model AND the scoring join
     val bigCnt = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
@@ -275,15 +276,16 @@ object Queries {
     * cost is linear in corpus size, not quadratic in duplicates. */
   def qDupSpans(s: SparkSession, dir: String): DataFrame = {
     val W = 8
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("toks"))
     // the window relation feeds both the dup-set aggregate and the
-    // per-doc rollup — cache it so the 600k-hash explode runs once
-    val wins = toks.filter(size(col("toks")) >= W)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks)-$W), " +
-          s"i -> md5(array_join(slice(toks, i+1, $W), ' ')))")).as("h"))
+    // per-doc rollup — cache it so the windowed explode runs once.
+    // The fused wordWindows expression replaces an interpreted
+    // md5-in-transform lambda; the RAW span string is the dedup key
+    // (the output never exposes it, and no hash means no hash cost —
+    // at cluster scale a fixed-width span digest would shrink the
+    // shuffle, the one tradeoff of this form)
+    val wins = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.wordWindows(col("text"), W)).as("h"))
       .cache()
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -756,8 +758,13 @@ object Queries {
     // and cache. The cached partitioning satisfies every iteration's
     // join distribution, so each round shuffles only the
     // (|nodes|-sized) rank relation, never the (|edges|-sized) graph.
-    val sym = e0.select(col("c").as("src"), col("sup").as("dst"))
-      .union(e0.select(col("sup").as("src"), col("c").as("dst")))
+    // Both directions come from ONE scan via explode(array(...)) — a
+    // union of two selects would run the orders×lineitem join and its
+    // distinct twice before the cache materializes.
+    val sym = e0.select(explode(array(
+        struct(col("c").as("src"), col("sup").as("dst")),
+        struct(col("sup").as("src"), col("c").as("dst")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"))
       .repartition(col("src"))
       .cache() // read twice below (deg agg + join) — materialize once
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()

@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * dedup preserving first occurrence, empty array otherwise.
   */
 case class ShinglesExpr(
-    child: org.apache.spark.sql.catalyst.expressions.Expression, n: Int)
+    child: org.apache.spark.sql.catalyst.expressions.Expression, n: Int,
+    dropEmpty: Boolean = false, distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, "shingle width must be positive")
@@ -44,10 +45,13 @@ case class ShinglesExpr(
     * the loop is plain JVM code the JIT compiles). */
   def shingle(text: UTF8String): ArrayData = {
     // identical tokenization to split(text, " "): single-space regex,
-    // limit -1 (keeps empty tokens, including trailing)
-    val words = text.toString.split(" ", -1)
+    // limit -1 (keeps empty tokens, including trailing); dropEmpty
+    // matches filter(split(...), t -> t != '')
+    val raw = text.toString.split(" ", -1)
+    val words = if (dropEmpty) raw.filter(_.nonEmpty) else raw
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
+    val out0 = new java.util.LinkedHashSet[String]()
+    val outN = new scala.collection.mutable.ArrayBuffer[Any]()
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i <= words.length - n) {
@@ -58,11 +62,13 @@ case class ShinglesExpr(
         sb.append(words(i + k))
         k += 1
       }
-      seen.add(sb.toString)
+      if (distinct) out0.add(sb.toString)
+      else outN += UTF8String.fromString(sb.toString)
       i += 1
     }
-    val out = new Array[Any](seen.size())
-    val it = seen.iterator()
+    if (!distinct) return new GenericArrayData(outN.toArray)
+    val out = new Array[Any](out0.size())
+    val it = out0.iterator()
     var j = 0
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
@@ -82,4 +88,11 @@ object Shingles {
   /** Fused distinct word-n-gram shingles (see [[ShinglesExpr]]). */
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n))
+
+  /** ALL n-word windows (duplicates kept, empty tokens dropped) —
+    * the windowed-span form duplicated-span detection and n-gram LM
+    * scoring consume. */
+  def wordWindows(text: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), n,
+      dropEmpty = true, distinct = false))
 }

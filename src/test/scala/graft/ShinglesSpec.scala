@@ -35,6 +35,30 @@ class ShinglesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("wordWindows matches the declarative windowed form (dups kept, empties dropped)") {
+    import spark.implicits._
+    val texts = Seq(
+      "a b c d e f g h i j",
+      "x y x y x y",          // duplicate windows must be KEPT
+      "a  b   c d",           // empty tokens dropped before windowing
+      "one two",              // shorter than W → empty
+      ""
+    ).toDF("text")
+    val W = 3
+    val decl = expr(
+      s"""CASE WHEN size(filter(split(text, ' '), t -> t != '')) >= $W
+         |THEN transform(
+         |  sequence(0, size(filter(split(text, ' '), t -> t != '')) - $W),
+         |  i -> array_join(slice(filter(split(text, ' '), t -> t != ''), i+1, $W), ' '))
+         |ELSE array() END""".stripMargin).cast("array<string>")
+    texts.select(graft.functions.Shingles.wordWindows(col("text"), W).as("f"),
+        decl.as("d"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"fused=${r.getSeq[String](0)} decl=${r.getSeq[String](1)}")
+      }
+  }
+
   test("fused shingles match for n=2 and n=1") {
     import spark.implicits._
     val texts = Seq("x y z", "x", "p q p q").toDF("text")
