@@ -1170,6 +1170,86 @@ object Queries {
         ceil(col("p_retailprice")).as("price_ceil"))
       .orderBy(col("p_partkey"))
 
+  /** Wide→long UNPIVOT via the stack() generator — the inverse of
+    * q_pivot. Map-side row generation, no shuffle at all until the
+    * presentation sort; metric values ride exact integer units. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), expr(
+        """stack(2,
+          |  'retail_cents', CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+          |  'size', CAST(p_size AS BIGINT)) AS (metric, val)""".stripMargin))
+      .orderBy(col("p_partkey"), col("metric"))
+
+  /** Equi-width histogram with DATA-DERIVED bounds: one aggregate
+    * computes global (min, max) in exact cents, broadcast to every
+    * row, and the bucket index is pure integer arithmetic —
+    * least(B−1, (x−mn)·B div (mx−mn+1)) — so the layout is identical
+    * in any engine. Two passes over the column (bounds + fill), both
+    * map-side-combined aggregates; the histogram itself is B rows. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val B = 20
+    val cents = Tables.lineitem(s, dir)
+      .select((col("l_extendedprice").cast(dec) * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    cents.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"least(CAST(${B - 1} AS BIGINT), ((cents - mn) * $B) div (mx - mn + 1))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Simple linear regression (y = extendedprice cents on
+    * x = quantity) from EXACT sufficient statistics: n, Σx, Σy, Σxy,
+    * Σx², Σy² accumulate as DECIMAL(38,0) — order-insensitive exact
+    * integers — and only the final slope/intercept/r² derivations
+    * drop to doubles, each a fixed IEEE op chain over identical
+    * inputs, so both engines produce bit-equal results. One map-side
+    * combined aggregate over the fact table; no second pass. */
+  def qRegression(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    // sums accumulate EXACTLY as DECIMAL(38,0); every derived number
+    // is then a fixed chain of IEEE double ops over those exact
+    // inputs (decimal→double is correctly-rounded in both engines),
+    // so the doubles match bit-for-bit. Decimal×decimal products are
+    // deliberately avoided — n·sxy would overflow precision 38 (an
+    // error in the oracle engine, silent truncation here).
+    val stats = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast(dec).cast("long").as("x"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("y"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("y") * col("y")).cast(d38).as("syy"))
+      .select(col("n"), col("n").cast("double").as("nd"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+        col("sxy").cast("double").as("sxyd"), col("sxx").cast("double").as("sxxd"),
+        col("syy").cast("double").as("syyd"))
+    stats.select(
+      col("n").cast("long").as("n"),
+      expr("(nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)").as("slope"),
+      expr("(syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd").as("intercept"),
+      expr("""((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) *
+          ((nd*sxyd - sxd*syd) / (nd*syyd - syd*syd))""").as("r2"))
+  }
+
+  /** Regex + string function battery (dialect-portable subset):
+    * extraction, global replacement, boolean match, padding,
+    * reversal, field split — all codegen'd projections. */
+  def qRegexFns(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("novowel_len"),
+        col("text").rlike("data").as("has_data"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("id_pad"),
+        reverse(col("lang")).as("lang_rev"),
+        substring_index(col("text"), " ", 1).as("head_tok"))
+      .orderBy(col("doc_id"))
+
   /** Rollup (grouping sets) over region/nation customer counts. */
   def qRollup(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -2250,6 +2330,10 @@ object Queries {
     "q_distinct" -> (qDistinct _),
     "q_setops" -> (qSetOps _),
     "q_scalar_fns" -> (qScalarFns _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_histogram" -> (qHistogram _),
+    "q_regression" -> (qRegression _),
+    "q_regex_fns" -> (qRegexFns _),
     "q_rollup" -> (qRollup _),
     "q_event_window" -> (qEventWindow _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -3058,6 +3142,63 @@ object Queries {
         |  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
+
+    // wide→long as explicit UNION ALL (the dialect-portable dual of
+    // Spark's stack generator)
+    "q_unpivot" ->
+      """SELECT p_partkey, 'retail_cents' AS metric,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size', CAST(p_size AS BIGINT) FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    // bucket arithmetic is integer-exact with data-derived bounds
+    "q_histogram" ->
+      """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM lineitem),
+        |b AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c)
+        |SELECT LEAST(CAST(19 AS BIGINT), ((cents - mn) * 20) // (mx - mn + 1)) AS bucket,
+        |  COUNT(*) AS n_rows, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+        |FROM c, b
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // exact DECIMAL(38,0) sufficient statistics cast to double, then
+    // the SAME IEEE op chains as the Spark side derive the results
+    "q_regression" ->
+      """WITH s0 AS (SELECT
+        |    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(x*y) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(x*x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(y*y) AS DECIMAL(38,0)) AS syy
+        |  FROM (SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+        |               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |        FROM lineitem)),
+        |s AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM s0)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS slope,
+        |  (syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd AS intercept,
+        |  ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) *
+        |    ((nd*sxyd - sxd*syd) / (nd*syyd - syd*syd)) AS r2
+        |FROM s""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all; regexp_matches is the rlike dual
+    "q_regex_fns" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+        |  CAST(LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
+        |  regexp_matches(text, 'data') AS has_data,
+        |  LPAD(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
+        |  REVERSE(lang) AS lang_rev,
+        |  split_part(text, ' ', 1) AS head_tok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
