@@ -1289,11 +1289,16 @@ object Queries {
 
   /** Signature table is cached: it feeds both sides of the candidate
     * self-join plus the similarity-estimate joins (at cluster scale
-    * this would be a checkpointed/persisted intermediate). */
+    * this would be a checkpointed/persisted intermediate). The shingle
+    * ARRAY column is dropped before caching — columnar-encoding
+    * 100-element string arrays costs more than recomputing them from
+    * the cached text with the fused ShinglesExpr where needed
+    * (qDedupNgram's verify is the only consumer). */
   private def minhashSigned(s: SparkSession, dir: String): DataFrame =
     Dedup.withMinhashSignature(
       Dedup.withShingles(
         Tables.documents(s, dir).select(col("doc_id"), col("text")), "text"))
+      .drop("sh")
       .cache()
 
   /** MinHash+LSH near-duplicate candidates: k=64 hash family, 16
@@ -1322,11 +1327,12 @@ object Queries {
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigned(s, dir)
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
-    // verify sides come from the CACHED signature frame (it carries the
-    // sh column) — recomputing shingles would pay the interpreted
-    // array_distinct(transform(...)) pass twice more per query
-    val a = sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // verify sides recompute shingles from the cached TEXT with the
+    // fused ShinglesExpr — cheaper than columnar-encoding the array
+    // column into the cache (which is why minhashSigned drops it)
+    val shingled = graft.functions.Shingles.shingles(col("text"), 3)
+    val a = sig.select(col("doc_id").as("id_a"), shingled.as("sh_a"))
+    val b = sig.select(col("doc_id").as("id_b"), shingled.as("sh_b"))
     cands.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
