@@ -1250,6 +1250,65 @@ object Queries {
         substring_index(col("text"), " ", 1).as("head_tok"))
       .orderBy(col("doc_id"))
 
+  /** Per-column data profiling — the warehouse onboarding scan: row
+    * count, null count, exact distinct count per column, plus numeric
+    * range in exact cents, in ONE pass over the table (Spark expands
+    * multi-distinct aggregates into one Expand-based plan — still a
+    * single scan) emitted long-form via stack. */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val stats = c.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("nn_name"),
+      countDistinct(col("c_name")).as("nd_name"),
+      sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)).as("nn_seg"),
+      countDistinct(col("c_mktsegment")).as("nd_seg"),
+      sum(when(col("c_nationkey").isNull, 1L).otherwise(0L)).as("nn_nat"),
+      countDistinct(col("c_nationkey")).as("nd_nat"),
+      sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("nn_bal"),
+      countDistinct(col("c_acctbal")).as("nd_bal"),
+      min((col("c_acctbal").cast(dec) * 100).cast("long")).as("min_bal_cents"),
+      max((col("c_acctbal").cast(dec) * 100).cast("long")).as("max_bal_cents"))
+    stats.select(expr(
+      """stack(4,
+        |  'c_name',       nn_name, nd_name, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  'c_mktsegment', nn_seg,  nd_seg,  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  'c_nationkey',  nn_nat,  nd_nat,  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  'c_acctbal',    nn_bal,  nd_bal,  min_bal_cents, max_bal_cents)
+        |AS (column_name, n_nulls, n_distinct, min_cents, max_cents)""".stripMargin),
+      col("n_rows"))
+      .orderBy(col("column_name"))
+  }
+
+  /** Sorted-neighborhood blocking — the classic entity-resolution
+    * candidate generator: rank records inside each blocking partition
+    * (market segment) by a sort key (balance, key-tiebroken), pair
+    * every record with the w records that FOLLOW it in rank order.
+    * Scale shape: ranks come from per-segment windows (bounded
+    * partitions, never a global sort) and the pair join is an
+    * equi-join on rank BLOCKS (rank div w, plus the adjacent block)
+    * filtered to 1 ≤ gap ≤ w — |pairs| = n·w by construction, the
+    * O(n²) cross join never exists. */
+  def qSortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 3
+    val ranked = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("seg"), col("c_custkey").as("k"),
+        (col("c_acctbal").cast(dec) * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("cents"), col("k"))).cast("long"))
+      .cache() // both join sides + two block keys read it
+    val a = ranked.select(col("seg"), col("k").as("k_a"), col("rn").as("rn_a"),
+      explode(array(expr(s"rn div $w"), expr(s"rn div $w + 1"))).as("blk"))
+    val b = ranked.select(col("seg"), col("k").as("k_b"), col("rn").as("rn_b"),
+      expr(s"rn div $w").as("blk"))
+    a.join(b, Seq("seg", "blk"))
+      .filter(col("rn_b") - col("rn_a") >= 1 && col("rn_b") - col("rn_a") <= w)
+      .select(col("seg"), col("k_a"), col("k_b"),
+        (col("rn_b") - col("rn_a")).as("gap"))
+      .orderBy(col("seg"), col("k_a"), col("k_b"))
+  }
+
   /** Rollup (grouping sets) over region/nation customer counts. */
   def qRollup(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -2340,6 +2399,8 @@ object Queries {
     "q_histogram" -> (qHistogram _),
     "q_regression" -> (qRegression _),
     "q_regex_fns" -> (qRegexFns _),
+    "q_profile" -> (qProfile _),
+    "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_rollup" -> (qRollup _),
     "q_event_window" -> (qEventWindow _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -3192,6 +3253,38 @@ object Queries {
         |  ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) *
         |    ((nd*sxyd - sxd*syd) / (nd*syyd - syd*syd)) AS r2
         |FROM s""".stripMargin,
+
+    // one-scan profile; long form as UNION ALL rows
+    "q_profile" ->
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_name,
+        |  CAST(COUNT(DISTINCT c_name) AS BIGINT) AS nd_name,
+        |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_seg,
+        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nd_seg,
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_nat,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nd_nat,
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_bal,
+        |  CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS nd_bal,
+        |  MIN(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_bal_cents,
+        |  MAX(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_bal_cents
+        |  FROM customer)
+        |SELECT t.* , s.n_rows FROM s, LATERAL (
+        |  SELECT 'c_name' AS column_name, nn_name AS n_nulls, nd_name AS n_distinct,
+        |         CAST(NULL AS BIGINT) AS min_cents, CAST(NULL AS BIGINT) AS max_cents
+        |  UNION ALL SELECT 'c_mktsegment', nn_seg, nd_seg, NULL, NULL
+        |  UNION ALL SELECT 'c_nationkey', nn_nat, nd_nat, NULL, NULL
+        |  UNION ALL SELECT 'c_acctbal', nn_bal, nd_bal, min_bal_cents, max_bal_cents) t
+        |ORDER BY column_name""".stripMargin,
+
+    // rank-banded join: pairs within w ranks, per blocking segment
+    "q_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_mktsegment AS seg, c_custkey AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), c_custkey) AS rn
+        |  FROM customer)
+        |SELECT a.seg AS seg, a.k AS k_a, b.k AS k_b, CAST(b.rn - a.rn AS BIGINT) AS gap
+        |FROM r a JOIN r b ON a.seg = b.seg AND b.rn - a.rn BETWEEN 1 AND 3
+        |ORDER BY 1, k_a, k_b""".stripMargin,
 
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all; regexp_matches is the rlike dual
