@@ -33,7 +33,7 @@ object Bench {
   private val ProbeRows = 500000000L
   /** Idle-host reference seconds for the probe (min of 6, this repo's
     * sandbox host, local[32]; see BASELINE.md "bench calibration"). */
-  val ProbeRefSec = 0.50 // calibrated 2026-08-13: steady state 0.46-0.51
+  val ProbeRefSec = 0.25 // recalibrated 2026-08-13 (r6): steady 0.23-0.25; the r5-era 0.50 was itself taken on a slow window and let 2x contention pass
 
   def probeOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()

@@ -1738,7 +1738,10 @@ object Queries {
       Tables.events(s, dir).withColumnRenamed("event_id", "id").drop("ts")
         .withColumn("kafka_topic", concat(lit("tnant."), col("event_type"))),
       Map("props" -> "confidential"))
-    val prepared = graft.streaming.Pipeline.compile(sub, "tnant", ev)
+    // cached: the store fixture AND the gate probe both consume it,
+    // and the canonical-JSON hash inside is the pipeline's dominant
+    // per-row cost — compute it once, not once per consumer
+    val prepared = graft.streaming.Pipeline.compile(sub, "tnant", ev).cache()
     // hash store fixture: even ids stored with their current hash
     val store = prepared.filter(col("id") % 2 === 0)
       .select(col("target_path"), col("doc_id"), col("doc_hash"))
