@@ -817,6 +817,23 @@ object Queries {
       .limit(20)
   }
 
+  /** k-core peel (k=34, 3 bounded rounds) over the customer↔supplier
+    * bipartite graph — the graph-cleaning step that strips low-degree
+    * fringe before community/centrality analysis. Each round is a
+    * degree aggregate + two semi-joins (see [[operators.Graph
+    * .kcorePeel]]); the operator early-stops at the fixpoint, which
+    * the 3-round-unrolled oracle must then equal because extra peel
+    * rounds past convergence are no-ops. */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    graft.operators.Graph.kcorePeel(e, 34, maxRounds = 3)
+      .orderBy(col("node"))
+  }
+
   /** Rolling time-window aggregates (RANGE frame): for every event,
     * the same user's event count and value sum over the PRECEDING
     * HOUR including this event — the feature-engineering staple
@@ -2404,6 +2421,7 @@ object Queries {
     "q_regex_fns" -> (qRegexFns _),
     "q_profile" -> (qProfile _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
+    "q_kcore" -> (qKcore _),
     "q_rollup" -> (qRollup _),
     "q_event_window" -> (qEventWindow _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -3278,6 +3296,24 @@ object Queries {
         |  UNION ALL SELECT 'c_nationkey', nn_nat, nd_nat, NULL, NULL
         |  UNION ALL SELECT 'c_acctbal', nn_bal, nd_bal, min_bal_cents, max_bal_cents) t
         |ORDER BY column_name""".stripMargin,
+
+    // 3 unrolled peel rounds; the engine's early-stop at the fixpoint
+    // is invisible because post-convergence rounds are no-ops
+    "q_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |k1 AS (SELECT n FROM (SELECT n, COUNT(*) d FROM
+        |  (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n) WHERE d >= 34),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+        |k2 AS (SELECT n FROM (SELECT n, COUNT(*) d FROM
+        |  (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n) WHERE d >= 34),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+        |k3 AS (SELECT n FROM (SELECT n, COUNT(*) d FROM
+        |  (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n) WHERE d >= 34),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3))
+        |SELECT n AS node, COUNT(*) AS degree FROM
+        |  (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY n ORDER BY node""".stripMargin,
 
     // rank-banded join: pairs within w ranks, per blocking segment
     "q_sorted_neighborhood" ->

@@ -118,6 +118,49 @@ object Graph {
       .filter(col("n_triangles") > 0)
   }
 
+  /** k-core peel — the standard graph-cleaning step before community
+    * detection: repeatedly drop nodes of degree < k (each removal can
+    * cascade by dragging neighbors under the threshold) until the
+    * fixpoint or `maxRounds`. Returns surviving (node, degree).
+    *
+    * Scale shape: each round is one degree aggregate plus two
+    * semi-joins on the node key — never anything pairwise — and the
+    * surviving edge set is cached per round (previous round
+    * unpersisted) so round r does not replay rounds 1..r−1. The
+    * convergence probe is one bounded count() per round, the same
+    * driver-scalar pattern as connected components. Worst case is
+    * O(n) rounds (a path graph peeled from the ends — GraphSpec
+    * exercises exactly that); real graphs converge in a handful.
+    *
+    * @param maxRounds 0 = run to the fixpoint; n = stop after n
+    *                  peels even if not converged (gives the oracle
+    *                  an exactly-unrollable bounded form). */
+  def kcorePeel(edges: DataFrame, k: Int, maxRounds: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    var cur = edges.select(col("u"), col("v")).cache()
+    var prevCount = cur.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && (maxRounds == 0 || rounds < maxRounds)) {
+      val deg = cur.select(F.explode(F.array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      val next = cur
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .cache()
+      val nextCount = next.count()
+      cur.unpersist()
+      cur = next
+      converged = nextCount == prevCount
+      prevCount = nextCount
+      rounds += 1
+    }
+    cur.select(F.explode(F.array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Sparse path: degree-oriented wedge enumeration over the
     * undirected canonical edge relation (`u < v`). */
   private[graft] def orientedTriangles(e: DataFrame): DataFrame = {

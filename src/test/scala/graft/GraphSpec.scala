@@ -71,6 +71,23 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.toSet == Set(3L))
   }
 
+  test("k-core peel cascades on a path graph and converges") {
+    // a 10-node path has NO 2-core: endpoints peel one pair per round
+    // (the adversarial O(n)-round cascade)
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assert(Graph.kcorePeel(edgeDf(path), 2).count() == 0)
+    // bounded rounds stop mid-cascade: 2 rounds strip 2 nodes per end
+    val after2 = Graph.kcorePeel(edgeDf(path), 2, maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after2.keySet == (2L to 7L).toSet, s"got $after2")
+    assert(after2(2L) == 1 && after2(7L) == 1 && after2(4L) == 2)
+    // a 4-clique with a pendant: the pendant (and only it) peels at k=3
+    val clique = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val core = Graph.kcorePeel(edgeDf(clique :+ (3L, 9L)), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("triangle-free graph yields no rows") {
     val star = (1L to 10L).map(x => (0L, x))
     assert(Graph.triangleCounts(edgeDf(star), denseMaxNodes = 1000).count() == 0)

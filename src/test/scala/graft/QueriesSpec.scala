@@ -59,6 +59,23 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(win >= 2, "expected local + global window passes")
   }
 
+  test("sorted-neighborhood blocks as an equi-join, never a cartesian or global sort") {
+    val df = Queries.qSortedNeighborhood(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"rank-band blocking degenerated to a cross join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rank-band blocking degenerated to a nested loop:\n$plan")
+    // the rank windows must be partitioned (bounded state), not global
+    assert(!plan.contains("Window [") ||
+      "windowspecdefinition\\(seg".r.findFirstIn(plan.toLowerCase).isDefined ||
+      plan.contains("PartitionBy"), "window appears unpartitioned")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every emitted gap respects the neighborhood bound
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
+  }
+
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
     val df = Queries.qTopkGrouped(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
