@@ -817,6 +817,37 @@ object Queries {
       .limit(20)
   }
 
+  /** MERGE INTO semantics as one full-outer join — the warehouse
+    * upsert primitive (INSERT new keys, UPDATE matched, DELETE
+    * flagged), complementing q_table_diff (which reports) and
+    * q_cdc_scd2 (which versions): this one APPLIES. The change feed
+    * derives deterministically from the data (odd keys update +100
+    * cents, keys ≡ 0 mod 97 delete, shifted keys insert), so the
+    * oracle can rebuild it. One key-partitioned shuffle; each output
+    * row tagged with its action. */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"),
+        (col("c_acctbal").cast(dec) * 100).cast("long").as("cents"))
+    val changes = base
+      .select(col("k"), col("cents"),
+        when(col("k") % 97 === 0, "D")
+          .when(col("k") % 2 === 1, "U")
+          .otherwise(null).as("op"))
+      .filter(col("op").isNotNull)
+      .select(col("k"), col("op"), (col("cents") + 100).as("new_cents"))
+      .unionAll(
+        base.filter(col("k") % 1000 === 7)
+          .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+            lit(5000L).as("new_cents")))
+    base.join(changes, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        coalesce(col("new_cents"), col("cents")).as("cents"),
+        coalesce(col("op"), lit("K")).as("action"))
+      .orderBy(col("k"))
+  }
+
   /** k-core peel (k=34, 3 bounded rounds) over the customer↔supplier
     * bipartite graph — the graph-cleaning step that strips low-degree
     * fringe before community/centrality analysis. Each round is a
@@ -2422,6 +2453,7 @@ object Queries {
     "q_profile" -> (qProfile _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_kcore" -> (qKcore _),
+    "q_merge_upsert" -> (qMergeUpsert _),
     "q_rollup" -> (qRollup _),
     "q_event_window" -> (qEventWindow _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -3296,6 +3328,23 @@ object Queries {
         |  UNION ALL SELECT 'c_nationkey', nn_nat, nd_nat, NULL, NULL
         |  UNION ALL SELECT 'c_acctbal', nn_bal, nd_bal, min_bal_cents, max_bal_cents) t
         |ORDER BY column_name""".stripMargin,
+
+    // the change feed is rebuilt from the same deterministic rules
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |ch AS (
+        |  SELECT k, CASE WHEN k % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    cents + 100 AS new_cents
+        |  FROM base WHERE k % 97 = 0 OR k % 2 = 1
+        |  UNION ALL
+        |  SELECT k + 10000000, 'I', CAST(5000 AS BIGINT) FROM base WHERE k % 1000 = 7)
+        |SELECT k, COALESCE(c.new_cents, b.cents) AS cents,
+        |  COALESCE(c.op, 'K') AS action
+        |FROM base b FULL JOIN ch c USING (k)
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY k""".stripMargin,
 
     // 3 unrolled peel rounds; the engine's early-stop at the fixpoint
     // is invisible because post-convergence rounds are no-ops
