@@ -39,6 +39,16 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
 
       // results identical
       assert(joined.count() == unbucketed.count())
+
+      // read-side bucket PRUNING: an equality predicate on the bucket
+      // key scans 1 of the 8 buckets, not the whole table — the scan
+      // reports its selected-bucket count in the plan
+      val key = s.table("o_b").select(col("o_orderkey")).head().getLong(0)
+      val pruned = s.table("o_b").filter(col("o_orderkey") === key)
+      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket filter did not prune the scan:\n$prunedPlan")
+      assert(pruned.count() >= 1)
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       s.sql("DROP TABLE IF EXISTS li_b")
