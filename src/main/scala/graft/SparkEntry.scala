@@ -1047,6 +1047,42 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Bucketed large-large join — THE repeated-join strategy at
+    * 100 TB: both fact tables are written bucketed (8 buckets) AND
+    * sorted on the join key, so the join AND the per-order aggregate
+    * both consume the on-disk hash distribution: the physical plan
+    * has ZERO `Exchange hashpartitioning` nodes (QueriesSpec asserts
+    * this with broadcast disabled). Pay the layout shuffle once at
+    * write time, then every subsequent join/agg on the key is
+    * exchange-free — at petabyte scale this converts the dominant
+    * recurring cost (two full-table shuffles per join) into a
+    * one-time write. The oracle joins the raw parquet directly, so
+    * the hash-match also proves the bucketed write+read is lossless. */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_quantity").cast(dec) * 100).cast("long").as("qty_cents"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li").saveAsTable("graft_bkt_li")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("price_cents"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o").saveAsTable("graft_bkt_o")
+    s.table("graft_bkt_li")
+      .join(s.table("graft_bkt_o"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("qty_cents")).as("sum_qty_cents"),
+        min(col("price_cents")).as("price_cents"))
+      .select(col("o_orderkey").as("okey"), col("n_items"),
+        col("sum_qty_cents"), col("price_cents"))
+      .orderBy(col("okey"))
+  }
+
   /** JSON-lines source/sink round-trip on customer — doubles survive
     * because Spark serializes with shortest-round-trip repr. Proves
     * the JSON reader/writer path against the same parquet oracle. */
@@ -1258,15 +1294,23 @@ object Queries {
     * combined aggregate over the fact table; no second pass. */
   def qRegression(s: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    // sums accumulate EXACTLY as DECIMAL(38,0); every derived number
-    // is then a fixed chain of IEEE double ops over those exact
-    // inputs (decimal→double is correctly-rounded in both engines),
-    // so the doubles match bit-for-bit. Decimal×decimal products are
-    // deliberately avoided — n·sxy would overflow precision 38 (an
-    // error in the oracle engine, silent truncation here).
+    // Operands are cast to DECIMAL(38,0) BEFORE the sums so the
+    // aggregation accumulators themselves are decimal (a long
+    // accumulator wraps at ~600k rows: Σy² ≈ 2e19 > Long.Max at
+    // sf0.1). Decimal(38,0)×decimal(38,0) stays (38,0) at scale 0;
+    // per-row products ≤1e14 and Σ at sf1e5 ≈ 1e26 both fit 38
+    // digits. The DuckDB oracle accumulates BIGINT sums in HUGEINT,
+    // so both engines are exact; every derived number is then a
+    // fixed chain of IEEE double ops over those exact inputs, so the
+    // doubles match bit-for-bit at the oracle gate SF. Caveat,
+    // measured: once a statistic exceeds 2^63 (Σy² ≈ 2.2e19 at
+    // sf0.1), DuckDB's HUGEINT→DOUBLE cast rounds 1 ulp low of the
+    // correctly-rounded value Spark produces (BigDecimal.doubleValue)
+    // — the SPARK answer is the correctly-rounded one; r2 then
+    // differs from the oracle in the final ulp only.
     val stats = Tables.lineitem(s, dir)
-      .select(col("l_quantity").cast(dec).cast("long").as("x"),
-        (col("l_extendedprice").cast(dec) * 100).cast("long").as("y"))
+      .select(col("l_quantity").cast(dec).cast("long").cast(d38).as("x"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").cast(d38).as("y"))
       .agg(count(lit(1)).cast(d38).as("n"),
         sum(col("x")).cast(d38).as("sx"), sum(col("y")).cast(d38).as("sy"),
         sum(col("x") * col("y")).cast(d38).as("sxy"),
@@ -2405,6 +2449,7 @@ object Queries {
     "q_interval_overlap" -> (qIntervalOverlapJoin _),
     "q_source_csv" -> (qSourceCsv _),
     "q_source_orc" -> (qSourceOrc _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_source_cfs" -> (qSourceCfs _),
     "q_quantile_global" -> (qQuantileGlobal _),
     "q_gapfill" -> (qGapFill _),
@@ -3154,6 +3199,17 @@ object Queries {
         |  MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // the bucketed layout is exchange-elision only — the oracle is
+    // the same join+agg on the raw parquet (also proves the bucketed
+    // write/read round-trip is lossless)
+    "q_bucketed_join" ->
+      """SELECT o.o_orderkey AS okey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  MIN(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS price_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey
+        |ORDER BY okey""".stripMargin,
+
     // round-trips documents through the DSv2 document-store scan;
     // the oracle is the same rollup on the original table
     "q_source_cfs" ->
@@ -3290,9 +3346,9 @@ object Queries {
         |    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
         |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
         |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
-        |    CAST(SUM(x*y) AS DECIMAL(38,0)) AS sxy,
-        |    CAST(SUM(x*x) AS DECIMAL(38,0)) AS sxx,
-        |    CAST(SUM(y*y) AS DECIMAL(38,0)) AS syy
+        |    CAST(SUM(CAST(x AS HUGEINT)*y) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT)*x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT)*y) AS DECIMAL(38,0)) AS syy
         |  FROM (SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
         |               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
         |        FROM lineitem)),

@@ -197,16 +197,30 @@ object Dedup {
     * — DedupSpec forces each side of the gate and cross-checks.
     *
     * @param tokens (idCol, "tok") relation, tokens DISTINCT per id.
-    *               Cached internally: every stage derives from it. */
+    *               Cached internally: every stage derives from it, and
+    *               the cache must outlive the RETURNED (lazy) plan, so
+    *               this method cannot unpersist it. Callers that loop
+    *               over corpora should `tokens.unpersist()` (or
+    *               `spark.catalog.clearCache()`) after materializing
+    *               the result. */
   def exactSimJoin(tokens: DataFrame, idCol: String, tNum: Int, tDen: Int,
       maxDirectPairs: Long = DirectSimJoinMaxPairs): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
     val tok = tokens.cache()
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val pairVolume =
-      dfreq.agg(sum(col("df") * col("df"))).head().getLong(0)
+    // Decimal accumulator: df ≤ n_docs, so a long Σ df² wraps as soon
+    // as one hot token spans ~3e9 docs (df² alone ≈ Long.Max) — the
+    // Zipf head the gate exists to detect is exactly what would
+    // overflow it. coalesce: sum over zero rows is NULL (empty input
+    // ⇒ zero pair volume ⇒ direct path, which returns empty).
+    val pairVolume = dfreq
+      .agg(coalesce(sum(col("df").cast("decimal(38,0)") * col("df")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("v"))
+      .head().getDecimal(0)
+    val directOk = pairVolume.compareTo(
+      java.math.BigDecimal.valueOf(maxDirectPairs)) <= 0
     val inter =
-      if (pairVolume <= maxDirectPairs) {
+      if (directOk) {
         tok.select(col(idCol).as("id_a"), col("tok"))
           .join(tok.select(col(idCol).as("id_b"), col("tok")), Seq("tok"))
           .filter(col("id_a") < col("id_b"))

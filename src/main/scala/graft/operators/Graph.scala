@@ -39,6 +39,14 @@ object Graph {
 
   /** Per-node exact triangle participation counts.
     *
+    * Cache contract: the returned LAZY plan reads caches built here
+    * (edge list, and on the dense path the id-mapped edges and
+    * adjacency bitmaps), so they cannot be unpersisted before the
+    * caller materializes the result. Callers that invoke this
+    * repeatedly in one session should `spark.catalog.clearCache()`
+    * (or unpersist the input) after each terminal action, or
+    * executor storage accumulates across calls.
+    *
     * @param edges undirected edge relation with columns `u`, `v` —
     *              distinct, no self-loops (`u < v` canonical form).
     * @return one row per node that participates in ≥1 triangle:
@@ -130,14 +138,64 @@ object Graph {
     * convergence probe is one bounded count() per round, the same
     * driver-scalar pattern as connected components. Worst case is
     * O(n) rounds (a path graph peeled from the ends — GraphSpec
-    * exercises exactly that); real graphs converge in a handful.
+    * exercises exactly that); real graphs converge in a handful —
+    * which is why the PRODUCTION DEFAULT is capped at
+    * [[DefaultMaxRounds]]: at 100 TB a pathological peel cascade is
+    * O(n) rounds of cluster time, and a capped run that logs a
+    * warning beats a job that never comes back. Pass 0 explicitly
+    * for the unbounded fixpoint form.
+    *
+    * Lineage is TRUNCATED per round (`localCheckpoint`, or a
+    * reliable checkpoint when `reliableCheckpointDir` is given, same
+    * contract as [[Dedup.connectedComponents]]): each round's plan
+    * references the previous round three times (degree agg + two
+    * semi-joins), so without truncation the logical plan itself is
+    * 3^rounds nodes — a 15-round peel OOMs the DRIVER before any
+    * executor does a byte of work. Intermediate rounds unpersist
+    * themselves; the FINAL round's edge set stays materialized (the
+    * returned lazy plan reads it); repeated callers should clear it
+    * after materializing.
     *
     * @param maxRounds 0 = run to the fixpoint; n = stop after n
     *                  peels even if not converged (gives the oracle
-    *                  an exactly-unrollable bounded form). */
-  def kcorePeel(edges: DataFrame, k: Int, maxRounds: Int = 0): DataFrame = {
+    *                  an exactly-unrollable bounded form). Default
+    *                  [[DefaultMaxRounds]]; non-convergence at the
+    *                  cap logs a warning and returns the capped
+    *                  (supergraph-of-core) state. */
+  def kcorePeel(edges: DataFrame, k: Int,
+      maxRounds: Int = DefaultMaxRounds,
+      reliableCheckpointDir: Option[String] = None): DataFrame = {
+    val (res, converged, rounds) =
+      kcorePeelWithStatus(edges, k, maxRounds, reliableCheckpointDir)
+    if (!converged)
+      log.warn(s"kcorePeel(k=$k) hit the $rounds-round cap before the " +
+        "fixpoint - result is the capped peel state (a supergraph of the " +
+        "true k-core). Raise maxRounds, or pass 0 for the unbounded form.")
+    res
+  }
+
+  /** Production round cap for [[kcorePeel]] — generous (real graphs
+    * peel in a handful of rounds) yet bounding the worst-case O(n)
+    * cascade to a fixed number of cluster passes. */
+  val DefaultMaxRounds: Int = 50
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[kcorePeel]] plus convergence status: (result, reached-fixpoint,
+    * rounds-run). Package-private so GraphSpec can assert the capped
+    * non-convergence path without scraping logs. */
+  private[graft] def kcorePeelWithStatus(edges: DataFrame, k: Int,
+      maxRounds: Int,
+      reliableCheckpointDir: Option[String] = None): (DataFrame, Boolean, Int) = {
     require(k >= 1, "k must be positive")
-    var cur = edges.select(col("u"), col("v")).cache()
+    reliableCheckpointDir.foreach(
+      edges.sparkSession.sparkContext.setCheckpointDir)
+    // localCheckpoint truncates lineage AND materializes (eager), so
+    // the count() below reads the stored blocks, not a recompute
+    def persistRound(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var cur = persistRound(edges.select(col("u"), col("v")))
     var prevCount = cur.count()
     var rounds = 0
     var converged = false
@@ -145,11 +203,10 @@ object Graph {
       val deg = cur.select(F.explode(F.array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      val next = cur
+      val next = persistRound(cur
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .cache()
+        .select(col("u"), col("v")))
       val nextCount = next.count()
       cur.unpersist()
       cur = next
@@ -157,8 +214,9 @@ object Graph {
       prevCount = nextCount
       rounds += 1
     }
-    cur.select(F.explode(F.array(col("u"), col("v"))).as("node"))
+    val res = cur.select(F.explode(F.array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    (res, converged, rounds)
   }
 
   /** Sparse path: degree-oriented wedge enumeration over the

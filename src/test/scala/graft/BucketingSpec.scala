@@ -42,13 +42,24 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
 
       // read-side bucket PRUNING: an equality predicate on the bucket
       // key scans 1 of the 8 buckets, not the whole table — the scan
-      // reports its selected-bucket count in the plan
-      val key = s.table("o_b").select(col("o_orderkey")).head().getLong(0)
-      val pruned = s.table("o_b").filter(col("o_orderkey") === key)
-      val prunedPlan = pruned.queryExecution.executedPlan.toString
-      assert(prunedPlan.contains("SelectedBucketsCount: 1 out of 8"),
-        s"bucket filter did not prune the scan:\n$prunedPlan")
-      assert(pruned.count() >= 1)
+      // reports its selected-bucket count in the plan. The
+      // auto-bucketed-scan planner disables bucketed reading for a
+      // bare point filter (no join/agg needs the distribution), which
+      // also disables pruning — turn it off for this sub-case so the
+      // scan stays bucketed and prunes.
+      val prevAuto =
+        s.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val key = s.table("o_b").select(col("o_orderkey")).head().getLong(0)
+        val pruned = s.table("o_b").filter(col("o_orderkey") === key)
+        val prunedPlan = pruned.queryExecution.executedPlan.toString
+        assert(prunedPlan.contains("SelectedBucketsCount: 1 out of 8"),
+          s"bucket filter did not prune the scan:\n$prunedPlan")
+        assert(pruned.count() >= 1)
+      } finally {
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      }
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       s.sql("DROP TABLE IF EXISTS li_b")

@@ -88,6 +88,22 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("k-core production cap reports non-convergence; fixpoint reports converged") {
+    // 30-node path, k=2: full peel needs ~15 rounds, so a 2-round cap
+    // must stop early AND say so (the kcorePeel default then logs the
+    // warning on this exact status)
+    val path = (0L until 29L).map(i => (i, i + 1))
+    val (capped, convergedAtCap, roundsAtCap) =
+      Graph.kcorePeelWithStatus(edgeDf(path), 2, maxRounds = 2)
+    assert(!convergedAtCap && roundsAtCap == 2)
+    // capped result is the 2-round peel state: 2 nodes stripped per end
+    assert(capped.collect().map(_.getLong(0)).toSet == (2L to 27L).toSet)
+    // the default cap (50) covers this cascade: converged, empty core
+    val (fix, convergedDefault, _) =
+      Graph.kcorePeelWithStatus(edgeDf(path), 2, Graph.DefaultMaxRounds)
+    assert(convergedDefault && fix.count() == 0)
+  }
+
   test("triangle-free graph yields no rows") {
     val star = (1L to 10L).map(x => (0L, x))
     assert(Graph.triangleCounts(edgeDf(star), denseMaxNodes = 1000).count() == 0)

@@ -76,6 +76,24 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
   }
 
+  test("bucketed join+agg on the bucket key plans with zero hash exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Queries.qBucketedJoin(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the bucketed layout must satisfy BOTH the join and the
+      // per-order aggregate distribution: no shuffle anywhere
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg shuffled:\n$plan")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_li")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_o")
+    }
+  }
+
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
     val df = Queries.qTopkGrouped(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
