@@ -163,6 +163,19 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Measured co-token pair volume Σ_tok df(tok)² over a ("tok",
+    * "df") frequency relation — [[exactSimJoin]]'s gate statistic.
+    * Decimal accumulator: df ≤ n_docs, so a long Σ df² wraps as soon
+    * as one hot token spans ~3e9 docs (df² alone ≈ Long.Max) — the
+    * Zipf head the gate exists to detect is exactly what would
+    * overflow it. coalesce: sum over zero rows is NULL (empty input
+    * ⇒ zero pair volume ⇒ direct path, which returns empty). */
+  private[graft] def pairVolume(dfreq: DataFrame): java.math.BigDecimal =
+    dfreq
+      .agg(coalesce(sum(col("df").cast("decimal(38,0)") * col("df")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("v"))
+      .head().getDecimal(0)
+
   /** Direct-join gate for [[exactSimJoin]]: the co-token pair volume
     * Σ df² the direct plan may shuffle before the prefix-filtered
     * plan takes over. 2²⁶ ≈ 67M narrow rows — an easy single-stage
@@ -208,16 +221,7 @@ object Dedup {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
     val tok = tokens.cache()
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // Decimal accumulator: df ≤ n_docs, so a long Σ df² wraps as soon
-    // as one hot token spans ~3e9 docs (df² alone ≈ Long.Max) — the
-    // Zipf head the gate exists to detect is exactly what would
-    // overflow it. coalesce: sum over zero rows is NULL (empty input
-    // ⇒ zero pair volume ⇒ direct path, which returns empty).
-    val pairVolume = dfreq
-      .agg(coalesce(sum(col("df").cast("decimal(38,0)") * col("df")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("v"))
-      .head().getDecimal(0)
-    val directOk = pairVolume.compareTo(
+    val directOk = pairVolume(dfreq).compareTo(
       java.math.BigDecimal.valueOf(maxDirectPairs)) <= 0
     val inter =
       if (directOk) {

@@ -117,6 +117,11 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
     registry.remove(s): Unit
   }
 
+  private[plans] def registrySize: Int = registry.synchronized { registry.size }
+
+  private[plans] def clearRegistry(): Unit =
+    registry.synchronized { registry.clear() }
+
   /** Column pruning gives every query a differently-shaped pure
     * Project over the shared scan (the coarser roll-up reads fewer
     * columns), which would defeat child equality. Attribute-only
@@ -229,10 +234,19 @@ object MaterializedViewRule extends Rule[LogicalPlan] {
         case Average(e, _) =>
           // avg is derivable from (sum, count) partials ONLY in exact
           // arithmetic: a double sum is partition-order sensitive.
-          // Scale restricted to 2 so the rewritten quotient (adjusted
-          // scale 6 for decimal(38,2)/decimal(38,2)) rounds exactly
-          // once at the same scale Average's decimal(p+4, s+4)
-          // result does — any other scale double-rounds.
+          // Decimal only. Rounding parity with native Average is
+          // load-bearing and PINNED EMPIRICALLY: on a quotient within
+          // 5e-13 BELOW a half-microunit (0.50 over 1000001 rows of
+          // decimal(18,2)), native Average yields the SINGLE-rounded
+          // value (0.000000) — i.e. it does not expose a rounded
+          // scale-12 intermediate — and the (38,2)/(38,2) divide
+          // below resolves to adjusted scale 6 (= Average's s+4
+          // result scale for s=2) and rounds once at that same
+          // scale, agreeing bit-for-bit. A chain that first rounds
+          // at an intermediate scale 12 and then casts to scale 6
+          // double-rounds UP (0.000001) and was measured to DIVERGE
+          // from native — MaterializedViewSpec's half-boundary case
+          // catches exactly that.
           e.dataType match {
             case d: DecimalType if d.scale == 2 && d.precision + 4 <= 38 =>
             case _ => return None
@@ -291,8 +305,36 @@ object MaterializedView {
   def currentPath(session: SparkSession, name: String): Option[String] =
     MaterializedViewRule.mvsFor(session).find(_.name == name).map(_.path)
 
+  /** Number of sessions currently holding registry entries — the
+    * observable for leak specs; not part of the public contract. */
+  private[graft] def registrySessionCount: Int =
+    MaterializedViewRule.registrySize
+
+  /** Test-teardown sweep: drop EVERY session's registrations (does
+    * not touch on-disk MV data). Not part of the public contract —
+    * services use [[unregister]]/[[dropAll]], which also clean up
+    * refresh generations. */
+  private[graft] def clearAllRegistrations(): Unit =
+    MaterializedViewRule.clearRegistry()
+
   /** Child session with the rewrite enabled; MVs registered on it are
-    * invisible to the parent session. */
+    * invisible to the parent session.
+    *
+    * Lifecycle contract for LONG-LIVED services: registry entries
+    * cannot be freed by the weak session key alone (the MV's plans
+    * strongly reference the owning session), so a service that
+    * registers and retires MVs over time must pair every [[register]]
+    * with [[unregister]] (or drop the whole session's set with
+    * [[dropAll]]) — e.g.
+    * {{{
+    *   val mvs = MaterializedView.sessionWith(spark)
+    *   MaterializedView.register(mvs, "daily_rollup", defn, path)
+    *   try runQueries(mvs)
+    *   finally MaterializedView.dropAll(mvs)   // frees registry + generations
+    * }}}
+    * MaterializedViewSpec drives a 100-iteration register/drop loop
+    * against [[registrySessionCount]] to pin that this contract
+    * actually bounds registry growth. */
   def sessionWith(s: SparkSession): SparkSession = {
     val child = s.newSession()
     if (!child.experimental.extraOptimizations.exists(_ eq MaterializedViewRule))

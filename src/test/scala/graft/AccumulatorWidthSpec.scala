@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** The q_regression bug class: a sum whose PER-ROW terms fit a long
+  * but whose ACCUMULATED total does not silently wraps when the
+  * aggregation buffer is LongType. These specs drive the two widest
+  * accumulators in the catalog at synthetic 10⁸-row-scale magnitudes
+  * (sums past Long.Max) and assert exactness against driver-side
+  * BigInt arithmetic — the 100 TB failure reproduced at test size. */
+class AccumulatorWidthSpec extends AnyFunSuite with SparkTestBase {
+
+  test("regression sufficient statistics stay exact past Long.Max") {
+    // 200k rows with y ≈ 1e7 cents: Σy² ≈ 2e19 > Long.Max (9.2e18) —
+    // the same magnitude the real query hits at sf0.1
+    val n = 200000
+    val tmp = Files.createTempDirectory("graft-acc").toString
+    spark.range(n).select(
+        (col("id") % 50 + 1).cast("double").as("l_quantity"),
+        ((lit(9999999L) - col("id") % 1000).cast("double") / 100)
+          .as("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val row = Queries.qRegression(spark, tmp).head()
+
+    // driver-side exact reference: BigInt sufficient statistics, then
+    // the identical fixed IEEE double chain the query performs
+    var (sx, sy, sxy, sxx, syy) =
+      (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    (0 until n).foreach { i =>
+      val x = BigInt(i % 50 + 1); val y = BigInt(9999999L - i % 1000)
+      sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+    }
+    assert(syy > BigInt(Long.MaxValue), "test must exceed Long range")
+    val (nd, sxd, syd) = (n.toDouble, sx.toDouble, sy.toDouble)
+    val (sxyd, sxxd, syyd) = (sxy.toDouble, sxx.toDouble, syy.toDouble)
+    val slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    val intercept = (syd - slope * sxd) / nd
+    val r2 = slope * ((nd * sxyd - sxd * syd) / (nd * syyd - syd * syd))
+    assert(row.getLong(0) == n)
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
+      java.lang.Double.doubleToLongBits(slope), s"slope ${row.getDouble(1)} != $slope")
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(2)) ==
+      java.lang.Double.doubleToLongBits(intercept))
+    assert(java.lang.Double.doubleToLongBits(row.getDouble(3)) ==
+      java.lang.Double.doubleToLongBits(r2), s"r2 ${row.getDouble(3)} != $r2")
+  }
+
+  test("sim-join pair-volume gate stays exact past Long.Max and handles empty input") {
+    import spark.implicits._
+    // one hot token across 3.1e9 docs: its df² alone exceeds Long.Max
+    val dfs = Seq(3100000000L, 2900000000L, 7L)
+    val dfreq = dfs.toDF("df").select(lit("t").as("tok"), col("df"))
+    val expected = dfs.map(d => BigInt(d) * BigInt(d)).sum
+    assert(expected > BigInt(Long.MaxValue))
+    assert(BigInt(Dedup.pairVolume(dfreq).toBigInteger) == expected)
+    // empty relation: NULL sum must coalesce to zero, not NPE
+    val empty = Seq.empty[Long].toDF("df").select(lit("t").as("tok"), col("df"))
+    assert(Dedup.pairVolume(empty).signum() == 0)
+  }
+}

@@ -55,6 +55,32 @@ class CfsSourceSpec extends AnyFunSuite with SparkTestBase {
         col("collection") === "_aether/entities/purchase")
     assert(contradictory.count() === 0,
       "collection='a' AND collection='b' must be empty")
+    // Stock Spark folds the contradiction at optimization time
+    // (ConstantPropagation infers 'a'='b' → false, PruneFilters emits
+    // an empty relation) — correct, but it means the scan-builder
+    // defense is never reached by this shape. Exclude those rules so
+    // BOTH equalities genuinely arrive at pushFilters through the
+    // full DSv2 read path, and assert the plan VISIBLY chooses the
+    // contradiction scan — zero rows by accident (last-filter-wins on
+    // an empty collection) would pass a count assert but not this one.
+    val prevExcluded = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConstantPropagation," +
+        "org.apache.spark.sql.catalyst.optimizer.PruneFilters")
+    try {
+      val unfolded = read(root)
+        .filter(col("collection") === "_aether/entities/click" &&
+          col("collection") === "_aether/entities/purchase")
+      val plan = unfolded.queryExecution.executedPlan.toString
+      assert(plan.contains("CONTRADICTION"),
+        s"expected the empty contradiction scan in the plan:\n$plan")
+      assert(unfolded.count() === 0)
+    } finally {
+      prevExcluded match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
+    }
     val docContra = read(root)
       .filter(col("doc_id") === "c1" && col("doc_id") === "c2")
     assert(docContra.count() === 0)

@@ -6,8 +6,18 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
+class MaterializedViewSpec extends AnyFunSuite with SparkTestBase
+    with org.scalatest.BeforeAndAfterEach {
   import graft.plans.MaterializedView
+
+  // per-test sweep of the session-keyed registry: the weak key cannot
+  // free entries on its own (documented lifecycle contract), so tests
+  // that register MVs on throwaway child sessions must not leak them
+  // into later tests
+  override def afterEach(): Unit = {
+    MaterializedView.clearAllRegistrations()
+    super.afterEach()
+  }
 
   private def rollup(ss: SparkSession): DataFrame =
     Tables.lineitem(ss, sf)
@@ -124,6 +134,36 @@ class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
     // round once at Average's own result scale and agree bit-for-bit
     assert(q.collect().toSeq == coarse(spark).collect().toSeq)
 
+    // Half-boundary rounding pin: avg = 0.50/1000001 sits within
+    // 5e-13 BELOW a half-microunit. A single rounding at the scale-6
+    // result gives 0.000000 (what native Average produces — measured),
+    // while any chain that first rounds at an intermediate scale
+    // (e.g. a (38,12) divide) and then casts to scale 6 double-rounds
+    // UP to 0.000001. The rewrite must agree with native bit-for-bit
+    // on exactly this data — it catches a double-rounding rewrite
+    // red-handed.
+    val hbPath = java.nio.file.Files.createTempDirectory("graft-mv-hb").toString
+    val hbTbl = s"$hbPath/t"
+    spark.range(1000001).select(
+        lit("a").as("g"), (col("id") % 4).as("h"),
+        when(col("id") === 0, lit("0.50")).otherwise(lit("0.00"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      .write.mode("overwrite").parquet(hbTbl)
+    val mvsHb = MaterializedView.sessionWith(spark)
+    def hbFine(ss: SparkSession): DataFrame = ss.read.parquet(hbTbl)
+      .groupBy(col("g"), col("h"))
+      .agg(sum(col("v")).as("sp"), count(col("v")).as("np"))
+    MaterializedView.register(mvsHb, "mv_avg_hb", hbFine(mvsHb),
+      java.nio.file.Files.createTempDirectory("graft-mv-hb-mv").toString)
+    def hbCoarse(ss: SparkSession): DataFrame = ss.read.parquet(hbTbl)
+      .groupBy(col("g")).agg(avg(col("v")).as("av"))
+    val hbQ = hbCoarse(mvsHb)
+    assert(relationPaths(hbQ).exists(_.contains("graft-mv-hb-mv")),
+      "half-boundary query must roll up through the MV")
+    val (got, want) = (hbQ.head().getDecimal(1), hbCoarse(spark).head().getDecimal(1))
+    assert(got == want && got.toPlainString == "0.000000",
+      s"half-boundary rounding mismatch: mv=$got native=$want")
+
     // a cube WITHOUT the count column cannot answer avg
     val path2 = java.nio.file.Files.createTempDirectory("graft-mv-spec").toString
     def sumOnly(ss: SparkSession): DataFrame = Tables.lineitem(ss, sf)
@@ -134,6 +174,25 @@ class MaterializedViewSpec extends AnyFunSuite with SparkTestBase {
       .groupBy(col("l_returnflag")).agg(avg(pc).as("ap"))
     assert(!relationPaths(q2).exists(_.contains(path2)),
       "avg must not roll up without a count partial")
+  }
+
+  test("registry stays bounded across a 100-iteration register/drop loop") {
+    // The weak session key alone cannot free an entry (the MV's plans
+    // reference the owning session) — the documented contract is that
+    // register/unregister pairs bound growth. Drive it 100 times and
+    // watch the registry's session count.
+    val before = MaterializedView.registrySessionCount
+    val root = java.nio.file.Files.createTempDirectory("graft-mv-loop").toString
+    def tiny(ss: SparkSession): DataFrame =
+      ss.range(10).select((col("id") % 2).as("g"), col("id").as("v"))
+        .groupBy(col("g")).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    (1 to 100).foreach { i =>
+      val s = MaterializedView.sessionWith(spark)
+      MaterializedView.register(s, "mv_loop", tiny(s), s"$root/$i")
+      MaterializedView.unregister(s, "mv_loop")
+    }
+    assert(MaterializedView.registrySessionCount <= before,
+      s"registry grew: before=$before after=${MaterializedView.registrySessionCount}")
   }
 
   test("catalog q_mv_rewrite and q_mv_rollup actually plan over the summary") {
