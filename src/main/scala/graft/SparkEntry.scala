@@ -1550,6 +1550,70 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Directional containment join over shingle sets: pairs where
+    * ≥ half of doc A's 3-gram shingles appear in doc B (A-side sets
+    * of ≥ 10 shingles) — the near-SUPERSET detector symmetric
+    * Jaccard misses: a doc quoted inside a larger page scores low
+    * Jaccard but high containment, and dedup wants to drop the
+    * contained copy. Adaptive direct/prefix plan in
+    * [[operators.Dedup.containmentJoin]]; the oracle is the
+    * brute-force O(n²) cross join, so the A-side-prefix filter's
+    * recall-1 claim is checked pair-for-pair. */
+  def qContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val tokens = Dedup.withShingles(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+    Dedup.containmentJoin(tokens, "doc_id", 1, 2)
+      .filter(col("n_a") >= 10)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter_n"), col("n_a"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DSIR-style importance resampling (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023 —
+    * public paper; integer-exact formulation): score every document
+    * by how much its word-bigram mass looks like a TARGET slice
+    * (lang = 'en') versus the RAW corpus, keep the top 100. Per
+    * bigram occurrence the target model contributes its target
+    * count, the raw model its corpus count; a document's weight is
+    * Σ target-counts / Σ raw-counts over its bigram stream — exact
+    * integer sums, ONE double divide at the end (identical in both
+    * engines), deterministic (weight DESC, doc_id) top-k.
+    *
+    * Scale shape: two bigram-keyed count aggregates (the LM tables),
+    * two shuffle joins of the linear bigram stream against them —
+    * bigram vocab at 100 TB is far past broadcast, so the equi-join
+    * shuffles on the bigram key, which AQE can re-split on skew (the
+    * Zipf head) — one doc-keyed sum, and a TakeOrderedAndProject
+    * top-k (never a global sort). */
+  def qDsirResample(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2)," +
+          " i -> concat(w[i], ' ', w[i+1])) ELSE array() END")).as("bg"))
+    val target = bg.filter(col("lang") === "en")
+      .groupBy(col("bg")).agg(count(lit(1)).as("ct"))
+    val raw = bg.groupBy(col("bg")).agg(count(lit(1)).as("cr"))
+    bg.join(raw, "bg")
+      .join(target, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      // decimal accumulators (the q_regression lesson): cr is a
+      // GLOBAL count joined per row, so a long doc whose bigrams all
+      // sit in the Zipf head can push Σcr past Long.Max at corpus
+      // scale even though each term fits easily
+      .agg(sum(coalesce(col("ct"), lit(0L)).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("num_target"),
+        sum(col("cr").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("den_raw"))
+      .select(col("doc_id"), col("num_target"), col("den_raw"),
+        (col("num_target").cast("double") / col("den_raw").cast("double"))
+          .as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -2462,6 +2526,8 @@ object Queries {
     "q_triangle_count" -> (qTriangleCount _),
     "q_rolling_window" -> (qRollingWindow _),
     "q_sim_join_exact" -> (qSimJoinExact _),
+    "q_containment_join" -> (qContainmentJoin _),
+    "q_dsir_resample" -> (qDsirResample _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -3497,6 +3563,38 @@ object Queries {
          |WHERE 2 * len(list_intersect(a.sh, b.sh))
          |  >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // brute-force O(n²) directional containment — checks the A-side
+    // prefix filter's recall-1 claim pair-for-pair
+    "q_containment_join" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
+         |  CAST(len(a.sh) AS BIGINT) AS n_a
+         |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+         |WHERE len(a.sh) >= 10
+         |  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(a.sh)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // integer-exact DSIR: per-bigram-occurrence target/raw counts,
+    // one double divide per doc, deterministic top-k
+    "q_dsir_resample" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') w FROM documents),
+        |bg AS (SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2 THEN
+        |    list_transform(generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])
+        |  ELSE [] END) AS bg FROM w),
+        |ct AS (SELECT bg, COUNT(*) AS ct FROM bg WHERE lang = 'en' GROUP BY bg),
+        |cr AS (SELECT bg, COUNT(*) AS cr FROM bg GROUP BY bg),
+        |scored AS (SELECT doc_id,
+        |    CAST(SUM(COALESCE(ct.ct, 0)) AS DECIMAL(38,0)) AS num_target,
+        |    CAST(SUM(cr.cr) AS DECIMAL(38,0)) AS den_raw
+        |  FROM bg JOIN cr USING (bg) LEFT JOIN ct USING (bg)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, num_target, den_raw,
+        |  CAST(num_target AS DOUBLE) / CAST(den_raw AS DOUBLE) AS weight
+        |FROM scored
+        |ORDER BY weight DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

@@ -251,6 +251,101 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter_n")).as("union_n"))
   }
 
+  /** EXACT directional containment self-join: pairs (a, b), a ≠ b,
+    * with C(a→b) = |A∩B| / |A| ≥ tNum/tDen — the near-SUPERSET
+    * detector symmetric Jaccard misses (a short doc embedded in a
+    * long page scores low Jaccard but containment ≈ 1; dedup wants
+    * to drop the contained copy and keep the superset).
+    *
+    * Same adaptive shape as [[exactSimJoin]], gated on the measured
+    * Σ df² pair volume:
+    *
+    *  - '''Direct count''': self-join the token relation on tok with
+    *    a ≠ b, count rows per directed pair — that count IS |A∩B| —
+    *    then one sizes join divides by |A|. Intersections ride the
+    *    partial-aggregate machinery; no arrays shipped.
+    *
+    *  - '''Prefix-filtered''' (Zipf-headed data): a qualifying pair
+    *    shares ≥ ceil(t·|A|) tokens, so A's tokens NOT in B number
+    *    ≤ |A| − ceil(t·|A|); at least one of A's first
+    *    |A| − ceil(t·|A|) + 1 canonical (rarest-first) tokens is in
+    *    B — blocking A-side PREFIX tokens against B's FULL token
+    *    relation has recall 1 (containment has no B-side prefix: B
+    *    may be arbitrarily larger). Size prune: |∩| ≤ |B| forces
+    *    tDen·|B| ≥ tNum·|A|; positional prune: with both sides
+    *    position-annotated in the one global canonical order, |∩| ≤
+    *    min(p_a, p_b) − 1 + min(n_a−p_a, n_b−p_b) + 1 at every
+    *    collision. Verification then counts true intersections on
+    *    candidates only.
+    *
+    * @param tokens (idCol, "tok") relation, tokens DISTINCT per id;
+    *               cached here and must outlive the returned lazy
+    *               plan (same contract as [[exactSimJoin]]). */
+  def containmentJoin(tokens: DataFrame, idCol: String, tNum: Int, tDen: Int,
+      maxDirectPairs: Long = DirectSimJoinMaxPairs): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val tok = tokens.cache()
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val directOk = pairVolume(dfreq).compareTo(
+      java.math.BigDecimal.valueOf(maxDirectPairs)) <= 0
+    val inter =
+      if (directOk) {
+        tok.select(col(idCol).as("id_a"), col("tok"))
+          .join(tok.select(col(idCol).as("id_b"), col("tok")), Seq("tok"))
+          .filter(col("id_a") =!= col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter_n"))
+      } else {
+        val cands = containmentPrefixCandidates(tok, dfreq, idCol, tNum, tDen)
+        cands
+          .join(tok.select(col(idCol).as("id_a"), col("tok")), "id_a")
+          .join(tok.select(col(idCol).as("id_b"), col("tok")), Seq("id_b", "tok"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter_n"))
+      }
+    val sz = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      // C ≥ tN/tD ⇔ tD·|∩| ≥ tN·|A|, integer-exact
+      .filter(lit(tDen) * col("inter_n") >= lit(tNum) * col("n_a"))
+      .select(col("id_a"), col("id_b"), col("inter_n"), col("n_a"))
+  }
+
+  /** Directed candidate pairs for [[containmentJoin]]'s prefix path:
+    * A-side rarest-first prefix vs B's full position-annotated
+    * tokens, with the size and positional prunes derived in the
+    * containmentJoin scaladoc. Recall 1 by construction. */
+  private def containmentPrefixCandidates(tok: DataFrame, dfreq: DataFrame,
+      idCol: String, tNum: Int, tDen: Int): DataFrame = {
+    // canonical (df, tok) order per doc, with positions and set size
+    val ranked = tok.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col(idCol), expr("transform(st, x -> x.tok)").as("ts"))
+    val L = s"(size(ts) - ((${tNum}L * size(ts) + ${tDen - 1}L) div ${tDen}L) + 1)"
+    def positioned(slice: String) = ranked
+      .select(col(idCol), size(col("ts")).cast("long").as("n"),
+        posexplode(expr(slice)).as(Seq("p0", "tok")))
+      .select(col(idCol), col("n"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+    val a = positioned(s"slice(ts, 1, $L)")
+      .select(col(idCol).as("id_a"), col("n").as("n_a"), col("p").as("p_a"), col("tok"))
+    val b = positioned("ts")
+      .select(col(idCol).as("id_b"), col("n").as("n_b"), col("p").as("p_b"), col("tok"))
+    a.join(b, Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      // size prune: |∩| ≤ |B| and C ≥ t force tD·n_b ≥ tN·n_a
+      .filter(lit(tDen) * col("n_b") >= lit(tNum) * col("n_a"))
+      // positional prune: common tokens before this collision sit
+      // before it in BOTH canonical orders; from it on there are at
+      // most min(n_a−p_a, n_b−p_b)+1 — so this bounds |∩| at every
+      // common token and no qualifying pair is lost
+      .filter(lit(tDen) *
+        (least(col("p_a"), col("p_b")) - 1 +
+          least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) + 1) >=
+        lit(tNum) * col("n_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Distinct candidate pairs (id_a < id_b) sharing any LSH band.
     * The join key (band_idx, band_key) is the blocking key — this is
     * the only shuffle in the pipeline. */

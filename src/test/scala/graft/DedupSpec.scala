@@ -171,6 +171,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"plans disagree: onlyDirect=${direct -- prefix} onlyPrefix=${prefix -- direct}")
   }
 
+  test("containmentJoin: direct and A-side-prefix plans agree pair-for-pair") {
+    val tokens = Dedup.withShingles(
+        Tables.documents(spark, sf).select($"doc_id", $"text"), "text")
+      .select($"doc_id", explode($"sh").as("tok"))
+    def run(maxDirect: Long) = Dedup
+      .containmentJoin(tokens, "doc_id", 1, 2, maxDirectPairs = maxDirect)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val direct = run(Long.MaxValue)
+    val prefix = run(0L)
+    assert(direct.nonEmpty, "no contained pairs found at sf0.001")
+    assert(direct == prefix,
+      s"plans disagree: onlyDirect=${direct -- prefix} onlyPrefix=${prefix -- direct}")
+  }
+
+  test("containmentJoin is directional: subset scores 1 toward superset, not back") {
+    // A = {a,b,c,d,e} fully inside B = A ∪ 15 extras: C(A→B) = 1,
+    // C(B→A) = 5/20 < 1/2 — only the A→B direction must survive
+    val toks = (Seq.tabulate(5)(i => (1L, s"t$i")) ++
+      Seq.tabulate(20)(i => (2L, s"t$i"))).toDF("doc_id", "tok")
+    for (maxDirect <- Seq(Long.MaxValue, 0L)) {
+      val got = Dedup.containmentJoin(toks, "doc_id", 1, 2, maxDirect)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == Seq((1L, 2L, 5L, 5L)),
+        s"maxDirect=$maxDirect got ${got.toSeq}")
+    }
+  }
+
   test("connected components: transitive chains collapse to the min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
       .toDF("doc_a", "doc_b")
