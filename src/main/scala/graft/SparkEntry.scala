@@ -906,6 +906,30 @@ object Queries {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** LATERAL correlated subquery — the per-row dependent-join
+    * surface: for each nation, the top-2 customers by balance via a
+    * correlated ORDER BY/LIMIT subquery. Catalyst DECORRELATES the
+    * lateral into a partitioned window + filter (no per-row re-scan
+    * of customer — the naive nested-loop reading the inner table
+    * once per outer row is exactly what dies at 100 TB), so the
+    * physical plan is one shuffle on the correlation key; cross-
+    * checked against the identical LATERAL SQL in the oracle
+    * engine. Complements q_topk_grouped (same semantics stated as a
+    * window) and q_correlated_subquery (scalar correlation): this is
+    * the TABLE-valued correlation path. */
+  def qLateralTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT n.n_name AS nation, t.c_name AS cust_name,
+             CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+      FROM nation_v n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer_v c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY nation, bal_cents DESC, cust_name""")
+  }
+
   /** Null-semantics battery: COUNT(col) vs COUNT(*), null-safe
     * equality, COALESCE/NULLIF, and null-skipping aggregates over a
     * derived column with injected nulls — parity of the exact corner
@@ -2545,6 +2569,7 @@ object Queries {
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_topk_grouped" -> (qTopkGrouped _),
+    "q_lateral_topk" -> (qLateralTopk _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
     "q_source_json" -> (qSourceJson _),
@@ -3359,6 +3384,17 @@ object Queries {
         |  FROM events)
         |WHERE rk <= 5
         |ORDER BY event_type, rk""".stripMargin,
+
+    // the identical LATERAL shape — DuckDB also supports correlated
+    // lateral ORDER BY/LIMIT subqueries
+    "q_lateral_topk" ->
+      """SELECT n.n_name AS nation, t.c_name AS cust_name,
+        |  CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY nation, bal_cents DESC, cust_name""".stripMargin,
 
     "q_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events

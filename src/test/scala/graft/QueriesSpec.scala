@@ -94,6 +94,20 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lateral correlated top-k decorrelates to a window group limit, not a per-row rescan") {
+    val df = Queries.qLateralTopk(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral stayed a nested loop (per-outer-row inner rescan):\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"decorrelated lateral should push a group limit:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // at most 2 customers per nation
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) => assert(rs.length <= 2) }
+  }
+
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
     val df = Queries.qTopkGrouped(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
