@@ -1310,29 +1310,29 @@ object Queries {
   }
 
   /** Simple linear regression (y = extendedprice cents on
-    * x = quantity) from EXACT sufficient statistics: n, Σx, Σy, Σxy,
-    * Σx², Σy² accumulate as DECIMAL(38,0) — order-insensitive exact
-    * integers — and only the final slope/intercept/r² derivations
-    * drop to doubles, each a fixed IEEE op chain over identical
-    * inputs, so both engines produce bit-equal results. One map-side
-    * combined aggregate over the fact table; no second pass. */
+    * x = quantity) from EXACT sufficient statistics, emitted in
+    * EXACT INTEGER UNITS (slope/intercept in micro-units, r² in
+    * ppb): n, Σx, Σy, Σxy, Σx², Σy² accumulate as DECIMAL(38,0) —
+    * the operands are cast BEFORE the sums so the aggregation
+    * accumulators themselves are decimal (a long accumulator wraps
+    * at ~600k rows: Σy² ≈ 2e19 > Long.Max at sf0.1) — and every
+    * derived value is a chain of exact integer multiplies and
+    * truncating integer divisions. No doubles anywhere: a decimal→
+    * double cast past 2^63 is 1 ulp low in the oracle engine
+    * (measured — DuckDB HUGEINT→DOUBLE vs Spark's correctly-rounded
+    * BigDecimal.doubleValue), so an integer-only derivation is the
+    * form whose oracle parity holds at EVERY scale factor, not just
+    * the gate SF. Truncation toward zero is identical in both
+    * engines (all quantities here are positive). Precision headroom:
+    * with A = n·Σxy−ΣxΣy ~ n²·cov, the widest intermediate A·10⁶
+    * stays under 10³⁸ past sf 10⁶ (≈ 10 PB of lineitem); r² uses
+    * the n-normalized A/n, B/n, C/n (truncation error ≤ 1 part in
+    * 10¹⁰ of the ppb unit) to square within precision 38. One
+    * map-side combined aggregate over the fact table; no second
+    * pass. */
   def qRegression(s: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    // Operands are cast to DECIMAL(38,0) BEFORE the sums so the
-    // aggregation accumulators themselves are decimal (a long
-    // accumulator wraps at ~600k rows: Σy² ≈ 2e19 > Long.Max at
-    // sf0.1). Decimal(38,0)×decimal(38,0) stays (38,0) at scale 0;
-    // per-row products ≤1e14 and Σ at sf1e5 ≈ 1e26 both fit 38
-    // digits. The DuckDB oracle accumulates BIGINT sums in HUGEINT,
-    // so both engines are exact; every derived number is then a
-    // fixed chain of IEEE double ops over those exact inputs, so the
-    // doubles match bit-for-bit at the oracle gate SF. Caveat,
-    // measured: once a statistic exceeds 2^63 (Σy² ≈ 2.2e19 at
-    // sf0.1), DuckDB's HUGEINT→DOUBLE cast rounds 1 ulp low of the
-    // correctly-rounded value Spark produces (BigDecimal.doubleValue)
-    // — the SPARK answer is the correctly-rounded one; r2 then
-    // differs from the oracle in the final ulp only.
-    val stats = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .select(col("l_quantity").cast(dec).cast("long").cast(d38).as("x"),
         (col("l_extendedprice").cast(dec) * 100).cast("long").cast(d38).as("y"))
       .agg(count(lit(1)).cast(d38).as("n"),
@@ -1340,16 +1340,23 @@ object Queries {
         sum(col("x") * col("y")).cast(d38).as("sxy"),
         sum(col("x") * col("x")).cast(d38).as("sxx"),
         sum(col("y") * col("y")).cast(d38).as("syy"))
-      .select(col("n"), col("n").cast("double").as("nd"),
-        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
-        col("sxy").cast("double").as("sxyd"), col("sxx").cast("double").as("sxxd"),
-        col("syy").cast("double").as("syyd"))
-    stats.select(
-      col("n").cast("long").as("n"),
-      expr("(nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)").as("slope"),
-      expr("(syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd").as("intercept"),
-      expr("""((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) *
-          ((nd*sxyd - sxd*syd) / (nd*syyd - syd*syd))""").as("r2"))
+      // A/B/C are the covariance/variance numerators (×n²); slope =
+      // A/B, intercept = (Σy − slope·Σx)/n, r² = A²/(B·C)
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("a"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("b"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("c"))
+      .select(
+        col("n").cast("long").as("n"),
+        expr("CAST((a * 1000000) div b AS BIGINT)").as("slope_micro"),
+        expr("""CAST((sy * 1000000 - CAST((a * 1000000) div b AS DECIMAL(38,0)) * sx)
+            div n AS BIGINT)""").as("intercept_micro_cents"),
+        // r² in ppb via n-normalized terms so the square fits
+        // precision 38 at any realistic SF; each div truncates
+        // identically in both engines
+        expr("""CAST((CAST((CAST(a div n AS DECIMAL(38,0)) * CAST(a div n AS DECIMAL(38,0)))
+              div CAST(b div n AS DECIMAL(38,0)) AS DECIMAL(38,0)) * 1000000000)
+            div CAST(c div n AS DECIMAL(38,0)) AS BIGINT)""").as("r2_ppb"))
   }
 
   /** Regex + string function battery (dialect-portable subset):
@@ -3445,24 +3452,24 @@ object Queries {
     // the SAME IEEE op chains as the Spark side derive the results
     "q_regression" ->
       """WITH s0 AS (SELECT
-        |    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
-        |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
-        |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
-        |    CAST(SUM(CAST(x AS HUGEINT)*y) AS DECIMAL(38,0)) AS sxy,
-        |    CAST(SUM(CAST(x AS HUGEINT)*x) AS DECIMAL(38,0)) AS sxx,
-        |    CAST(SUM(CAST(y AS HUGEINT)*y) AS DECIMAL(38,0)) AS syy
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT)*y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT)*x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT)*y) AS HUGEINT) AS syy
         |  FROM (SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
         |               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
         |        FROM lineitem)),
-        |s AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
-        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |s AS (SELECT n, sx, sy,
+        |    n*sxy - sx*sy AS a, n*sxx - sx*sx AS b, n*syy - sy*sy AS c
         |  FROM s0)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS slope,
-        |  (syd - (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) * sxd) / nd AS intercept,
-        |  ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) *
-        |    ((nd*sxyd - sxd*syd) / (nd*syyd - syd*syd)) AS r2
+        |  CAST((a * 1000000) // b AS BIGINT) AS slope_micro,
+        |  CAST((sy * 1000000 - ((a * 1000000) // b) * sx) // n AS BIGINT)
+        |    AS intercept_micro_cents,
+        |  CAST(((a // n) * (a // n) // (b // n) * 1000000000) // (c // n)
+        |    AS BIGINT) AS r2_ppb
         |FROM s""".stripMargin,
 
     // one-scan profile; long form as UNION ALL rows

@@ -28,7 +28,8 @@ class AccumulatorWidthSpec extends AnyFunSuite with SparkTestBase {
     val row = Queries.qRegression(spark, tmp).head()
 
     // driver-side exact reference: BigInt sufficient statistics, then
-    // the identical fixed IEEE double chain the query performs
+    // the identical truncating integer-division chain the query
+    // performs (BigInt '/' and Spark 'div' both truncate toward zero)
     var (sx, sy, sxy, sxx, syy) =
       (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
     (0 until n).foreach { i =>
@@ -36,18 +37,20 @@ class AccumulatorWidthSpec extends AnyFunSuite with SparkTestBase {
       sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
     }
     assert(syy > BigInt(Long.MaxValue), "test must exceed Long range")
-    val (nd, sxd, syd) = (n.toDouble, sx.toDouble, sy.toDouble)
-    val (sxyd, sxxd, syyd) = (sxy.toDouble, sxx.toDouble, syy.toDouble)
-    val slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
-    val intercept = (syd - slope * sxd) / nd
-    val r2 = slope * ((nd * sxyd - sxd * syd) / (nd * syyd - syd * syd))
+    val bn = BigInt(n)
+    val a = bn * sxy - sx * sy
+    val b = bn * sxx - sx * sx
+    val c = bn * syy - sy * sy
+    val slopeMicro = (a * 1000000) / b
+    val interceptMicro = (sy * 1000000 - slopeMicro * sx) / bn
+    val r2Ppb = ((a / bn) * (a / bn) / (b / bn) * 1000000000) / (c / bn)
     assert(row.getLong(0) == n)
-    assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
-      java.lang.Double.doubleToLongBits(slope), s"slope ${row.getDouble(1)} != $slope")
-    assert(java.lang.Double.doubleToLongBits(row.getDouble(2)) ==
-      java.lang.Double.doubleToLongBits(intercept))
-    assert(java.lang.Double.doubleToLongBits(row.getDouble(3)) ==
-      java.lang.Double.doubleToLongBits(r2), s"r2 ${row.getDouble(3)} != $r2")
+    assert(row.getLong(1) == slopeMicro.toLong,
+      s"slope_micro ${row.getLong(1)} != $slopeMicro")
+    assert(row.getLong(2) == interceptMicro.toLong,
+      s"intercept ${row.getLong(2)} != $interceptMicro")
+    assert(row.getLong(3) == r2Ppb.toLong,
+      s"r2_ppb ${row.getLong(3)} != $r2Ppb")
   }
 
   test("sim-join pair-volume gate stays exact past Long.Max and handles empty input") {
