@@ -1071,6 +1071,29 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Hive-style partitioned layout + partition-PRUNED scan — the
+    * first line of defense at 100 TB: orders written
+    * `partitionBy(o_orderpriority)` (one directory per value), then
+    * a query filtering on the partition column reads ONLY that
+    * directory — the filter resolves against file PATHS at planning
+    * time (`PartitionFilters` in the scan, asserted in QueriesSpec),
+    * so 4/5 of the data is never opened, not even for footer reads.
+    * Complements q_zorder_layout (intra-file skipping) and
+    * q_bucketed_join (co-located joins); the oracle aggregates the
+    * unpartitioned table with the same predicate, so the hash-match
+    * also proves the partitioned write+read round-trip. */
+  def qPartitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.orders(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(dec) * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Bucketed large-large join — THE repeated-join strategy at
     * 100 TB: both fact tables are written bucketed (8 buckets) AND
     * sorted on the join key, so the join AND the per-order aggregate
@@ -2545,6 +2568,7 @@ object Queries {
     "q_source_csv" -> (qSourceCsv _),
     "q_source_orc" -> (qSourceOrc _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_partitioned_scan" -> (qPartitionedScan _),
     "q_source_cfs" -> (qSourceCfs _),
     "q_quantile_global" -> (qQuantileGlobal _),
     "q_gapfill" -> (qGapFill _),
@@ -3296,6 +3320,14 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // partition layout is IO-elision only — the oracle filters the
+    // unpartitioned table (also proves the partitioned round-trip)
+    "q_partitioned_scan" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the bucketed layout is exchange-elision only — the oracle is
     // the same join+agg on the raw parquet (also proves the bucketed

@@ -76,6 +76,20 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
   }
 
+  test("partitioned scan prunes to one directory via PartitionFilters") {
+    val df = Queries.qPartitionedScan(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("Scan parquet"))
+      .getOrElse(fail("no parquet scan in plan"))
+    // the equality must resolve against partition directories at
+    // planning time, not as a per-row data filter
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters", "").contains("1-URGENT"),
+      s"partition filter not pushed to the directory level:\n$scan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+  }
+
   test("bucketed join+agg on the bucket key plans with zero hash exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
