@@ -45,6 +45,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins every micro-batch against the dimension") {
+    // the most common streaming join at scale: the static dim is
+    // broadcast once and re-probed per micro-batch — no stream-side
+    // state, no watermark needed, unmatched rows drop (inner)
+    val input = Files.createTempDirectory("enrich-in").toString
+    val dim = Seq((0L, "gold"), (1L, "silver"), (2L, "bronze")).toDF("k", "tier")
+    val b1 = Seq((100L, 0L), (101L, 1L), (102L, 9L)).toDF("event_id", "k")
+    b1.coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema(b1.schema).parquet(input)
+    val q = stream.join(broadcast(dim), Seq("k"))
+      .writeStream.format("memory").queryName("enriched_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("enriched_test")
+        .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+      // k=9 has no dim row: dropped, not nulled
+      assert(after1 == Map(100L -> "gold", 101L -> "silver"))
+      // the broadcast re-probes on the NEXT batch too
+      Seq((103L, 2L)).toDF("event_id", "k")
+        .coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      val after2 = spark.table("enriched_test").collect()
+        .map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(after2 == Map(100L -> "gold", 101L -> "silver", 103L -> "bronze"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window repeats across micro-batches") {
     val input = Files.createTempDirectory("dedup-in").toString
     val hourNs = 3600L * 1000 * 1000 * 1000
