@@ -1094,6 +1094,33 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Schema evolution via mergeSchema — the append-only table whose
+    * writer gained a column mid-life (every real warehouse table):
+    * an early batch lands WITHOUT `o_orderpriority`, a later batch
+    * WITH it, and a `mergeSchema` read reconciles the footers —
+    * early rows surface NULL for the added column, and the aggregate
+    * groups them under the NULL key. The oracle synthesizes the same
+    * evolution with a CASE over the unpartitioned table, so the
+    * hash-match proves both the merged read and the null-group
+    * semantics. */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+    val cut = "1998-01-01"
+    o.filter(col("o_orderdate") < lit(cut))
+      .select(col("o_orderkey"), col("cents"))
+      .write.mode("append").parquet(tmp)
+    o.filter(col("o_orderdate") >= lit(cut))
+      .select(col("o_orderkey"), col("cents"), col("o_orderpriority"))
+      .write.mode("append").parquet(tmp)
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderpriority").asc_nulls_first)
+  }
+
   /** Bucketed large-large join — THE repeated-join strategy at
     * 100 TB: both fact tables are written bucketed (8 buckets) AND
     * sorted on the join key, so the join AND the per-order aggregate
@@ -2569,6 +2596,7 @@ object Queries {
     "q_source_orc" -> (qSourceOrc _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_partitioned_scan" -> (qPartitionedScan _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_source_cfs" -> (qSourceCfs _),
     "q_quantile_global" -> (qQuantileGlobal _),
     "q_gapfill" -> (qGapFill _),
@@ -3320,6 +3348,16 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the oracle synthesizes the writer's schema evolution with a
+    // CASE: early rows (pre-cut) never carried the column
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderdate < DATE '1998-01-01' THEN NULL
+        |    ELSE o_orderpriority END AS o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
 
     // partition layout is IO-elision only — the oracle filters the
     // unpartitioned table (also proves the partitioned round-trip)
