@@ -1029,6 +1029,32 @@ object Queries {
         element_at(col("qs"), 1).as("min_q"))
       .orderBy(col("l_orderkey"))
 
+  /** Map-typed function family (map_from_entries / map_filter /
+    * transform_values / map_entries): per-user event-type count map
+    * built from an aggregate, filtered to repeated types, values
+    * rescaled, then EXPLODED back to rows so the output schema is
+    * dtype-trivial for the oracle (which computes the equivalent
+    * relational form — a HAVING + projection — without ever building
+    * a map: semantic equivalence is exactly the point). Lambdas are
+    * all-integer. Map HOFs evaluate interpreted (not codegen) — fine
+    * here where the maps are per-user event-type sized; keep them
+    * off billion-row hot paths (the repo's expression-cost rule). */
+  def qMapFns(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+    m.select(col("user_id"),
+        explode(expr(
+          "map_entries(transform_values(map_filter(m, (k, v) -> v >= 2)," +
+            " (k, v) -> v * 10))")).as("e"))
+      .select(col("user_id"), col("e.key").as("event_type"),
+        col("e.value").as("n_x10"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Exact global quantiles (median, p95) of lineitem extendedprice
     * WITHOUT a global sort — histogram refinement narrows to the
     * rank's bucket in one counting aggregation per pass
@@ -2631,6 +2657,7 @@ object Queries {
     "q_lateral_topk" -> (qLateralTopk _),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
+    "q_map_fns" -> (qMapFns _),
     "q_source_json" -> (qSourceJson _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
@@ -3312,6 +3339,16 @@ object Queries {
         |  CAST(list_aggregate(list_transform(qs, x -> x * 2), 'sum') AS BIGINT) AS dbl_sum,
         |  qs[1] AS min_q
         |FROM a ORDER BY l_orderkey""".stripMargin,
+
+    // the relational equivalent of the map build/filter/rescale —
+    // the oracle never constructs a map, which is the point
+    "q_map_fns" ->
+      """SELECT user_id, event_type,
+        |  CAST(COUNT(*) * 10 AS BIGINT) AS n_x10
+        |FROM events
+        |GROUP BY user_id, event_type
+        |HAVING COUNT(*) >= 2
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // the rank-k element VALUE is unique regardless of tie order, so
     // ROW_NUMBER's arbitrary tie-break is safe; ceil(q*n) mirrors the
