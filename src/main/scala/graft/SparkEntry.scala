@@ -1055,6 +1055,77 @@ object Queries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Exact distinct counting through BITMAP aggregation — the
+    * dense-id pattern that replaces COUNT(DISTINCT) at 100 TB: each
+    * (group, 32k-id-bucket) accumulates a fixed ≤4 KB bitmap
+    * map-side (bitmap_construct_agg is a partial-merge aggregate,
+    * so executors OR bitmaps instead of exchanging raw keys) and
+    * distinct = Σ bitmap_count over buckets. The shuffle moves
+    * bounded bitmap rows — |groups|·|buckets| of them — not one row
+    * per (group, key) pair, and the stored bitmaps re-aggregate
+    * under rollups the way the MV keeps sum/count partials. Oracle:
+    * plain COUNT(DISTINCT). */
+  def qBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"),
+        expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_customers"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Semi-structured VARIANT path — Spark 4's parse-once binary
+    * JSON: props parses to VARIANT, variant_get extracts a typed
+    * field from the binary encoding (no re-parse per path — at scale
+    * the JSON parse is paid once per row however many fields the
+    * query touches, where chained get_json_object re-parses per
+    * extraction). Filter + aggregate on the extracted value; the
+    * oracle extracts the same path with JSON operators. */
+  def qVariantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .filter(col("k") % 7 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** XML codec round-trip — from_xml parses an XML fragment column
+    * into a typed struct (the third inline codec on the board after
+    * JSON and Avro). The fragment is built from supplier columns
+    * with format_string, parsed back, and re-emitted flat; the
+    * oracle selects the source columns directly, so the hash-match
+    * proves the parse is lossless for longs and strings. */
+  def qXmlRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"),
+        format_string("<s><k>%d</k><n>%s</n><nk>%d</nk></s>",
+          col("s_suppkey"), col("s_name"), col("s_nationkey")).as("x"))
+      .select(col("s_suppkey"),
+        expr("from_xml(x, 'k BIGINT, n STRING, nk BIGINT')").as("p"))
+      .select(col("s_suppkey"), col("p.k").as("k"),
+        col("p.n").as("s_name"), col("p.nk").as("s_nationkey"))
+      .orderBy(col("s_suppkey"))
+
+  /** Error-safe arithmetic battery — Spark 4 runs ANSI mode ON, so
+    * overflow / division-by-zero ABORTS the job unless the try_
+    * family absorbs it; at 100 TB "one poisoned row kills the run"
+    * is operationally unacceptable, so curation pipelines spell
+    * try_*. Every column mixes null and non-null outcomes over the
+    * live key range (overflow past Long.Max, mod/divide by a zero
+    * divisor); the oracle spells identical semantics with CASE
+    * guards over HUGEINT intermediates (DuckDB has no try_
+    * arithmetic — the guard itself is the semantics). */
+  def qTryFns(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("try_add(9223372036854775807L - 1000L, o_orderkey)").as("t_add"),
+        expr("try_multiply(o_orderkey, 1000000000000000L)").as("t_mul"),
+        expr("try_mod(o_orderkey, o_custkey % 5)").as("t_mod"),
+        expr("try_divide(o_orderkey, o_custkey % 5)").as("t_div"))
+      .orderBy(col("o_orderkey"))
+
   /** Exact global quantiles (median, p95) of lineitem extendedprice
     * WITHOUT a global sort — histogram refinement narrows to the
     * rank's bucket in one counting aggregation per pass
@@ -2658,6 +2729,10 @@ object Queries {
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
     "q_map_fns" -> (qMapFns _),
+    "q_bitmap_distinct" -> (qBitmapDistinct _),
+    "q_variant_extract" -> (qVariantExtract _),
+    "q_xml_roundtrip" -> (qXmlRoundtrip _),
+    "q_try_fns" -> (qTryFns _),
     "q_source_json" -> (qSourceJson _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
@@ -3349,6 +3424,46 @@ object Queries {
         |GROUP BY user_id, event_type
         |HAVING COUNT(*) >= 2
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // the bitmap two-level aggregation is exchange-shape only — the
+    // oracle is the plain distinct count it replaces
+    "q_bitmap_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // same path extraction through DuckDB's JSON operators; SUM over
+    // BIGINT is HUGEINT in DuckDB, so cast back (oracle-parity rule)
+    "q_variant_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events
+        |WHERE CAST(props->>'$.k' AS BIGINT) % 7 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the XML fragment is built from and parsed back to these exact
+    // columns — the oracle selects them directly
+    "q_xml_roundtrip" ->
+      """SELECT s_suppkey, s_suppkey AS k, s_name, s_nationkey
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // CASE guards spell try_* semantics; arithmetic runs in HUGEINT
+    // so the unguarded lanes cannot themselves overflow in the
+    // oracle engine, and the guarded cast back to BIGINT always fits
+    "q_try_fns" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey <= 1000 THEN
+        |    CAST(CAST(9223372036854775807 AS HUGEINT) - 1000 + o_orderkey AS BIGINT)
+        |  END AS t_add,
+        |  CASE WHEN o_orderkey <= 9223 THEN
+        |    CAST(CAST(o_orderkey AS HUGEINT) * 1000000000000000 AS BIGINT)
+        |  END AS t_mul,
+        |  CASE WHEN o_custkey % 5 <> 0 THEN o_orderkey % (o_custkey % 5)
+        |  END AS t_mod,
+        |  CASE WHEN o_custkey % 5 <> 0 THEN
+        |    CAST(o_orderkey AS DOUBLE) / CAST(o_custkey % 5 AS DOUBLE)
+        |  END AS t_div
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // the rank-k element VALUE is unique regardless of tie order, so
     // ROW_NUMBER's arbitrary tie-break is safe; ceil(q*n) mirrors the
