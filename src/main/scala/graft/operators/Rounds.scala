@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Round persistence for iterative fixpoint operators (k-core peel,
+  * star-contraction connected components): each round eagerly
+  * truncates lineage and materializes — without truncation the
+  * logical plan is k^rounds nodes and the DRIVER dies before any
+  * executor works — and hands back a release thunk that frees the
+  * round's storage the moment the next round lands.
+  *
+  * Why a thunk instead of `Dataset.unpersist`: `localCheckpoint`
+  * never registers the result with the cache manager, so
+  * `Dataset.unpersist()` on it is a silent NO-OP — the blocks belong
+  * to the underlying checkpointed RDD and only
+  * `rdd.unpersist` releases them. Left alone they linger until the
+  * ContextCleaner happens to GC the RDD reference; a 50-round peel at
+  * 100 TB would meanwhile hold ~50 edge-set copies of block storage.
+  *
+  * The thunk deliberately destroys the round (a locally-checkpointed
+  * RDD's blocks ARE its only copy) — call it only once nothing will
+  * read that round again. Final-round results returned to callers are
+  * never released here; their storage is reclaimed by the
+  * ContextCleaner once the caller drops the reference (GC-driven by
+  * design — `spark.catalog.clearCache()` cannot see them either). */
+private[graft] object Rounds {
+
+  /** Truncate + materialize one round. `reliable` routes through a
+    * durable `checkpoint` (pre-set checkpoint dir required) whose
+    * files survive executor loss; the release thunk is then a no-op
+    * (file cleanup is the checkpoint manager's job, and replayability
+    * is the point of paying for reliability). */
+  def persist(df: DataFrame, reliable: Boolean): (DataFrame, () => Unit) =
+    if (reliable) (df.checkpoint(true), () => ())
+    else {
+      val out = df.localCheckpoint(true)
+      val release: () => Unit = out.queryExecution.analyzed match {
+        case lr: LogicalRDD => () => { lr.rdd.unpersist(blocking = false); () }
+        case _              => () => ()
+      }
+      (out, release)
+    }
+}

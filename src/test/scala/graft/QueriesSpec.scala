@@ -103,8 +103,9 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       assert(df.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_li")
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_o")
+      val sfx = java.lang.ProcessHandle.current.pid
+      spark.sql(s"DROP TABLE IF EXISTS graft_bkt_li_$sfx")
+      spark.sql(s"DROP TABLE IF EXISTS graft_bkt_o_$sfx")
     }
   }
 
