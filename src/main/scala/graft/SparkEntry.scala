@@ -1557,18 +1557,25 @@ object Queries {
         expr("""CAST((sy * 1000000 - CAST((a * 1000000) div b AS DECIMAL(38,0)) * sx)
             div n AS BIGINT)""").as("intercept_micro_cents"),
         // r² in ppb via n²-normalized terms: every div quotient is an
-        // INTENSIVE statistic (a·10³ div n² ≈ cov·10³, b·10⁶ div n² ≈
-        // var(x)·10⁶, c div n² ≈ var(y)) — scale-free, so IntegralDivide's
+        // INTENSIVE statistic — scale-free, so IntegralDivide's
         // BIGINT result fits at ANY sf (dividing by n, not n², leaves
         // n·var(y) ≈ n·10¹³ in the quotient, which overflows BIGINT
-        // past n ≈ 9·10⁵ ≈ sf 0.15). The 10³/10⁶ pre-scalers keep
-        // truncation ≪ 1 ppb; they cancel exactly in the ratio
-        // (cov·10³)² / (var(x)·10⁶ · var(y)) = cov²/(varx·vary).
-        // Each div truncates identically in both engines.
-        expr("""CAST((CAST(CAST((a * 1000) div (n * n) AS DECIMAL(38,0)) *
-                CAST((a * 1000) div (n * n) AS DECIMAL(38,0)) AS DECIMAL(38,0)) * 1000000000)
+        // past n ≈ 9·10⁵ ≈ sf 0.15). EVERY term is pre-scaled — a·10⁶
+        // (cov·10⁶), b·10⁶ (var(x)·10⁶), c·10⁵ (var(y)·10⁵) — sized so
+        // worst-case truncation stays under 1 ppb (the unscaled c of
+        // the previous revision truncated a var(y)-sized quotient for
+        // up to ~12 ppm error; AccumulatorWidthSpec caught the +6.5 ppb
+        // drift): rel-err per term ≤ 1/(stat·scaler) ≤ 1e-8 for any
+        // cents-scale variance, while the largest quotient, var(y)·10⁵
+        // ≤ 2.5e18 for vary ≤ 2.5e13 (squared max-price cents), stays
+        // inside BIGINT. Scalers cancel in the final ratio:
+        // (cov·10⁶)²·10⁸ / (varx·10⁶ · vary·10⁵) = r²·10⁹; numerator
+        // ≤ (1.6e14)²·10⁸ = 2.6e36 < 10³⁸. Each div truncates toward
+        // zero identically in both engines.
+        expr("""CAST((CAST(CAST((a * 1000000) div (n * n) AS DECIMAL(38,0)) *
+                CAST((a * 1000000) div (n * n) AS DECIMAL(38,0)) AS DECIMAL(38,0)) * 100000000)
             div (CAST((b * 1000000) div (n * n) AS DECIMAL(38,0)) *
-                CAST(c div (n * n) AS DECIMAL(38,0))) AS BIGINT)""").as("r2_ppb"))
+                CAST((c * 100000) div (n * n) AS DECIMAL(38,0))) AS BIGINT)""").as("r2_ppb"))
   }
 
   /** Regex + string function battery (dialect-portable subset):
@@ -1857,8 +1864,14 @@ object Queries {
       // integer ranking (the q_regression precedent): ppb quotient is
       // ≤ 10⁹ (num_target ≤ den_raw), so IntegralDivide's BIGINT
       // result can never overflow — the decimal(38,0) product keeps
-      // 29 digits of headroom above the 10⁹ scale factor
-      .select(col("doc_id"), col("num_target"), col("den_raw"),
+      // 29 digits of headroom above the 10⁹ scale factor. The wide
+      // decimals stay INTERNAL: both emitted diagnostics are bounded
+      // by total bigram occurrences (BIGINT-safe to ~9·10¹⁸), so they
+      // leave the plan as BIGINT — DECIMAL(38,0) output columns render
+      // differently across engines at the driver's hash layer.
+      .select(col("doc_id"),
+        col("num_target").cast("long").as("num_target"),
+        col("den_raw").cast("long").as("den_raw"),
         expr("CAST((num_target * 1000000000) div den_raw AS BIGINT)")
           .as("weight_ppb"))
       .orderBy(col("weight_ppb").desc, col("doc_id"))
@@ -3763,8 +3776,8 @@ object Queries {
         |  CAST((a * 1000000) // b AS BIGINT) AS slope_micro,
         |  CAST((sy * 1000000 - ((a * 1000000) // b) * sx) // n AS BIGINT)
         |    AS intercept_micro_cents,
-        |  CAST((((a * 1000) // (n * n)) * ((a * 1000) // (n * n)) * 1000000000)
-        |    // (((b * 1000000) // (n * n)) * (c // (n * n)))
+        |  CAST((((a * 1000000) // (n * n)) * ((a * 1000000) // (n * n)) * 100000000)
+        |    // (((b * 1000000) // (n * n)) * ((c * 100000) // (n * n)))
         |    AS BIGINT) AS r2_ppb
         |FROM s""".stripMargin,
 
@@ -3932,7 +3945,9 @@ object Queries {
         |    CAST(SUM(cr.cr) AS DECIMAL(38,0)) AS den_raw
         |  FROM bg JOIN cr USING (bg) LEFT JOIN ct USING (bg)
         |  GROUP BY doc_id)
-        |SELECT doc_id, num_target, den_raw,
+        |SELECT doc_id,
+        |  CAST(num_target AS BIGINT) AS num_target,
+        |  CAST(den_raw AS BIGINT) AS den_raw,
         |  CAST(CAST(num_target AS HUGEINT) * 1000000000
         |    // CAST(den_raw AS HUGEINT) AS BIGINT) AS weight_ppb
         |FROM scored

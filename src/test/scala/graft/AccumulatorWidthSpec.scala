@@ -43,7 +43,13 @@ class AccumulatorWidthSpec extends AnyFunSuite with SparkTestBase {
     val c = bn * syy - sy * sy
     val slopeMicro = (a * 1000000) / b
     val interceptMicro = (sy * 1000000 - slopeMicro * sx) / bn
-    val r2Ppb = ((a / bn) * (a / bn) / (b / bn) * 1000000000) / (c / bn)
+    // r² referee is the EXACT rational floor ⌊a²·10⁹/(b·c)⌋ — no
+    // intermediate truncation at all, so this asserts the query's
+    // pre-scaled n²-normalized chain (whose worst-case truncation is
+    // sized < 1 ppb) lands on the true value, not merely on a chain
+    // that mirrors the query's own roundoff. On this data the exact
+    // value is 2499002.499… ppb ⇒ floor 2499002.
+    val r2Ppb = (a * a * 1000000000) / (b * c)
     assert(row.getLong(0) == n)
     assert(row.getLong(1) == slopeMicro.toLong,
       s"slope_micro ${row.getLong(1)} != $slopeMicro")
