@@ -427,6 +427,9 @@ object Dedup {
 
     val longKeys = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
+    // set by the star-contraction branch to the FINAL round's release
+    // thunk; called only after `out` below has materialized from it
+    var releaseFinal: () => Unit = () => ()
     val labels: DataFrame =
       if (longKeys && edges.count() <= driverEdgeLimit) {
         val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -479,11 +482,18 @@ object Dedup {
         }
         var iters = 0
         var converged = isStarForest(edges)
+        // round 0 is the plain .cache() above — Dataset.unpersist works
+        // there; every later round is checkpointed, so its blocks are
+        // freed via the Rounds release thunk once the next round lands
+        var release: () => Unit = { val r0 = edges; () => { r0.unpersist(); () } }
         while (!converged && iters < maxIters) {
-          val prev = edges
-          edges = persistRound(smallStar(largeStar(edges)))
-          prev.unpersist()
+          val (next, nextRelease) =
+            Rounds.persist(smallStar(largeStar(edges)),
+              reliableCheckpointDir.isDefined)
+          edges = next
           converged = isStarForest(edges)
+          release()
+          release = nextRelease
           iters += 1
         }
         if (!converged)
@@ -491,6 +501,7 @@ object Dedup {
             s"connectedComponents did not converge in $maxIters star-contraction " +
               "rounds: the pair graph is pathologically large or adversarial; " +
               "raise maxIters (rounds needed is O(log² n), ~5 in practice)")
+        releaseFinal = release
         edges.select(col("hi").as("node"), col("lo").as("label"))
           .unionByName(edges.select(col("lo").as("node"), col("lo").as("label")))
           .distinct()
@@ -501,7 +512,8 @@ object Dedup {
     // pipeline when the caller first acts on the result.
     val out = persistRound(nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label")))
-    edges.unpersist()
+    releaseFinal() // star path: free the final round's checkpointed blocks
+    edges.unpersist() // union-find path: edges is the plain .cache() above
     p.unpersist()
     out
   }

@@ -190,12 +190,13 @@ object Graph {
     require(k >= 1, "k must be positive")
     reliableCheckpointDir.foreach(
       edges.sparkSession.sparkContext.setCheckpointDir)
-    // localCheckpoint truncates lineage AND materializes (eager), so
-    // the count() below reads the stored blocks, not a recompute
-    def persistRound(df: DataFrame): DataFrame =
-      if (reliableCheckpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
-    var cur = persistRound(edges.select(col("u"), col("v")))
+    // Rounds.persist truncates lineage AND materializes (eager), so
+    // the count() below reads the stored blocks, not a recompute; the
+    // release thunk frees a round's blocks the moment the next round
+    // lands (Dataset.unpersist is a silent no-op on checkpointed data)
+    def persistRound(df: DataFrame): (DataFrame, () => Unit) =
+      Rounds.persist(df, reliableCheckpointDir.isDefined)
+    var (cur, curRelease) = persistRound(edges.select(col("u"), col("v")))
     var prevCount = cur.count()
     var rounds = 0
     var converged = false
@@ -203,13 +204,14 @@ object Graph {
       val deg = cur.select(F.explode(F.array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      val next = persistRound(cur
+      val (next, nextRelease) = persistRound(cur
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")))
       val nextCount = next.count()
-      cur.unpersist()
+      curRelease()
       cur = next
+      curRelease = nextRelease
       converged = nextCount == prevCount
       prevCount = nextCount
       rounds += 1

@@ -220,6 +220,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cc.forall(_._2 == 0L))
   }
 
+  test("connected components: star-contraction rounds release their checkpoint blocks") {
+    // each contraction round is locally checkpointed; the release
+    // thunks must free every round once the next lands — only the
+    // materialized OUTPUT may stay registered with the block manager
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIters = 10,
+        driverEdgeLimit = 0)
+    cc.count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"${leaked.size} persisted RDDs survive star contraction " +
+        "(expected at most the materialized output); round releases are not firing")
+  }
+
   test("connected components: non-convergence throws instead of returning split labels") {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {

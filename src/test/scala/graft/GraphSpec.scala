@@ -104,6 +104,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(convergedDefault && fix.count() == 0)
   }
 
+  test("k-core intermediate rounds release their checkpoint blocks") {
+    // Dataset.unpersist is a silent no-op on locally-checkpointed
+    // rounds; Rounds.persist's release thunk frees them via the
+    // underlying RDD. A 16-round peel must therefore leave at most the
+    // FINAL round registered with the block manager — not one RDD per
+    // round (~rounds× edge-set copies of storage at cluster scale).
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val path = (0L until 29L).map(i => (i, i + 1))
+    val (res, converged, rounds) =
+      Graph.kcorePeelWithStatus(edgeDf(path), 2, maxRounds = 0)
+    assert(converged && rounds >= 14, s"expected a long cascade, got $rounds")
+    res.count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"${leaked.size} persisted RDDs survive a $rounds-round peel " +
+        "(expected at most the final round); round releases are not firing")
+  }
+
   test("triangle-free graph yields no rows") {
     val star = (1L to 10L).map(x => (0L, x))
     assert(Graph.triangleCounts(edgeDf(star), denseMaxNodes = 1000).count() == 0)
