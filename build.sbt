@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run inherits sbt's stdout/stderr directly: Bench/Verify print
+// machine-readable JSON lines that downstream tooling parses per-line —
+// the default LoggedOutput strategy prefixes every line with "[info] ",
+// which breaks any strict JSON parse of the output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the trailing "[success] Total time..." line would land AFTER
+// the final JSON metric line, so suppress it for the same reason.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

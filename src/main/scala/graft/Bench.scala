@@ -138,8 +138,23 @@ object Bench {
         probeTimes += probePoint(spark)
         r
       }
-    val best = twoPassBest.map { case (n, v) =>
+    val prelim = twoPassBest.map { case (n, v) =>
       n -> requeried.get(n).filter(_ >= 0).map(math.min(v, _)).getOrElse(v)
+    }
+    // Per-query variance for the top-3 cost centers: they dominate the
+    // total and are where a roaming stall distorts the round-over-round
+    // signal most (pagerank read 3.2-3.5 s for two rounds while
+    // re-times said 1.7-2.2). Run each a THIRD measured time and emit
+    // every observation — spread across the runs exposes a stall that
+    // landed on the same query in both passes; the extra run also
+    // tightens the reported min.
+    val top3 = prelim.filter(_._2 >= 0).sortBy(-_._2).take(3).map(_._1)
+    val top3Extra: Map[String, Double] = top3.map(n => n -> run(n)).toMap
+    val top3Obs: Map[String, Seq[Double]] = top3.map { n =>
+      n -> (passes.map(_(n)) ++ requeried.get(n) :+ top3Extra(n)).filter(_ >= 0)
+    }.toMap
+    val best = prelim.map { case (n, v) =>
+      n -> top3Extra.get(n).filter(_ >= 0).map(math.min(v, _)).getOrElse(v)
     }
     // The harness retains only the last ~2000 chars of stdout. Two
     // lines, cheap-to-expensive ordering everywhere:
@@ -171,7 +186,10 @@ object Bench {
     val bestMap = best.toMap
     val reqJson = suspects.map(n => "\"" + n + "\":" + jnum(bestMap(n)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$top30,"queries_shown":${math.min(30, names.size)},"n_queries":${names.size},"requeried":$reqJson,"pass_totals":$passTotals,"noisy_host":$noisy,"probe_ref_sec":$ProbeRefSec,"probe_times":$probeJson,"contended_window":$contended,"sf":"$sfDir"}""")
+    val top3Json = top3.map { n =>
+      "\"" + n + "\":" + top3Obs(n).map(jnum).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$top30,"queries_shown":${math.min(30, names.size)},"n_queries":${names.size},"requeried":$reqJson,"top3_runs":$top3Json,"pass_totals":$passTotals,"noisy_host":$noisy,"probe_ref_sec":$ProbeRefSec,"probe_times":$probeJson,"contended_window":$contended,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
