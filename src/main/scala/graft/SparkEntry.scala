@@ -1560,22 +1560,24 @@ object Queries {
         // INTENSIVE statistic — scale-free, so IntegralDivide's
         // BIGINT result fits at ANY sf (dividing by n, not n², leaves
         // n·var(y) ≈ n·10¹³ in the quotient, which overflows BIGINT
-        // past n ≈ 9·10⁵ ≈ sf 0.15). EVERY term is pre-scaled — a·10⁶
-        // (cov·10⁶), b·10⁶ (var(x)·10⁶), c·10⁵ (var(y)·10⁵) — sized so
-        // worst-case truncation stays under 1 ppb (the unscaled c of
-        // the previous revision truncated a var(y)-sized quotient for
-        // up to ~12 ppm error; AccumulatorWidthSpec caught the +6.5 ppb
-        // drift): rel-err per term ≤ 1/(stat·scaler) ≤ 1e-8 for any
-        // cents-scale variance, while the largest quotient, var(y)·10⁵
-        // ≤ 2.5e18 for vary ≤ 2.5e13 (squared max-price cents), stays
-        // inside BIGINT. Scalers cancel in the final ratio:
-        // (cov·10⁶)²·10⁸ / (varx·10⁶ · vary·10⁵) = r²·10⁹; numerator
-        // ≤ (1.6e14)²·10⁸ = 2.6e36 < 10³⁸. Each div truncates toward
-        // zero identically in both engines.
-        expr("""CAST((CAST(CAST((a * 1000000) div (n * n) AS DECIMAL(38,0)) *
-                CAST((a * 1000000) div (n * n) AS DECIMAL(38,0)) AS DECIMAL(38,0)) * 100000000)
-            div (CAST((b * 1000000) div (n * n) AS DECIMAL(38,0)) *
-                CAST((c * 100000) div (n * n) AS DECIMAL(38,0))) AS BIGINT)""").as("r2_ppb"))
+        // past n ≈ 9·10⁵ ≈ sf 0.15). EVERY term is pre-scaled — a·10⁹
+        // (cov·10⁹), b·10⁸ (var(x)·10⁸), c·3·10⁴ (var(y)·3·10⁴) — and
+        // the scalers cancel exactly: (10⁹)²·3000/(10⁸·3·10⁴) = 10⁹.
+        // Sizing (AccumulatorWidthSpec's randomized referee drove it:
+        // the first revision left c unscaled, ~12 ppm; the second
+        // under-scaled b at 10⁶, ~5 ppb at r²→1): worst-case relative
+        // truncation for the lineitem family (varx ≥ 2·10², vary ≥
+        // 8·10⁴ cents²) is εb ≤ 1/(varx·10⁸) ≈ 5e-11 and εc ≤
+        // 1/(vary·3·10⁴) ≈ 4e-10 ⇒ < 1 ppb of the emitted value even
+        // at r² = 1. Widths hold to n ≈ 6·10⁹ (≈100 TB of lineitem):
+        // a·10⁹ ≤ 5e36, c·3·10⁴ ≤ 3e37 < 10³⁸; quotients cov·10⁹ ≤
+        // 1.3e17, vary·3·10⁴ ≤ 9e17 < Long.Max; numerator A1²·3000 ≤
+        // 5e37 < 10³⁸. Each div truncates toward zero identically in
+        // both engines.
+        expr("""CAST((CAST(CAST((a * 1000000000) div (n * n) AS DECIMAL(38,0)) *
+                CAST((a * 1000000000) div (n * n) AS DECIMAL(38,0)) AS DECIMAL(38,0)) * 3000)
+            div (CAST((b * 100000000) div (n * n) AS DECIMAL(38,0)) *
+                CAST((c * 30000) div (n * n) AS DECIMAL(38,0))) AS BIGINT)""").as("r2_ppb"))
   }
 
   /** Regex + string function battery (dialect-portable subset):
@@ -3776,8 +3778,8 @@ object Queries {
         |  CAST((a * 1000000) // b AS BIGINT) AS slope_micro,
         |  CAST((sy * 1000000 - ((a * 1000000) // b) * sx) // n AS BIGINT)
         |    AS intercept_micro_cents,
-        |  CAST((((a * 1000000) // (n * n)) * ((a * 1000000) // (n * n)) * 100000000)
-        |    // (((b * 1000000) // (n * n)) * ((c * 100000) // (n * n)))
+        |  CAST((((a * 1000000000) // (n * n)) * ((a * 1000000000) // (n * n)) * 3000)
+        |    // (((b * 100000000) // (n * n)) * ((c * 30000) // (n * n)))
         |    AS BIGINT) AS r2_ppb
         |FROM s""".stripMargin,
 

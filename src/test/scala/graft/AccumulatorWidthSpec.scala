@@ -59,6 +59,49 @@ class AccumulatorWidthSpec extends AnyFunSuite with SparkTestBase {
       s"r2_ppb ${row.getLong(3)} != $r2Ppb")
   }
 
+  test("r2 chain lands on the exact rational floor across randomized datasets") {
+    // The r2 derivation has regressed twice (r7: BIGINT-quotient wrap;
+    // r8: an unscaled var(y)-sized truncation, +6.5 ppb) — both times
+    // with the mirrored oracle green, because engine parity cannot see
+    // shared roundoff. This property test is the independent referee
+    // across data shapes: for each seeded dataset, the query's
+    // pre-scaled integer chain must land within 1 of
+    // ⌊a²·10⁹/(b·c)⌋ computed in exact BigInt rationals (the chain's
+    // truncation budget is < 1 ppb, so only an exact value within
+    // 1 ppb of an integer boundary may floor one unit differently).
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      val n = 5000 + rng.nextInt(20000)
+      // quantities 1..50 like lineitem; prices span cents magnitudes
+      // from 10³ to 10⁷ with a quantity-correlated component so r²
+      // sweeps from near-0 to substantial across trials
+      val slope = rng.nextInt(200000)
+      val base = 1000 + rng.nextInt(9999000)
+      val noise = 1 + rng.nextInt(2000000)
+      val rows = (0 until n).map { _ =>
+        val x = 1 + rng.nextInt(50)
+        val y = base.toLong + slope.toLong * x + rng.nextInt(noise)
+        (x.toDouble, y / 100.0)
+      }
+      val tmp = Files.createTempDirectory(s"graft-r2-$trial").toString
+      import spark.implicits._
+      rows.toDF("l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      val got = Queries.qRegression(spark, tmp).head().getLong(3)
+      var (sx, sy, sxy, sxx, syy) =
+        (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+      rows.foreach { case (xd, yd) =>
+        val x = BigInt(xd.toLong); val y = BigInt(math.round(yd * 100))
+        sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+      }
+      val bn = BigInt(n)
+      val (a, b, c) = (bn * sxy - sx * sy, bn * sxx - sx * sx, bn * syy - sy * sy)
+      val exact = (a * a * 1000000000) / (b * c)
+      assert((BigInt(got) - exact).abs <= 1,
+        s"trial $trial (n=$n slope=$slope): r2_ppb $got vs exact $exact")
+    }
+  }
+
   test("sim-join pair-volume gate stays exact past Long.Max and handles empty input") {
     import spark.implicits._
     // one hot token across 3.1e9 docs: its df² alone exceeds Long.Max
