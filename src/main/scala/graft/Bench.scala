@@ -149,7 +149,18 @@ object Bench {
     // landed on the same query in both passes; the extra run also
     // tightens the reported min.
     val top3 = prelim.filter(_._2 >= 0).sortBy(-_._2).take(3).map(_._1)
-    val top3Extra: Map[String, Double] = top3.map(n => n -> run(n)).toMap
+    // Probe-bracketed like the passes and the requeried run: a contended
+    // window landing exactly on the third run must show in probe_times,
+    // or the emitted top3_runs spread could be stall-inflated without the
+    // self-certification flag.
+    val top3Extra: Map[String, Double] =
+      if (top3.isEmpty) Map.empty
+      else {
+        probeTimes += probePoint(spark)
+        val r = top3.map(n => n -> run(n)).toMap
+        probeTimes += probePoint(spark)
+        r
+      }
     val top3Obs: Map[String, Seq[Double]] = top3.map { n =>
       n -> (passes.map(_(n)) ++ requeried.get(n) :+ top3Extra(n)).filter(_ >= 0)
     }.toMap

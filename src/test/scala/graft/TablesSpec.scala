@@ -34,6 +34,33 @@ class TablesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.head().getAs[Long]("ts") == 1700000000123456000L)
   }
 
+  test("loader does not leak the NTZ-inference conf to other readers") {
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val before = spark.conf.get(key)
+    Tables.events(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.get(key) == before,
+      s"$key leaked: was $before, now ${spark.conf.get(key)}")
+    // and the leak would be observable: a fresh NTZ-typed parquet read
+    // outside the loader still infers TIMESTAMP_NTZ (default true)
+    if (before == "true") {
+      val tmp = Files.createTempDirectory("graft-ntz").toString
+      spark.sql("SELECT timestamp_ntz '2024-01-01 00:00:00' AS t")
+        .write.mode("overwrite").parquet(s"$tmp/t.parquet")
+      assert(spark.read.parquet(s"$tmp/t.parquet").schema("t").dataType
+        == org.apache.spark.sql.types.TimestampNTZType)
+    }
+  }
+
+  test("the epoch-nanos ts rewrite is keyed to the events table only") {
+    val tmp = Files.createTempDirectory("graft-tables-other").toString
+    spark.sql("SELECT timestamp_micros(1700000000123456) AS ts, 1L AS k")
+      .write.mode("overwrite").parquet(s"$tmp/audit.parquet")
+    val got = Tables.table(spark, tmp, "audit")
+    assert(got.schema("ts").dataType
+      == org.apache.spark.sql.types.TimestampType,
+      s"non-events ts was rewritten to ${got.schema("ts").dataType}")
+  }
+
   test("tables without a ts column pass through untouched") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     assert(!li.schema.fieldNames.contains("ts"))
