@@ -3903,31 +3903,42 @@ object Queries {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
-    // brute-force O(n²) cross join with exact integer threshold — the
-    // prefix-filtered join must agree pair-for-pair (completeness AND
-    // soundness of the filter)
+    // Inverted-index token self-join (Σdf² cost, not O(n²)): COUNT(*)
+    // over shared distinct shingles IS |A∩B|, and any pair passing the
+    // threshold must share ≥1 shingle (I=0 ⇒ 2I≥U impossible for
+    // non-empty sets), so the result set is pair-for-pair identical to
+    // the brute-force cross join — verified against it at sf0.001/0.01
+    // (and by ContainmentPropertySpec's in-engine brute force). The
+    // rewrite exists because the O(n²) list_intersect oracle timed out
+    // (>90 s) at sf0.1, leaving the 10× sweep unverifiable; this form
+    // completes in ~2 s there. Still an independent check: DuckDB
+    // hash-join+group-by vs the engine's PPJoin prefix filter.
     "q_sim_join_exact" ->
       s"""WITH $shingleCte,
-         |f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0)
+         |f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+         |tok AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM f)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
-         |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-         |    AS BIGINT) AS union_n
-         |FROM f a JOIN f b ON a.doc_id < b.doc_id
-         |WHERE 2 * len(list_intersect(a.sh, b.sh))
-         |  >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+         |  CAST(COUNT(*) AS BIGINT) AS inter_n,
+         |  CAST(a.n + b.n - COUNT(*) AS BIGINT) AS union_n
+         |FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |HAVING 2 * COUNT(*) >= a.n + b.n - COUNT(*)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // brute-force O(n²) directional containment — checks the A-side
-    // prefix filter's recall-1 claim pair-for-pair
+    // Directional containment via the same inverted-index form (I=0 ⇒
+    // 2I≥n_a impossible for n_a≥10, so dropping non-sharing pairs loses
+    // nothing); replaces the >90 s O(n²) oracle at sf0.1
     "q_containment_join" ->
-      s"""WITH $shingleCte
+      s"""WITH $shingleCte,
+         |tok AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s
+         |        FROM sh WHERE len(sh) > 0)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_n,
-         |  CAST(len(a.sh) AS BIGINT) AS n_a
-         |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
-         |WHERE len(a.sh) >= 10
-         |  AND 2 * len(list_intersect(a.sh, b.sh)) >= len(a.sh)
+         |  CAST(COUNT(*) AS BIGINT) AS inter_n,
+         |  CAST(a.n AS BIGINT) AS n_a
+         |FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id != b.doc_id
+         |WHERE a.n >= 10
+         |GROUP BY a.doc_id, b.doc_id, a.n
+         |HAVING 2 * COUNT(*) >= a.n
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // integer-exact DSIR: per-bigram-occurrence target/raw counts,
