@@ -24,13 +24,34 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Monotone-increasing map of IEEE-754 doubles to signed longs
+    * (Lucene's sortableDoubleBits): positives keep their bit pattern,
+    * negatives flip the low 63 bits. Involution, so it is its own
+    * inverse. NaN maps above +Inf — consistent with Spark's
+    * NaN-is-largest ordering. */
+  private def ordBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+  private def fromOrd(o: Long): Double =
+    java.lang.Double.longBitsToDouble(o ^ ((o >> 63) & 0x7fffffffffffffffL))
+
   /** The rank-k (1-based, ascending) element of `valueCol`, nulls
-    * ignored. Falls back to a distributed sort of the narrowed
-    * subset if refinement stalls (mass concentrated on one double). */
+    * ignored. If histogram refinement stalls (mass spanning many
+    * binades concentrates in one bucket every pass — possible because
+    * the value-space range shrinks only 1024× per pass while doubles
+    * span ~600 orders of magnitude), falls back to an exact bit-space
+    * binary search: ≤64 count-aggregations over the narrowed cached
+    * subset, no collect, no single-partition sort — driver memory
+    * stays O(buckets) on every path. */
   def rankElement(df: DataFrame, valueCol: String, k: Long,
       buckets: Int = 1024, collectLimit: Long = 100000L): Double = {
     require(k >= 1, s"rank must be >= 1, got $k")
-    var cur = df.select(col(valueCol).cast("double").as("v"))
+    // `+ 0.0` normalizes -0.0 to 0.0 (identity for every other double,
+    // NaN included) so the bit-space fallback — which distinguishes the
+    // two zero encodings — agrees with SQL value comparison, where
+    // -0.0 == 0.0.
+    var cur = df.select((col(valueCol).cast("double") + lit(0.0)).as("v"))
       .filter(col("v").isNotNull).cache()
     var rank = k
     var iters = 0
@@ -68,13 +89,26 @@ object Quantiles {
         cur = next
         iters += 1
       }
-      // refinement stalled (adversarial double distribution): exact
-      // distributed sort of the narrowed subset, still never the
-      // full dataset
-      import org.apache.spark.sql.expressions.Window
-      cur.select(col("v"),
-          row_number().over(Window.orderBy(col("v"))).as("rn"))
-        .filter(col("rn") === rank).head().getDouble(0)
+      // Refinement stalled (adversarial magnitude spread). Previous
+      // fallback was a single-partition Window sort — an executor-OOM
+      // risk when the stalled subset is still huge. Instead: binary
+      // search on the ordered 64-bit double encoding. Invariant: the
+      // answer's ord-bits lie in [loB, hiB]; each step one cheap
+      // count-aggregation in VALUE space (`<=` on doubles). Converges
+      // to the smallest double m with count(v <= m) >= rank, which the
+      // discreteness of the double grid guarantees is an attained data
+      // value (-0.0 already normalized away above). ≤64 passes, each
+      // over the cached narrowed subset.
+      val mm = cur.agg(min(col("v")), max(col("v"))).head()
+      var loB = ordBits(mm.getDouble(0))
+      var hiB = ordBits(mm.getDouble(1))
+      while (loB < hiB) {
+        val midB = (loB & hiB) + ((loB ^ hiB) >> 1) // overflow-safe floor midpoint
+        val m = fromOrd(midB)
+        if (cur.filter(col("v") <= m).count() >= rank) hiB = midB
+        else loB = midB + 1
+      }
+      fromOrd(loB)
     } finally cur.unpersist()
   }
 

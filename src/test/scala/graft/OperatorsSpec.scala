@@ -83,6 +83,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(Quantiles.rankElement(df, "x", 2002L, buckets = 8, collectLimit = 10) == 99.0)
   }
 
+  test("rank element mass-concentration stall: exact, no driver collect, no one-partition sort") {
+    // Adversarial geometric chain: 40 scales 2^0, 2^-10, ..., 2^-390,
+    // 50 copies each. Every histogram pass shrinks the value range only
+    // 1024x, which peels off exactly ONE scale per pass, so after the
+    // 20-pass budget the stalled subset still holds 1000 rows spanning
+    // 20 binades (never lo==hi, never <= collectLimit). The bit-space
+    // binary-search fallback must then produce the exact rank without
+    // collecting: collectLimit=10 pins that the driver never
+    // materializes the 1000-row subset — memory stays O(buckets).
+    val vals = (0 until 40).flatMap(i =>
+      Seq.fill(50)(java.lang.Math.scalb(1.0, -10 * i)))
+    val df = vals.toDF("x")
+    val sorted = vals.sorted.toArray
+    Seq(1L, 999L, 1000L, 1001L, 2000L).foreach { kk =>
+      val got = Quantiles.rankElement(df, "x", kk, buckets = 1024, collectLimit = 10)
+      assert(got == sorted((kk - 1).toInt), s"rank $kk")
+    }
+  }
+
+  test("rank element normalizes -0.0 so the bit-space fallback agrees with SQL order") {
+    val df = Seq(-0.0, 0.0, -1.0, 1.0).toDF("x")
+    val got = Quantiles.rankElement(df, "x", 2L, buckets = 8, collectLimit = 1)
+    // rank-2 of {-1, -0.0, 0.0, 1} is a zero; must be +0.0 bit-exactly
+    assert(java.lang.Double.doubleToLongBits(got)
+      == java.lang.Double.doubleToLongBits(0.0))
+  }
+
   test("csv and json round-trips preserve row counts and aggregates") {
     val csv = Queries.qSourceCsv(spark, sf).collect()
     assert(csv.map(_.getLong(1)).sum == Tables.nation(spark, sf).count())
