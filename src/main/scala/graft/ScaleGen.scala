@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-step data generator: replicates a driver testdata directory
+  * `factor`× with copy-isolated key remapping, producing the next
+  * data decade for scale validation (the driver only ships up to
+  * sf0.1; gates like the dense-triangle n≤16384 cutover, broadcast
+  * thresholds, and the union-find 5M-edge cap have sf-dependent
+  * operating points that only larger data exercises).
+  *
+  * Design: every surrogate key k becomes k·factor + c for copy
+  * c ∈ [0, factor), applied consistently across fact and dimension
+  * tables, so referential integrity holds and each copy is a
+  * key-isolated subgraph (the same construction TPC-H scaling uses;
+  * joins/aggregations see factor× rows with identical per-key
+  * cardinalities). The fixed dimensions region/nation are NOT scaled,
+  * matching TPC-H. Two content adjustments keep workload *shape*
+  * linear instead of degenerate:
+  *
+  *  - `documents.text`: copies c>0 get every word tagged with `_c`.
+  *    Untagged replication would make every doc a factor-clique of
+  *    exact/near duplicates, exploding sim-join outputs ~factor²/2
+  *    per doc (45 pairs per doc at factor 10) — not a bigger corpus,
+  *    a different (pathological) workload. Tagging keeps each
+  *    shingle's document frequency unchanged per copy, so Σdf² and
+  *    all candidate/output sizes scale exactly linearly.
+  *  - `embeddings.embedding`: copies c>0 rotate the vector by c
+  *    positions — preserves norms and pairwise structure within a
+  *    copy without making every point a factor-fold duplicate (which
+  *    would degenerate ANN top-k into tie-breaking among clones).
+  *
+  * Timestamps are read/written under the session default (NTZ
+  * inference on), so the output physical type matches the round-9+
+  * driver generation (int64 µs, isAdjustedToUTC=false).
+  */
+object ScaleGen {
+
+  def scaleTable(spark: SparkSession, name: String, df: DataFrame,
+      factor: Int): DataFrame = {
+    if (name == "region" || name == "nation") return df
+    val copies = spark.range(factor).select(col("id").cast("int").as("c"))
+    val crossed = df.crossJoin(broadcast(copies))
+    def remap(k: String) = (col(k) * factor + col("c")).as(k)
+    val out = name match {
+      case "customer" =>
+        crossed.select(remap("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+      case "supplier" =>
+        crossed.select(remap("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+      case "part" =>
+        crossed.select(remap("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"), col("p_retailprice"))
+      case "orders" =>
+        crossed.select(remap("o_orderkey"), remap("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      case "lineitem" =>
+        crossed.select(remap("l_orderkey"), remap("l_partkey"),
+          remap("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      case "events" =>
+        crossed.select(remap("event_id"), col("ts"), remap("user_id"),
+          col("event_type"), col("value"), col("props"))
+      case "documents" =>
+        val tagged = when(col("c") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit("_"), col("c")))))
+        crossed.select(remap("doc_id"), tagged.as("text"), col("lang"),
+          col("source"), length(tagged).as("n_chars"))
+      case "embeddings" =>
+        val sz = size(col("embedding"))
+        val r = col("c") % sz
+        val rotated = when(r === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), r + 1, sz - r),
+            slice(col("embedding"), lit(1), r)))
+        crossed.select(remap("vec_id"), rotated.as("embedding"), col("label"))
+      case other => sys.error(s"unknown table $other")
+    }
+    out
+  }
+
+  val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    val (srcDir, outDir) = (args(0), args(1))
+    val factor = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val rows = src.count()
+      // file count ∝ scaled rows: ~500k rows per file, ≥1
+      val parts = math.max(1, (rows * factor / 500000L).toInt)
+      scaleTable(spark, t, src, factor)
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scalegen] $t: $rows -> ${rows * (if (t == "region" || t == "nation") 1 else factor)} rows, $parts file(s)")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScaleGen contract: factor× rows (dimensions exempt), referential
+  * integrity across the remapped keys, linear (not clique-forming)
+  * document scaling, norm-preserving embedding rotation. */
+class ScaleGenSpec extends AnyFunSuite with SparkTestBase {
+  private val src = "/root/testdata/sf0.001"
+  private val factor = 3
+
+  private def gen(name: String) =
+    ScaleGen.scaleTable(spark, name, spark.read.parquet(s"$src/$name.parquet"), factor)
+
+  test("row counts scale by factor; fixed dimensions do not") {
+    assert(gen("lineitem").count() == factor * 6000L)
+    assert(gen("documents").count() == factor * 500L)
+    assert(gen("region").count() == 5L)
+    assert(gen("nation").count() == 25L)
+  }
+
+  test("referential integrity holds across remapped keys") {
+    val o = gen("orders").cache()
+    val l = gen("lineitem").cache()
+    try {
+      assert(l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti").count() == 0)
+      assert(o.join(gen("customer"), o("o_custkey") === col("c_custkey"), "left_anti").count() == 0)
+      assert(l.join(gen("part"), l("l_partkey") === col("p_partkey"), "left_anti").count() == 0)
+      assert(l.join(gen("supplier"), l("l_suppkey") === col("s_suppkey"), "left_anti").count() == 0)
+    } finally { o.unpersist(); l.unpersist() }
+  }
+
+  test("keys stay unique after remapping") {
+    val d = gen("documents")
+    assert(d.select("doc_id").distinct().count() == d.count())
+    val e = gen("events")
+    assert(e.select("event_id").distinct().count() == e.count())
+  }
+
+  test("document copies tag the vocabulary: no cross-copy shingle overlap, same word counts") {
+    val d = gen("documents").withColumn("c", (col("doc_id") % factor).cast("int"))
+      .withColumn("wc", size(split(col("text"), " "))).cache()
+    try {
+      // word counts identical across the copies of each source doc
+      val wcSpread = d.groupBy((col("doc_id") / factor).cast("long").as("orig"))
+        .agg((max("wc") - min("wc")).as("spread"))
+        .agg(max("spread")).head().getInt(0)
+      assert(wcSpread == 0, "tagging changed token counts")
+      // vocabularies of different copies are disjoint (c encoded in words)
+      val vocab = d.select(col("c"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(countDistinct("c").as("nc"))
+        .agg(max("nc")).head().getLong(0)
+      assert(vocab == 1L, "a word appears in more than one copy's vocabulary")
+      // n_chars matches the tagged text
+      assert(d.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    } finally d.unpersist()
+  }
+
+  test("embedding rotation preserves vector size and norm") {
+    val e = gen("embeddings")
+      .withColumn("c", (col("vec_id") % factor).cast("int"))
+      .withColumn("sz", size(col("embedding")))
+      .withColumn("norm", aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x * x))
+    val base = e.filter(col("c") === 0)
+      .select((col("vec_id") / factor).cast("long").as("orig"),
+        col("sz").as("sz0"), col("norm").as("n0"))
+    val rot = e.filter(col("c") =!= 0)
+      .select((col("vec_id") / factor).cast("long").as("orig"), col("sz"), col("norm"))
+    val bad = rot.join(base, "orig")
+      .filter(col("sz") =!= col("sz0") ||
+        abs(col("norm") - col("n0")) > lit(1e-3) * (col("n0") + lit(1e-9)))
+      .count()
+    assert(bad == 0, "rotation changed vector size or norm")
+  }
+}
