@@ -70,7 +70,9 @@ object ScaleGen {
           concat_ws(" ", transform(split(col("text"), " "),
             w => concat(w, lit("_"), col("c")))))
         crossed.select(remap("doc_id"), tagged.as("text"), col("lang"),
-          col("source"), length(tagged).as("n_chars"))
+          // length() returns INT; driver data ships n_chars as int64 —
+          // cast, or avro encode (schema says long) rejects the column
+          col("source"), length(tagged).cast("long").as("n_chars"))
       case "embeddings" =>
         val sz = size(col("embedding"))
         val r = col("c") % sz
@@ -86,6 +88,48 @@ object ScaleGen {
   val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scale every table from srcDir into outDir. Session timezone must
+    * be UTC (asserted) — the NTZ→Timestamp normalization below relies
+    * on it for instant-preserving casts. */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "ScaleGen.generate requires a UTC session timezone")
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val rows = src.count()
+      // file count ∝ scaled rows: ~500k rows per file, ≥1
+      val parts = math.max(1, (rows * factor / 500000L).toInt)
+      val scaled = scaleTable(spark, t, src, factor)
+      // The driver's testdata is pyarrow-written: no Spark schema
+      // metadata, so readers infer from the parquet physical type and
+      // Tables.table's NTZ-inference-off read yields TimestampType.
+      // A Spark WRITE embeds the catalyst schema in the footer, which
+      // a Spark read then honors VERBATIM — TimestampNTZType would
+      // sneak through the loader and break every ts consumer. Cast
+      // NTZ → Timestamp (identical micros under the UTC session) so
+      // the scaled directory loads exactly like driver data.
+      val normalized = scaled.select(scaled.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+          col(f.name).cast(org.apache.spark.sql.types.TimestampType).as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
+      normalized
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      // Self-check: the LOADER-visible schema of the scaled directory
+      // must equal the driver data's, field for field — this is the
+      // contract every catalog query compiles against. (Caught two real
+      // drifts already: TIMESTAMP_NTZ via Spark footer metadata, and
+      // n_chars narrowing long→int through length().)
+      val outSchema = Tables.table(spark, outDir, t).schema
+      val srcSchema = Tables.table(spark, srcDir, t).schema
+      require(outSchema == srcSchema,
+        s"$t: scaled schema drifted from source.\n  src: $srcSchema\n  out: $outSchema")
+      println(s"[scalegen] $t: $rows -> ${rows * (if (t == "region" || t == "nation") 1 else factor)} rows, $parts file(s)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (srcDir, outDir) = (args(0), args(1))
     val factor = args(2).toInt
@@ -97,16 +141,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    tables.foreach { t =>
-      val src = spark.read.parquet(s"$srcDir/$t.parquet")
-      val rows = src.count()
-      // file count ∝ scaled rows: ~500k rows per file, ≥1
-      val parts = math.max(1, (rows * factor / 500000L).toInt)
-      scaleTable(spark, t, src, factor)
-        .repartition(parts)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      println(s"[scalegen] $t: $rows -> ${rows * (if (t == "region" || t == "nation") 1 else factor)} rows, $parts file(s)")
-    }
+    generate(spark, srcDir, outDir, factor)
     spark.stop()
   }
 }

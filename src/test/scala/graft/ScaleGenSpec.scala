@@ -57,6 +57,27 @@ class ScaleGenSpec extends AnyFunSuite with SparkTestBase {
     } finally d.unpersist()
   }
 
+  test("generated directory loads through Tables like driver data (no NTZ leak via Spark footer metadata)") {
+    // Spark-written parquet embeds the catalyst schema in the footer;
+    // an un-normalized TIMESTAMP_NTZ there would bypass the loader's
+    // inference-off read and break every ts consumer (caught live on
+    // the first sf1.0 sweep). generate() must produce a directory the
+    // loader reads EXACTLY like pyarrow-written driver data.
+    val out = java.nio.file.Files.createTempDirectory("graft-scalegen-out").toString
+    ScaleGen.generate(spark, src, out, 2)
+    val ev = Tables.events(spark, out)
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // instants preserved: same min epoch-nanos as the source (copies
+    // share timestamps)
+    val srcMin = Tables.events(spark, src).agg(min("ts")).head().getLong(0)
+    assert(ev.agg(min("ts")).head().getLong(0) == srcMin)
+    // date columns come back as plain TIMESTAMP, as with driver data
+    assert(Tables.orders(spark, out).schema("o_orderdate").dataType
+      == org.apache.spark.sql.types.TimestampType)
+    assert(Tables.lineitem(spark, out).schema("l_shipdate").dataType
+      == org.apache.spark.sql.types.TimestampType)
+  }
+
   test("embedding rotation preserves vector size and norm") {
     val e = gen("embeddings")
       .withColumn("c", (col("vec_id") % factor).cast("int"))
