@@ -27,16 +27,24 @@ object CountingSink {
 /** End-to-end streaming throughput of the subscription pipeline
   * (route → filter-off → hash → SYNC gate → 50-doc batched sink +
   * hash-store merge) over the sf events table via a file-stream
-  * source. Prints one JSON line with docs/sec — the reference's
-  * implied ceiling is ~2 msg/s (BASELINE.md). */
+  * source. Stages the input as `SPARK_GRAFT_STREAM_FILES` parquet
+  * files (default 50) consumed one file per trigger, so the run is a
+  * sequence of uniform micro-batches; per-batch wall latency is read
+  * back from the query's progress events and reported as p50/p95/max
+  * alongside end-to-end docs/sec. Prints one JSON line — the
+  * reference's implied ceiling is ~2 msg/s (BASELINE.md). */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "50").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // keep every micro-batch's progress (default 100 would do for 50
+      // batches; pin anyway so nFiles overrides stay recorded)
+      .config("spark.sql.streaming.numRecentProgressUpdates", s"${nFiles + 8}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,12 +52,13 @@ object StreamBench {
     val input = Files.createTempDirectory("sbench-in").toString
     val work = Files.createTempDirectory("sbench-work").toString
 
-    // stage the events as the stream input (one payload per event)
+    // stage the events as the stream input (one payload per event),
+    // one file per intended micro-batch
     val ev = Tables.events(spark, sfDir)
       .withColumn("kafka_topic", concat(lit("tnt."), col("event_type")))
       .withColumnRenamed("event_id", "id")
       .drop("props")
-    ev.write.mode("overwrite").parquet(input)
+    ev.repartition(nFiles).write.mode("overwrite").parquet(input)
     val n = ev.count()
 
     val sub = Subscription("bench", "bench", "*",
@@ -66,11 +75,23 @@ object StreamBench {
       .option("maxFilesPerTrigger", "1").parquet(input))
     q.processAllAvailable()
     val secs = (System.nanoTime() - t0) / 1e9
+
+    // per-micro-batch wall latency (triggerExecution covers the whole
+    // batch: source read → pipeline → sink commit + state merge)
+    val prog = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0) // drop the trailing empty batch
     q.stop()
+    val lat = prog.map(p =>
+        p.durationMs.getOrDefault("triggerExecution", 0L).toDouble / 1e3)
+      .sorted
+    def pct(p: Double): Double =
+      if (lat.isEmpty) -1.0
+      else lat(math.min(lat.size - 1, (p * lat.size).toInt))
+    val rowsPerBatch = if (prog.isEmpty) 0.0 else prog.map(_.numInputRows).sum.toDouble / prog.size
 
     val written = CountingSink.docs.sum()
     val commits = CountingSink.commits.sum()
-    println(s"""{"metric":"stream_docs_per_sec","value":${written / secs},"unit":"docs/sec","docs":$written,"rows":$n,"commits":$commits,"seconds":$secs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_docs_per_sec","value":${written / secs}%.1f,"unit":"docs/sec","docs":$written,"rows":$n,"commits":$commits,"seconds":$secs%.2f,"batches":${lat.size},"rows_per_batch":$rowsPerBatch%.0f,"batch_sec_p50":${pct(0.5)}%.3f,"batch_sec_p95":${pct(0.95)}%.3f,"batch_sec_max":${if (lat.isEmpty) -1.0 else lat.last}%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
