@@ -1880,6 +1880,55 @@ object Queries {
       .limit(100)
   }
 
+  /** Domain-mixture allocation (DoReMi-flavored — Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * NeurIPS 2023, public paper; integer-exact formulation): decide
+    * how a fixed training-token budget is split across data domains
+    * (`source`). Each domain's weight is its size, boosted by an
+    * excess-quality term — here lexical diversity (type-token ratio in
+    * ppb) above the worst domain's, standing in for DoReMi's
+    * excess-loss signal, which needs a proxy model this engine doesn't
+    * ship. A 10,000-doc budget is then apportioned by the
+    * largest-remainder (Hamilton) method: exact integer floor shares
+    * plus one extra seat per highest remainder (ties → source asc) —
+    * deterministic, Σalloc = budget exactly.
+    *
+    * Scale shape: one shuffle on (source, word) for the distinct-word
+    * partial aggregate, one on source for the doc counts; the window
+    * stages run on ONE row per domain — domain cardinality is bounded
+    * (it's a curated mixture), so the unpartitioned windows hold a
+    * bounded row set, the same class as a quantile bucket map. The
+    * weight product runs in decimal(38,0) internally (n_docs·2·10⁹
+    * overflows BIGINT near ~10⁹ docs/domain) and emits BIGINT. */
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val stats = words.groupBy(col("source")).agg(
+      countDistinct(col("w")).as("distinct_words"),
+      count(lit(1)).as("total_words"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val wg = Window.partitionBy()
+    val wr = Window.orderBy(col("rem").desc, col("source"))
+    nd.join(stats, "source")
+      .select(col("source"), col("n_docs"),
+        expr("CAST((distinct_words * 1000000000) div total_words AS BIGINT)")
+          .as("ttr_ppb"))
+      .withColumn("excess", col("ttr_ppb") - min(col("ttr_ppb")).over(wg))
+      .withColumn("wdec",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * (1000000000 + excess)"))
+      .withColumn("tot", sum(col("wdec")).over(wg))
+      .withColumn("basealloc", expr("CAST((wdec * 10000) div tot AS BIGINT)"))
+      .withColumn("rem", expr("CAST((wdec * 10000) % tot AS DECIMAL(38,0))"))
+      .withColumn("rshort", lit(10000L) - sum(col("basealloc")).over(wg))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .select(col("source"), col("n_docs"), col("ttr_ppb"),
+        col("wdec").cast("long").as("weight"),
+        (col("basealloc") +
+          when(col("rn") <= col("rshort"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("source"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -2796,6 +2845,7 @@ object Queries {
     "q_sim_join_exact" -> (qSimJoinExact _),
     "q_containment_join" -> (qContainmentJoin _),
     "q_dsir_resample" -> (qDsirResample _),
+    "q_domain_mix" -> (qDomainMix _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -3966,6 +4016,29 @@ object Queries {
         |FROM scored
         |ORDER BY weight_ppb DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    // integer-exact domain mixture: ttr ppb via truncating division,
+    // HUGEINT weight product (mirrors the decimal(38,0) internal),
+    // largest-remainder seat assignment with (rem DESC, source) ties
+    "q_domain_mix" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |stats AS (SELECT source, COUNT(DISTINCT w) AS dw, COUNT(*) AS tw
+        |          FROM w GROUP BY source),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |b AS (SELECT source, n_docs, CAST(dw * 1000000000 // tw AS BIGINT) AS ttr_ppb
+        |      FROM nd JOIN stats USING (source)),
+        |e AS (SELECT *, ttr_ppb - MIN(ttr_ppb) OVER () AS excess FROM b),
+        |wt AS (SELECT source, n_docs, ttr_ppb,
+        |         CAST(n_docs AS HUGEINT) * (1000000000 + excess) AS weight FROM e),
+        |alloc AS (SELECT *,
+        |    CAST(weight * 10000 // SUM(weight) OVER () AS BIGINT) AS basealloc,
+        |    weight * 10000 % SUM(weight) OVER () AS rem FROM wt),
+        |r AS (SELECT *, SUM(basealloc) OVER () AS sumbase,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn FROM alloc)
+        |SELECT source, n_docs, ttr_ppb, CAST(weight AS BIGINT) AS weight,
+        |  CAST(basealloc + CASE WHEN rn <= 10000 - sumbase THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

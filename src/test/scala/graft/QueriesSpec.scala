@@ -20,6 +20,22 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_domain_mix allocates the exact budget across domains, deterministically") {
+    val rows = Queries.qDomainMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // largest-remainder apportionment: allocations sum to the budget
+    // EXACTLY (no floor shortfall, no over-allocation)
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 10000L)
+    // every domain gets a non-negative share, weights are positive
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") >= 0L)
+      assert(r.getAs[Long]("weight") > 0L)
+    }
+    // deterministic: a second run is identical row-for-row
+    val again = Queries.qDomainMix(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
