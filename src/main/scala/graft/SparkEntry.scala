@@ -1982,6 +1982,165 @@ object Queries {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** Paragraph-level corpus dedup (CCNet-shaped — Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", LREC 2020, public paper, dedupes at the PARAGRAPH
+    * level before any document-level pass): each document is cut into
+    * fixed 10-word blocks (the paragraph unit on this punctuation-free
+    * synthetic text — real text would split on newline), every block
+    * is content-hashed, and only the globally FIRST occurrence of each
+    * distinct block survives (first = smallest (doc_id, position), the
+    * deterministic arrival order). Per document the query reports how
+    * many of its blocks survived and the md5 of the re-assembled
+    * surviving text — boilerplate shared across documents vanishes
+    * from all but its first carrier.
+    *
+    * Scale shape: block explode is a pure projection (reuses
+    * [[operators.TextPrep.withChunks]] with overlap 0 — no shuffle);
+    * first-occurrence is ONE row_number window partitioned by the
+    * 128-bit block hash (shuffle keys are fixed-width digests, never
+    * paragraph text); re-assembly is one groupBy(doc_id). Two
+    * fine-grained shuffles total — the same shape CCNet runs over
+    * Common Crawl, no global sort, no driver state. */
+  def qParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val blocks = TextPrep.withChunks(docs, "text", chunkTokens = 10, overlap = 0)
+      .select(col("doc_id"), col("chunk_idx").as("pos"),
+        col("chunk_text").as("blk"), md5(col("chunk_text")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    blocks.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_blocks"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(pos, blk) END)), x -> x.blk)")))
+          .as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Collocation mining by pointwise mutual information, integer-
+    * exact: adjacent word pairs whose co-occurrence beats independence
+    * — the classic phrase-discovery signal (Church & Hanks, CL 1990)
+    * a tokenizer/vocab pipeline runs before merging multi-word units.
+    * Since log is monotone, ranking by PMI == ranking by the raw
+    * lift ratio p(xy)/(p(x)p(y)) = c(xy)·N_w² / (N_bg·c(x)·c(y)) —
+    * emitted as truncated ppm so no transcendental ever evaluates and
+    * both engines agree bit-for-bit (log would differ in ulps).
+    * Min-support c(xy) ≥ 5 kills the unstable singleton tail;
+    * deterministic top-50 by (lift DESC, x, y).
+    *
+    * Scale shape: bigram and unigram counts are map-side-combined hash
+    * aggregates (one shuffle each on the gram key); the unigram
+    * relation after aggregation is vocabulary-sized — broadcast to
+    * both join probes — and the corpus-wide totals are a 1-row
+    * broadcast. Top-k is TakeOrderedAndProject, never a global sort.
+    * The ppm numerator c(xy)·N_w²·10⁶ runs in decimal(38,0): exact up
+    * to N_w ≈ 10¹⁴ words with hot pairs at 10⁴ (38 digits; DuckDB's
+    * HUGEINT ceiling is the same 10³⁸) — past that envelope the scale
+    * constant must drop, documented rather than silently wrapped. */
+  def qPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(split(col("text"), " ").as("w"))
+    val uni = words.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val bgc = words.select(explode(expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2), " +
+          "i -> struct(w[i] AS x, w[i+1] AS y)) ELSE array() END")).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("pair_n"))
+    val totals = words.agg(
+      expr("CAST(sum(size(w)) AS DECIMAL(38,0))").as("n_w"),
+      expr("CAST(sum(greatest(size(w) - 1, 0)) AS DECIMAL(38,0))").as("n_bg"))
+    bgc
+      .join(broadcast(uni.select(col("t").as("x"), col("c1").as("cx"))), "x")
+      .join(broadcast(uni.select(col("t").as("y"), col("c1").as("cy"))), "y")
+      .crossJoin(broadcast(totals))
+      .filter(col("pair_n") >= 5)
+      .select(col("x"), col("y"), col("pair_n"),
+        col("cx"), col("cy"),
+        expr("CAST((CAST(pair_n AS DECIMAL(38,0)) * n_w * n_w * 1000000) div " +
+          "(n_bg * CAST(cx AS DECIMAL(38,0)) * CAST(cy AS DECIMAL(38,0))) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("x"), col("y"))
+      .limit(50)
+  }
+
+  /** Curriculum staging: bucket the corpus into 4 difficulty stages
+    * at the EXACT global quartiles of a difficulty metric (here word
+    * count — a curriculum schedule trains easy→hard, e.g. Bengio et
+    * al., ICML 2009), and report each stage's size and bounds.
+    * Quartile boundaries come from [[operators.Quantiles.quantiles]]
+    * — multi-pass histogram refinement, rank = ceil(q·n), never a
+    * global sort — and a document's stage is 1 + #(boundaries
+    * strictly below its metric), so ties land in the lower stage
+    * deterministically (a boundary value equal to another collapses
+    * that stage to empty rather than double-counting).
+    *
+    * Scale shape: boundary extraction is O(passes) counting
+    * aggregates with O(buckets) driver state (the audited
+    * q_quantile_global path); the 3 boundary doubles are driver
+    * literals folded into the stage projection — no join, no window —
+    * and the final rollup is one 4-group hash aggregate. */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("m"))
+    val bounds = Quantiles.quantiles(docs, "m", Seq(0.25, 0.5, 0.75))
+      .orderBy(col("q")).collect().map(_.getDouble(1))
+    val stage = bounds.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when(col("m") > lit(b), 1L).otherwise(0L)
+    }
+    docs.withColumn("stage", stage)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("m")).as("min_words"), max(col("m")).as("max_words"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("stage"))
+  }
+
+  /** Incremental (batch-vs-corpus) dedup: the shape a production
+    * ingest runs daily — a NEW batch of documents (here the
+    * deterministic doc_id%10==9 slice) is screened against the
+    * EXISTING corpus without ever re-deduping the corpus against
+    * itself. Exact duplicates are found by content-hash semi-join;
+    * near-duplicates by MinHash/LSH band-key collision against the
+    * corpus's band index (the same 16×4 banding as q_dedup_minhash,
+    * threshold ≈ 0.5). Every batch document is emitted with both
+    * flags — the survivors are the rows with both zero.
+    *
+    * Scale shape: this is the whole point of the incremental form —
+    * cost scales with |batch| + the corpus INDEX (distinct content
+    * hashes + band keys, both fixed-width digests a production system
+    * keeps materialized), never with corpus text. Both probes are
+    * semi-joins that shuffle only digest keys; with a daily batch ≪
+    * corpus the batch side broadcasts. No pair enumeration: a batch
+    * doc matching a 1000-doc near-dup cluster costs one collision,
+    * not 1000 pairs. */
+  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val exactHits = batch.withColumn("h", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    def bands(df: DataFrame) =
+      Dedup.withLshBands(Dedup.withMinhashSignature(Dedup.withShingles(df, "text")))
+        .select(col("doc_id"), col("band_idx"), col("band_key"))
+    val nearHits = bands(batch)
+      .join(bands(corpus).select(col("band_idx"), col("band_key")).distinct(),
+        Seq("band_idx", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(exactHits.withColumn("e", lit(1L)), Seq("doc_id"), "left")
+      .join(nearHits.withColumn("nr", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("nr"), lit(0L)).as("is_near_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -2900,6 +3059,10 @@ object Queries {
     "q_dsir_resample" -> (qDsirResample _),
     "q_domain_mix" -> (qDomainMix _),
     "q_mix_materialize" -> (qMixMaterialize _),
+    "q_paragraph_dedup" -> (qParagraphDedup _),
+    "q_pmi_collocations" -> (qPmiCollocations _),
+    "q_curriculum" -> (qCurriculum _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -4124,6 +4287,92 @@ object Queries {
         |FROM ranked JOIN alloc ON ranked.source = alloc.source
         |WHERE rk <= alloc
         |ORDER BY ranked.source, rk""".stripMargin,
+
+    // paragraph = fixed 10-word block on this punctuation-free text;
+    // first occurrence = smallest (doc_id, pos); reassembled-text md5
+    // makes the surviving content scalar-comparable
+    "q_paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |blk AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, (len(w)-1)//10),
+        |      i -> {'pos': i, 'blk': array_to_string(w[(i*10+1):(i*10+10)], ' ')})) AS u
+        |  FROM w),
+        |b AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.blk AS blk FROM blk),
+        |r AS (SELECT doc_id, pos, blk,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(blk) ORDER BY doc_id, pos) AS rn
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+        |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY pos), ''))
+        |    AS kept_hash
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // lift ratio in exact integer ppm (log is monotone, so the PMI
+    // ranking is preserved without evaluating any transcendental);
+    // HUGEINT mirrors the engine's decimal(38,0) envelope
+    "q_pmi_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c1
+        |        FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+        |bg AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN
+        |    list_transform(generate_series(1, len(w)-1), i -> {'x': w[i], 'y': w[i+1]})
+        |  ELSE [] END) AS b FROM w),
+        |bgc AS (SELECT b.x AS x, b.y AS y, COUNT(*) AS pair_n FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT SUM(len(w)) AS n_w, SUM(greatest(len(w)-1, 0)) AS n_bg FROM w)
+        |SELECT x, y, CAST(pair_n AS BIGINT) AS pair_n,
+        |  CAST(ux.c1 AS BIGINT) AS cx, CAST(uy.c1 AS BIGINT) AS cy,
+        |  CAST(CAST(pair_n AS HUGEINT) * n_w * n_w * 1000000
+        |    // (CAST(n_bg AS HUGEINT) * ux.c1 * uy.c1) AS BIGINT) AS lift_ppm
+        |FROM bgc JOIN uni ux ON bgc.x = ux.t JOIN uni uy ON bgc.y = uy.t, tot
+        |WHERE pair_n >= 5
+        |ORDER BY lift_ppm DESC, x, y
+        |LIMIT 50""".stripMargin,
+
+    // quartile boundaries at rank = ceil(q*n) (the engine's exact
+    // global-quantile rule; 0.25/0.5/0.75 are dyadic so q*n is an
+    // exact double on both sides); stage = 1 + #(boundaries < m)
+    "q_curriculum" ->
+      """WITH m AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS m FROM documents),
+        |ranked AS (SELECT m AS v, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+        |    COUNT(*) OVER () AS n FROM m),
+        |b AS (SELECT
+        |    MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS b1,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END) AS b2,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS b3
+        |  FROM ranked),
+        |st AS (SELECT doc_id, n_chars, m,
+        |    1 + CASE WHEN m > b1 THEN 1 ELSE 0 END
+        |      + CASE WHEN m > b2 THEN 1 ELSE 0 END
+        |      + CASE WHEN m > b3 THEN 1 ELSE 0 END AS stage
+        |  FROM m, b)
+        |SELECT CAST(stage AS BIGINT) AS stage,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(m) AS min_words, MAX(m) AS max_words,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // batch slice screened against the corpus's content-hash and
+    // band-key indexes; bands CTE comes from the shared minhash chain
+    "q_incremental_dedup" ->
+      s"""WITH $minhashCte,
+         |bt AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 9),
+         |eh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 != 9),
+         |ex AS (SELECT DISTINCT d.doc_id FROM documents d
+         |       JOIN eh ON md5(d.text) = eh.h WHERE d.doc_id % 10 = 9),
+         |nb AS (SELECT DISTINCT x.doc_id FROM bands x
+         |       JOIN bands y ON x.band_idx = y.band_idx
+         |         AND x.band_key = y.band_key AND y.doc_id % 10 != 9
+         |       WHERE x.doc_id % 10 = 9)
+         |SELECT bt.doc_id,
+         |  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_exact_dup,
+         |  CAST(CASE WHEN nb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_near_dup
+         |FROM bt LEFT JOIN ex ON bt.doc_id = ex.doc_id
+         |LEFT JOIN nb ON bt.doc_id = nb.doc_id
+         |ORDER BY bt.doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

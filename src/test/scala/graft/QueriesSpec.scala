@@ -54,6 +54,87 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_paragraph_dedup keeps first occurrences and conserves block counts") {
+    val rows = Queries.qParagraphDedup(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every document must report its block stats")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_blocks"); val k = r.getAs[Long]("kept_blocks")
+      assert(n >= 1 && k >= 0 && k <= n, s"block counts out of range: $r")
+    }
+    // the corpus-wide number of kept blocks equals the number of
+    // DISTINCT blocks (each distinct block survives exactly once)
+    val distinctBlocks = graft.operators.TextPrep
+      .withChunks(Tables.documents(spark, sf).select("doc_id", "text"),
+        "text", chunkTokens = 10, overlap = 0)
+      .select("chunk_text").distinct().count()
+    assert(rows.map(_.getAs[Long]("kept_blocks")).sum == distinctBlocks)
+    // duplicate docs exist in this corpus, so dedup must actually bite
+    assert(rows.exists(r =>
+      r.getAs[Long]("kept_blocks") < r.getAs[Long]("n_blocks")),
+      "no block was ever deduplicated — the corpus has known exact dups")
+  }
+
+  test("q_pmi_collocations ranks by exact integer lift with min support") {
+    val rows = Queries.qPmiCollocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // ranking is non-increasing in lift_ppm and deterministic on ties
+    val lifts = rows.map(_.getAs[Long]("lift_ppm"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pair_n") >= 5, "min support violated")
+      assert(r.getAs[Long]("lift_ppm") >= 0)
+    }
+    // spot-check one row's arithmetic against its own components:
+    // lift = pair_n * n_w^2 * 1e6 / (n_bg * cx * cy), truncated
+    val docs = Tables.documents(spark, sf).collect()
+    val wordLists = docs.map(_.getAs[String]("text").split(" ").toSeq)
+    val nW = wordLists.map(_.size.toLong).sum
+    val nBg = wordLists.map(w => math.max(w.size - 1, 0).toLong).sum
+    val r0 = rows.head
+    val expected = (BigInt(r0.getAs[Long]("pair_n")) * BigInt(nW) * BigInt(nW) * 1000000) /
+      (BigInt(nBg) * BigInt(r0.getAs[Long]("cx")) * BigInt(r0.getAs[Long]("cy")))
+    assert(BigInt(r0.getAs[Long]("lift_ppm")) == expected)
+  }
+
+  test("q_curriculum stages partition the corpus at exact quartiles") {
+    val rows = Queries.qCurriculum(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "stages must partition the corpus")
+    // stages are labeled 1..4 (possibly with empties absent), ordered,
+    // and their word ranges are disjoint and increasing
+    val stages = rows.map(_.getAs[Long]("stage"))
+    assert(stages.forall(s => s >= 1 && s <= 4))
+    assert(stages.sorted.sameElements(stages) && stages.distinct.length == stages.length)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_words") <= b.getAs[Long]("min_words"),
+          "stage word ranges must be non-overlapping and increasing")
+      case _ =>
+    }
+  }
+
+  test("q_incremental_dedup screens the batch against the corpus only") {
+    val rows = Queries.qIncrementalDedup(spark, sf).collect()
+    val batchN = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 9).count()
+    assert(rows.length == batchN, "every batch doc must be reported")
+    rows.foreach { r =>
+      val e = r.getAs[Long]("is_exact_dup"); val nr = r.getAs[Long]("is_near_dup")
+      assert(e == 0L || e == 1L); assert(nr == 0L || nr == 1L)
+    }
+    // referee the exact flag with a driver-side recomputation
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val corpusTexts = docs.collect { case (id, t) if id % 10 != 9 => t }.toSet
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = if (corpusTexts.contains(docs(id))) 1L else 0L
+      assert(r.getAs[Long]("is_exact_dup") == expect, s"exact flag wrong for doc $id")
+    }
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
