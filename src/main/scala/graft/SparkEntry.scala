@@ -2141,6 +2141,47 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunk dedup: cut every document with the gear
+    * rolling hash ([[graft.functions.GearChunksExpr]] — LBFS/FastCDC
+    * breakpoints, shift-invariant) and report every chunk that
+    * recurs across the corpus. Where q_paragraph_dedup's fixed
+    * blocks lose alignment after one insertion, CDC chunks re-align
+    * immediately — the standard storage/training-data trick for
+    * finding shared spans between shifted near-duplicates.
+    *
+    * Scale shape: chunking is one codegen'd projection + explode
+    * (linear, no shuffle); the only shuffle is the groupBy on chunk
+    * content (bounded by corpus size, fixed-width after the md5 in
+    * the projection that follows); top-100 is TakeOrderedAndProject.
+    */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.Cdc.gearChunks(col("text"))).as("chunk"))
+      .filter(length(col("chunk")) >= 16)
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+      .select(md5(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        col("n_occ"), col("n_docs"))
+      .orderBy(col("n_occ").desc, col("chunk_hash"))
+      .limit(100)
+
+  /** Weighted global quantiles WITHOUT a global sort: the smallest
+    * value whose cumulative WEIGHT reaches ceil(q·W) — here revenue
+    * percentiles weighted by quantity, the shape every "what value
+    * covers half the volume" question takes. Same histogram-
+    * refinement scheme as q_quantile_global with COUNT replaced by
+    * SUM(weight) ([[operators.Quantiles.weightedRankElement]]):
+    * O(passes) counting aggregates, O(buckets) driver state, never a
+    * sort — a weighted percentile at 100 TB costs 2-3 shrinking
+    * scans. */
+  def qWeightedQuantiles(s: SparkSession, dir: String): DataFrame =
+    Quantiles.weightedQuantiles(
+      Tables.lineitem(s, dir).select(col("l_extendedprice"), col("l_quantity")),
+      "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.95))
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -3063,6 +3104,8 @@ object Queries {
     "q_pmi_collocations" -> (qPmiCollocations _),
     "q_curriculum" -> (qCurriculum _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_cdc_chunks" -> (qCdcChunks _),
+    "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -4373,6 +4416,53 @@ object Queries {
          |FROM bt LEFT JOIN ex ON bt.doc_id = ex.doc_id
          |LEFT JOIN nb ON bt.doc_id = nb.doc_id
          |ORDER BY bt.doc_id""".stripMargin,
+
+    // positional form of the gear recurrence: h_i depends only on the
+    // last 32 chars (the *2 shift mods out), so the oracle computes it
+    // as sum gear(c_j)*2^(i-j) mod 2^32 with no sequential fold; each
+    // term is pre-modded so list_sum stays within BIGINT
+    "q_cdc_chunks" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |p AS (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i FROM c),
+        |h AS (SELECT doc_id, i,
+        |    list_sum(list_transform(generate_series(greatest(1, i-31), i),
+        |      j -> (ord(text[j]) * 2654435761 % 4294967296)
+        |           * (CAST(1 AS BIGINT) << (i - j)) % 4294967296))
+        |      % 4294967296 AS hv
+        |  FROM p),
+        |cut AS (SELECT doc_id, i FROM h WHERE hv % 32 = 0
+        |        UNION SELECT doc_id, n AS i FROM c WHERE n > 0),
+        |seg AS (SELECT doc_id, i AS e,
+        |          COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS b
+        |        FROM cut),
+        |ch AS (SELECT doc_id, substring(text, b + 1, e - b) AS chunk
+        |       FROM seg JOIN c USING (doc_id) WHERE e > b)
+        |SELECT md5(chunk) AS chunk_hash, CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ch WHERE length(chunk) >= 16
+        |GROUP BY chunk HAVING COUNT(*) >= 2
+        |ORDER BY n_occ DESC, chunk_hash LIMIT 100""".stripMargin,
+
+    // weighted lower-discrete quantile: smallest v with cumulative
+    // weight >= ceil(q*W); RANGE-framed running sum includes peers,
+    // matching "weight of all rows with value <= v"
+    "q_weighted_quantiles" ->
+      """WITH w AS (SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
+        |           FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+        |o AS (SELECT v, SUM(wt) OVER (ORDER BY v) AS cw, SUM(wt) OVER () AS tw
+        |      FROM w)
+        |SELECT q, MIN(v) AS v FROM (
+        |  SELECT CAST(0.25 AS DOUBLE) AS q, v FROM o
+        |    WHERE cw >= ceil(0.25 * tw)
+        |  UNION ALL
+        |  SELECT CAST(0.5 AS DOUBLE) AS q, v FROM o
+        |    WHERE cw >= ceil(0.5 * tw)
+        |  UNION ALL
+        |  SELECT CAST(0.95 AS DOUBLE) AS q, v FROM o
+        |    WHERE cw >= ceil(0.95 * tw))
+        |GROUP BY q ORDER BY q""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

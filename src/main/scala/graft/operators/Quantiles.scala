@@ -128,4 +128,102 @@ object Quantiles {
       }.toDF("q", "v")
     } finally base.unpersist()
   }
+
+  /** Weighted rank element: the smallest value v such that the total
+    * weight of all rows with value ≤ v reaches `k` — the same
+    * histogram-refinement scheme as [[rankElement]] with COUNT
+    * replaced by SUM(weight) everywhere (bucket sums, the narrowing
+    * walk, the bit-space fallback's cumulative probe). Weights must
+    * be non-negative integers (cast to long); zero-weight rows are
+    * ignored — they cannot carry rank mass. Driver state stays
+    * O(buckets) on every path; the collect fallback triggers on ROW
+    * count (weight never inflates driver memory). */
+  def weightedRankElement(df: DataFrame, valueCol: String, weightCol: String,
+      k: Long, buckets: Int = 1024, collectLimit: Long = 100000L): Double = {
+    require(k >= 1, s"rank must be >= 1, got $k")
+    var cur = df
+      .select((col(valueCol).cast("double") + lit(0.0)).as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .filter(col("v").isNotNull && col("wt") > 0).cache()
+    var rank = k
+    var iters = 0
+    try {
+      while (iters < 20) {
+        val head = cur
+          .agg(sum(col("wt")), min(col("v")), max(col("v")), count(lit(1)))
+          .head()
+        val tw = head.getLong(0)
+        require(rank <= tw, s"rank $rank exceeds total weight $tw")
+        val (lo, hi) = (head.getDouble(1), head.getDouble(2))
+        val nRows = head.getLong(3)
+        if (lo == hi) return lo
+        if (nRows <= collectLimit) {
+          val arr = cur.select(col("v"), col("wt")).collect()
+            .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+          var cum = 0L
+          var j = 0
+          while (j < arr.length) {
+            cum += arr(j)._2
+            if (cum >= rank) return arr(j)._1
+            j += 1
+          }
+          throw new IllegalStateException("unreachable: rank <= total weight")
+        }
+        val width = (hi - lo) / buckets
+        val bucketExpr = least(
+          floor((col("v") - lit(lo)) / lit(width)).cast("int"), lit(buckets - 1))
+        val sums = cur.groupBy(bucketExpr.as("b")).agg(sum(col("wt")).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        var cum = 0L
+        var chosen = -1
+        var below = 0L
+        var i = 0
+        while (i < buckets && chosen < 0) {
+          val c = sums.getOrElse(i, 0L)
+          if (cum + c >= rank && c > 0) { chosen = i; below = cum }
+          cum += c
+          i += 1
+        }
+        require(chosen >= 0, s"rank $rank not covered by bucket sums (total $cum)")
+        rank -= below
+        val next = cur.filter(bucketExpr === chosen).cache()
+        cur.unpersist()
+        cur = next
+        iters += 1
+      }
+      // stall fallback: binary search on ordered double bits, one
+      // cumulative-weight aggregate per step (≤64 passes)
+      val mm = cur.agg(min(col("v")), max(col("v"))).head()
+      var loB = ordBits(mm.getDouble(0))
+      var hiB = ordBits(mm.getDouble(1))
+      while (loB < hiB) {
+        val midB = (loB & hiB) + ((loB ^ hiB) >> 1)
+        val m = fromOrd(midB)
+        val cw = cur.filter(col("v") <= m)
+          .agg(coalesce(sum(col("wt")), lit(0L))).head().getLong(0)
+        if (cw >= rank) hiB = midB else loB = midB + 1
+      }
+      fromOrd(loB)
+    } finally cur.unpersist()
+  }
+
+  /** (q, v) rows for each q at rank = ceil(q · totalWeight) — the
+    * weighted lower-discrete quantile, the weight-aware analog of
+    * [[quantiles]]. */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+      qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select((col(valueCol).cast("double") + lit(0.0)).as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .filter(col("v").isNotNull && col("wt") > 0).cache()
+    try {
+      val tw = base.agg(coalesce(sum(col("wt")), lit(0L))).head().getLong(0)
+      qs.map { q =>
+        val k = math.ceil(q * tw).toLong
+        (q, weightedRankElement(base, "v", "wt", k))
+      }.toDF("q", "v")
+    } finally base.unpersist()
+  }
 }

@@ -135,6 +135,69 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("gear CDC chunks reconstruct the text and cut exactly at hash breakpoints") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(50).collect()
+    val chunked = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat_ws("", graft.functions.Cdc.gearChunks(col("text"))).as("j"))
+      .limit(50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("j")).toMap
+    docs.foreach { r =>
+      val text = r.getAs[String]("text")
+      val got = chunked(r.getAs[Long]("doc_id")).split("").toSeq
+      // conservation: chunks concatenate back to the document
+      assert(got.mkString("") == text)
+      // independent referee: recompute the rolling hash and the exact
+      // breakpoint set (h_i = 2h + gear(c) mod 2^32; cut at h%32==0)
+      val expected = scala.collection.mutable.ArrayBuffer[String]()
+      var h = 0L; var start = 0
+      text.indices.foreach { i =>
+        h = (h * 2 + (text.charAt(i).toLong * 2654435761L) % 4294967296L) % 4294967296L
+        if ((h & 31L) == 0L) { expected += text.substring(start, i + 1); start = i + 1 }
+      }
+      if (start < text.length) expected += text.substring(start)
+      assert(got == expected.toSeq, s"breakpoints diverge for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("q_cdc_chunks finds recurring chunks across known duplicate docs") {
+    val rows = Queries.qCdcChunks(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus has exact dups, so recurring chunks must exist")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_occ") >= 2 && r.getAs[Long]("n_docs") >= 1)
+      assert(r.getAs[Long]("chunk_len") >= 16)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occ"))
+    }
+    val occ = rows.map(_.getAs[Long]("n_occ"))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_weighted_quantiles matches a driver-side exact referee") {
+    val rows = Queries.qWeightedQuantiles(spark, sf).collect()
+    assert(rows.length == 3)
+    val data = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_extendedprice"),
+        org.apache.spark.sql.functions.col("l_quantity").cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1)
+    val tw = data.map(_._2).sum
+    rows.foreach { r =>
+      val q = r.getDouble(0); val v = r.getDouble(1)
+      val k = math.ceil(q * tw).toLong
+      var cum = 0L
+      val expect = data.find { case (_, w) => cum += w; cum >= k }.get._1
+      assert(v == expect, s"weighted quantile q=$q: got $v expect $expect")
+    }
+    // the weight skew must actually matter: weighted median differs
+    // from the unweighted one unless quantities were uniform
+    val n = data.length
+    val unweightedMedian = data((math.ceil(0.5 * n) - 1).toInt)._1
+    val wm = rows.find(_.getDouble(0) == 0.5).get.getDouble(1)
+    assert(wm != unweightedMedian || data.map(_._2).distinct.length == 1)
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
