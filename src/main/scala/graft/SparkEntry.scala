@@ -2182,6 +2182,81 @@ object Queries {
       Tables.lineitem(s, dir).select(col("l_extendedprice"), col("l_quantity")),
       "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.95))
 
+  /** Leave-one-out source ablation: for every data domain, what the
+    * corpus-level metric (mean words/doc, exact integer ppm) becomes
+    * WITHOUT that domain — the bookkeeping half of a mixture ablation
+    * study (the counterpart of q_domain_mix's weighting: before
+    * re-weighting a domain, quantify what its removal does to the
+    * aggregate). delta_ppm > 0 means the domain was dragging the
+    * metric down. All leave-one-out values come from ONE aggregation:
+    * LOO(mean) = (T − t_s)/(N − n_s) needs only per-source and global
+    * sufficient statistics — no per-domain rescan, which is what
+    * makes a 20-domain ablation one pass instead of 20.
+    *
+    * Scale shape: one groupBy(source) over the corpus, a 1-row
+    * broadcast of the totals, arithmetic in decimal(38,0) (words·10⁶
+    * passes BIGINT near 10¹³ words), BIGINT emit. */
+  def qSourceAblation(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"))
+    val tot = per.agg(sum(col("n_docs")).as("t_docs"), sum(col("n_words")).as("t_words"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        expr("CAST((CAST(t_words AS DECIMAL(38,0)) * 1000000) div t_docs AS BIGINT)")
+          .as("full_mean_ppm"),
+        expr("CAST((CAST(t_words - n_words AS DECIMAL(38,0)) * 1000000) div " +
+          "nullif(t_docs - n_docs, 0) AS BIGINT)").as("loo_mean_ppm"))
+      .withColumn("delta_ppm", col("loo_mean_ppm") - col("full_mean_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Functional-dependency discovery — the profiling question "does
+    * column A determine column B?" answered exactly for a candidate
+    * set, with violation counts (how broken, not just whether): a
+    * governance/migration tool uses the held FDs as constraints and
+    * the violated ones as data-quality findings. Each candidate is
+    * one aggregation pass: group by the LHS, count distinct RHS
+    * values per group, roll up groups/violations/worst-case fan-out.
+    *
+    * Scale shape: one map-side-combined aggregate per candidate (the
+    * countDistinct expands to a two-phase agg on (lhs, rhs) — still
+    * linear, no joins); candidates are independent, so Spark runs
+    * the four branches of the union concurrently. */
+  def qFdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    def fd(df: DataFrame, name: String, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("nd")).as("max_rhs"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          col("max_rhs"),
+          when(col("n_violating") === 0, 1L).otherwise(0L).as("holds"))
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    fd(l, "l_orderkey->l_shipdate", "l_orderkey", "l_shipdate")
+      .unionAll(fd(l, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+      .unionAll(fd(l, "l_suppkey->l_partkey", "l_suppkey", "l_partkey"))
+      .unionAll(fd(o, "o_orderkey->o_custkey", "o_orderkey", "o_custkey"))
+      .orderBy(col("fd"))
+  }
+
+  /** Eval-side leakage report — the symmetric rollup of
+    * q_decontaminate: per BENCHMARK item, how many of its 4-grams
+    * appear in the training corpus and how many training documents
+    * carry them. Decontamination scrubs the training side; this
+    * drives the other decision (exclude or discount the eval item).
+    * Same broadcast shape: eval shingles broadcast, corpus streams. */
+  def qEvalLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    operators.TextPrep.evalLeakage(
+        docs.filter(pmod(col("doc_id"), lit(13)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(13)) === 0),
+        "doc_id", "text", 4)
+      .orderBy(col("eval_id"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -3106,6 +3181,9 @@ object Queries {
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
+    "q_source_ablation" -> (qSourceAblation _),
+    "q_fd_discovery" -> (qFdDiscovery _),
+    "q_eval_leakage" -> (qEvalLeakage _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -4463,6 +4541,64 @@ object Queries {
         |  SELECT CAST(0.95 AS DOUBLE) AS q, v FROM o
         |    WHERE cw >= ceil(0.95 * tw))
         |GROUP BY q ORDER BY q""".stripMargin,
+
+    // LOO(mean) from sufficient statistics: (T - t_s)/(N - n_s) in
+    // exact integer ppm; HUGEINT mirrors the decimal(38,0) internal
+    "q_source_ablation" ->
+      """WITH d AS (SELECT source, len(string_split(text, ' ')) AS nw FROM documents),
+        |per AS (SELECT source, COUNT(*) AS n_docs, SUM(nw) AS n_words
+        |        FROM d GROUP BY source),
+        |tot AS (SELECT SUM(n_docs) AS t_docs, SUM(n_words) AS t_words FROM per)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(CAST(t_words AS HUGEINT) * 1000000 // t_docs AS BIGINT)
+        |    AS full_mean_ppm,
+        |  CAST(CAST(t_words - n_words AS HUGEINT) * 1000000
+        |    // nullif(t_docs - n_docs, 0) AS BIGINT) AS loo_mean_ppm,
+        |  CAST(CAST(t_words - n_words AS HUGEINT) * 1000000
+        |      // nullif(t_docs - n_docs, 0)
+        |    - CAST(t_words AS HUGEINT) * 1000000 // t_docs AS BIGINT) AS delta_ppm
+        |FROM per, tot ORDER BY source""".stripMargin,
+
+    // each candidate FD = one grouped distinct-count rollup
+    "q_fd_discovery" ->
+      """WITH f1 AS (SELECT 'l_orderkey->l_shipdate' AS fd, COUNT(*) AS n_groups,
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating, MAX(nd) AS max_rhs
+        |  FROM (SELECT l_orderkey, COUNT(DISTINCT l_shipdate) AS nd
+        |        FROM lineitem GROUP BY l_orderkey)),
+        |f2 AS (SELECT 'l_partkey->l_suppkey' AS fd, COUNT(*) AS n_groups,
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating, MAX(nd) AS max_rhs
+        |  FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS nd
+        |        FROM lineitem GROUP BY l_partkey)),
+        |f3 AS (SELECT 'l_suppkey->l_partkey' AS fd, COUNT(*) AS n_groups,
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating, MAX(nd) AS max_rhs
+        |  FROM (SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS nd
+        |        FROM lineitem GROUP BY l_suppkey)),
+        |f4 AS (SELECT 'o_orderkey->o_custkey' AS fd, COUNT(*) AS n_groups,
+        |    SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating, MAX(nd) AS max_rhs
+        |  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nd
+        |        FROM orders GROUP BY o_orderkey))
+        |SELECT fd, CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(n_violating AS BIGINT) AS n_violating,
+        |  CAST(max_rhs AS BIGINT) AS max_rhs,
+        |  CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |      UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+        |ORDER BY fd""".stripMargin,
+
+    // symmetric rollup of q_decontaminate, grouped by the eval item
+    "q_eval_leakage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |s4 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 4 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-3),
+        |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]))
+        |  ELSE [] END) gram FROM w),
+        |ev AS (SELECT doc_id eval_id, gram FROM s4 WHERE doc_id % 13 = 0),
+        |tr AS (SELECT doc_id train_id, gram FROM s4 WHERE doc_id % 13 <> 0)
+        |SELECT eval_id, COUNT(DISTINCT tr.gram) AS n_leaked_ngrams,
+        |  COUNT(DISTINCT tr.train_id) AS n_train_docs
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

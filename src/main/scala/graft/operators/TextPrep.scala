@@ -202,18 +202,37 @@ object TextPrep {
     * collisions vanish, short enough to survive light paraphrase
     * (the 13-gram convention needs longer documents than this
     * synthetic corpus). */
+  private def shingledIds(df: DataFrame, idCol: String, textCol: String,
+      n: Int, as: String): DataFrame =
+    Dedup.withShingles(df.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol).as(as), explode_outer(col("sh")).as("gram"))
+      .filter(col("gram").isNotNull)
+
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 8): DataFrame = {
-    def shingled(df: DataFrame, as: String) =
-      Dedup.withShingles(df.select(col(idCol), col(textCol)), textCol, n)
-        .select(col(idCol).as(as), explode_outer(col("sh")).as("gram"))
-        .filter(col("gram").isNotNull)
-    shingled(train, "train_id")
-      .join(broadcast(shingled(eval, "eval_id").distinct()), "gram")
+      textCol: String, n: Int = 8): DataFrame =
+    shingledIds(train, idCol, textCol, n, "train_id")
+      .join(broadcast(shingledIds(eval, idCol, textCol, n, "eval_id").distinct()),
+        "gram")
       .groupBy(col("train_id"))
       .agg(countDistinct(col("gram")).as("n_shared_ngrams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
-  }
+
+  /** The eval-side rollup of [[decontaminate]]: per BENCHMARK item,
+    * how compromised is it — how many of its n-grams leak into the
+    * training corpus, and how many distinct training documents carry
+    * them. The decision this feeds is the opposite one (drop the eval
+    * item / discount its score, rather than scrub the training doc).
+    * Same join shape: the eval shingle relation broadcasts, the
+    * corpus relation streams past it, so the corpus is never
+    * shuffled. */
+  def evalLeakage(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame =
+    shingledIds(train, idCol, textCol, n, "train_id")
+      .join(broadcast(shingledIds(eval, idCol, textCol, n, "eval_id").distinct()),
+        "gram")
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("gram")).as("n_leaked_ngrams"),
+        countDistinct(col("train_id")).as("n_train_docs"))
 
   /** Regex PII scrubbing: emails and phone-shaped digit runs replaced
     * with typed placeholders. Patterns restricted to character

@@ -198,6 +198,67 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(wm != unweightedMedian || data.map(_._2).distinct.length == 1)
   }
 
+  test("q_source_ablation leave-one-out arithmetic is exact") {
+    val rows = Queries.qSourceAblation(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").split(" ").length.toLong))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    val tDocs = docs.length.toLong
+    val tWords = docs.map(_._2).sum
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nd, nw) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"))
+      val mine = docs.filter(_._1 == src)
+      assert(mine.length.toLong == nd && mine.map(_._2).sum == nw)
+      val full = BigInt(tWords) * 1000000 / BigInt(tDocs)
+      val loo = BigInt(tWords - nw) * 1000000 / BigInt(tDocs - nd)
+      assert(BigInt(r.getAs[Long]("full_mean_ppm")) == full)
+      assert(BigInt(r.getAs[Long]("loo_mean_ppm")) == loo)
+      assert(BigInt(r.getAs[Long]("delta_ppm")) == loo - full)
+    }
+  }
+
+  test("q_fd_discovery: primary-key FD holds, violation counts referee") {
+    val rows = Queries.qFdDiscovery(spark, sf).collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    assert(rows.size == 4)
+    // o_orderkey is the orders primary key: the FD must hold exactly
+    val pk = rows("o_orderkey->o_custkey")
+    assert(pk.getAs[Long]("holds") == 1L && pk.getAs[Long]("n_violating") == 0L
+      && pk.getAs[Long]("max_rhs") == 1L)
+    // driver referee for one non-trivial candidate
+    val li = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    val got = rows("l_partkey->l_suppkey")
+    assert(got.getAs[Long]("n_groups") == byPart.size.toLong)
+    assert(got.getAs[Long]("n_violating") == byPart.values.count(_ > 1).toLong)
+    assert(got.getAs[Long]("max_rhs") == byPart.values.max.toLong)
+  }
+
+  test("q_eval_leakage reports only eval docs, refereed per item") {
+    val rows = Queries.qEvalLeakage(spark, sf).collect()
+    assert(rows.nonEmpty, "the known-dup corpus must leak at least one 4-gram")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eval_id") % 13 == 0)
+      assert(r.getAs[Long]("n_leaked_ngrams") >= 1 && r.getAs[Long]("n_train_docs") >= 1)
+    }
+    // driver referee on the first reported eval item
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val evalId = rows.head.getAs[Long]("eval_id")
+    val eg = grams(docs.find(_._1 == evalId).get._2)
+    val train = docs.filter(_._1 % 13 != 0)
+    val leakedDistinct = train.flatMap { case (_, t) => grams(t).intersect(eg) }.distinct.size
+    val carriers = train.count { case (_, t) => grams(t).intersect(eg).nonEmpty }
+    assert(rows.head.getAs[Long]("n_leaked_ngrams") == leakedDistinct.toLong)
+    assert(rows.head.getAs[Long]("n_train_docs") == carriers.toLong)
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
