@@ -2257,6 +2257,24 @@ object Queries {
       .orderBy(col("eval_id"))
   }
 
+  /** Opt-in approximate-distinct rewrite, exercised end-to-end: the
+    * query ASKS for an exact `count(DISTINCT o_custkey)` per order
+    * status, and [[graft.plans.ApproxDistinctRule]] (registered on an
+    * isolated child session) swaps the Expand-based exact pipeline —
+    * whose intermediate state is one row per distinct value — for the
+    * engine-deterministic 256-counter HLL estimator in the OPTIMIZER.
+    * The oracle computes the same estimator in SQL, so the hash-match
+    * proves the rewritten plan is the sketch, bit for bit.
+    * ApproxDistinctSpec asserts the plan actually rewrote (no
+    * distinct aggregate survives) and pins the non-rewrite guards. */
+  def qApproxRewrite(s: SparkSession, dir: String): DataFrame = {
+    val as = graft.plans.ApproxDistinct.sessionWith(s)
+    Tables.orders(as, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_custkeys_est"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -3184,6 +3202,7 @@ object Queries {
     "q_source_ablation" -> (qSourceAblation _),
     "q_fd_discovery" -> (qFdDiscovery _),
     "q_eval_leakage" -> (qEvalLeakage _),
+    "q_approx_rewrite" -> (qApproxRewrite _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -4599,6 +4618,29 @@ object Queries {
         |  COUNT(DISTINCT tr.train_id) AS n_train_docs
         |FROM tr JOIN ev USING (gram)
         |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
+
+    // the optimizer-rewritten HLL, mirrored in SQL: the hash-match is
+    // the proof that the rewrite produced exactly the sketch
+    "q_approx_rewrite" -> {
+      import graft.operators.Sketches
+      val lcTable = Sketches.HllLinearTable.mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT o_orderstatus, (_h >> 24) AS bucket,
+         |    ${Sketches.hllRhoSql("(_h & 16777215)")} AS rho
+         |  FROM (SELECT o_orderstatus,
+         |    ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,8))::BIGINT AS _h
+         |    FROM orders)),
+         |m AS (SELECT o_orderstatus, bucket, MAX(rho) AS maxrho
+         |  FROM b GROUP BY o_orderstatus, bucket),
+         |agg AS (SELECT o_orderstatus, COUNT(*) AS n_buckets_hit,
+         |    ${Sketches.HllNumerator} /
+         |      (SUM(1.0 / CAST(1::BIGINT << maxrho AS DOUBLE)) + (256 - COUNT(*))) AS raw
+         |  FROM m GROUP BY o_orderstatus)
+         |SELECT o_orderstatus,
+         |  CAST(floor(CASE WHEN raw <= ${2.5 * Sketches.HllM} AND n_buckets_hit < 256
+         |       THEN ($lcTable)[256 - n_buckets_hit]
+         |       ELSE raw END) AS BIGINT) AS n_custkeys_est
+         |FROM agg ORDER BY o_orderstatus""".stripMargin
+    },
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte
