@@ -2275,6 +2275,60 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Contrastive training-pair generation: (anchor, positive,
+    * negatives) triplets for embedding/retrieval training. Positives
+    * are VERIFIED near-duplicates (LSH candidates passing the exact
+    * integer Jaccard test 2·|A∩B| ≥ |A∪B| — no double threshold to
+    * wobble); each anchor takes its smallest-id verified partner.
+    * Negatives are the hard part at scale: "pick k random docs per
+    * anchor" naively needs an anchor×corpus pairing. Here both sides
+    * hash into B buckets (md5-derived, engine-neutral) and pairing
+    * happens WITHIN buckets only — per-anchor candidates are one
+    * bucket of the corpus, the standard linear-cost trick (B grows
+    * with the corpus, bucket size stays constant). Per anchor: 2
+    * negatives from a DIFFERENT source (cheap hard-negative
+    * heuristic), ranked by md5(anchor|neg) — deterministic on any
+    * cluster, any partitioning.
+    *
+    * Scale shape: candidate generation is the audited LSH banding;
+    * verification touches candidates only; the negative join shuffles
+    * on the bucket key; ranking windows partition per anchor and hold
+    * one bucket's rows. No stage is quadratic in the corpus. */
+  def qContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = minhashSigned(s, dir)
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.Shingles.shingles(col("text"), 3).as("sh"))
+    val verified = cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("u", size(col("sh_a")) + size(col("sh_b")) - col("i"))
+      .filter(col("i") * 2 >= col("u"))
+      .select(col("id_a"), col("id_b"))
+    val anchors = verified.select(col("id_a").as("anchor_id"), col("id_b").as("partner"))
+      .unionAll(verified.select(col("id_b").as("anchor_id"), col("id_a").as("partner")))
+      .groupBy(col("anchor_id")).agg(min(col("partner")).as("pos_id"))
+    val nBuckets = 16
+    val ds = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val ab = anchors
+      .join(ds.select(col("doc_id").as("anchor_id"), col("source").as("a_src")), "anchor_id")
+      .withColumn("bkt", pmod(Sketches.hash32(col("anchor_id")), lit(nBuckets.toLong)))
+    val nb = ds.select(col("doc_id").as("neg_id"), col("source").as("n_src"))
+      .withColumn("bkt", pmod(Sketches.hash32(col("neg_id")), lit(nBuckets.toLong)))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(md5(concat(col("anchor_id").cast("string"), lit("|"),
+        col("neg_id").cast("string"))), col("neg_id"))
+    ab.join(nb, "bkt")
+      .filter(col("n_src") =!= col("a_src") &&
+        col("neg_id") =!= col("anchor_id") && col("neg_id") =!= col("pos_id"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 2)
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("neg_rank"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -3203,6 +3257,7 @@ object Queries {
     "q_fd_discovery" -> (qFdDiscovery _),
     "q_eval_leakage" -> (qEvalLeakage _),
     "q_approx_rewrite" -> (qApproxRewrite _),
+    "q_contrastive_pairs" -> (qContrastivePairs _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -4641,6 +4696,35 @@ object Queries {
          |       ELSE raw END) AS BIGINT) AS n_custkeys_est
          |FROM agg ORDER BY o_orderstatus""".stripMargin
     },
+
+    // verified positives via integer jaccard (2I >= U — no double
+    // threshold), hash-bucketed different-source negatives ranked by
+    // md5(anchor|neg); bucket arithmetic mirrors Sketches.hash32
+    "q_contrastive_pairs" ->
+      s"""WITH $minhashCte,
+         |ver AS (SELECT id_a, id_b FROM cand
+         |  JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+         |  WHERE 2 * len(list_intersect(sa.sh, sb.sh)) >=
+         |    len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+         |anch AS (SELECT anchor_id, MIN(partner) AS pos_id FROM (
+         |    SELECT id_a AS anchor_id, id_b AS partner FROM ver
+         |    UNION ALL SELECT id_b, id_a FROM ver)
+         |  GROUP BY anchor_id),
+         |ds AS (SELECT doc_id, source FROM documents),
+         |ab AS (SELECT anchor_id, pos_id, source AS a_src,
+         |    ('0x'||substr(md5(CAST(anchor_id AS VARCHAR)),1,8))::BIGINT % 16 AS bkt
+         |  FROM anch JOIN ds ON anchor_id = ds.doc_id),
+         |nb AS (SELECT doc_id AS neg_id, source AS n_src,
+         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS bkt
+         |  FROM ds),
+         |j AS (SELECT anchor_id, pos_id, neg_id,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |      ORDER BY md5(CAST(anchor_id AS VARCHAR)||'|'||CAST(neg_id AS VARCHAR)),
+         |        neg_id) AS rn
+         |  FROM ab JOIN nb USING (bkt)
+         |  WHERE n_src != a_src AND neg_id != anchor_id AND neg_id != pos_id)
+         |SELECT anchor_id, pos_id, neg_id, CAST(rn AS BIGINT) AS neg_rank
+         |FROM j WHERE rn <= 2 ORDER BY anchor_id, neg_rank""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

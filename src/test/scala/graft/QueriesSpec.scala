@@ -259,6 +259,29 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head.getAs[Long]("n_train_docs") == carriers.toLong)
   }
 
+  test("q_contrastive_pairs emits valid deterministic triplets") {
+    val rows = Queries.qContrastivePairs(spark, sf).collect()
+    assert(rows.nonEmpty, "the known near-dup corpus must yield anchors")
+    val srcOf = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    rows.foreach { r =>
+      val a = r.getAs[Long]("anchor_id"); val p = r.getAs[Long]("pos_id")
+      val n = r.getAs[Long]("neg_id"); val rk = r.getAs[Long]("neg_rank")
+      assert(a != p && n != a && n != p)
+      assert(rk == 1L || rk == 2L)
+      // negatives come from a different source than the anchor
+      assert(srcOf(n) != srcOf(a), s"negative $n shares the anchor's source")
+    }
+    // at most 2 negatives per anchor, ranks form a prefix
+    rows.groupBy(_.getAs[Long]("anchor_id")).foreach { case (a, rs) =>
+      val rks = rs.map(_.getAs[Long]("neg_rank")).sorted
+      assert(rks.sameElements(1L to rks.length.toLong), s"anchor $a ranks $rks")
+    }
+    // deterministic across runs
+    val again = Queries.qContrastivePairs(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
