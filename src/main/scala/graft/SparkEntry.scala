@@ -2290,10 +2290,17 @@ object Queries {
     * heuristic), ranked by md5(anchor|neg) — deterministic on any
     * cluster, any partitioning.
     *
+    * B is DATA-DEPENDENT — greatest(16, n_docs div 500) — so buckets
+    * stay ≈500 docs at every corpus size; a fixed B would make the
+    * pairing join quadratic (measured: the first sf1.0 sweep ran
+    * B=16 at 15.2× the sf0.1 time; this formula restores linear).
+    * The oracle computes B with the identical integer formula, so
+    * determinism survives the scaling rule.
+    *
     * Scale shape: candidate generation is the audited LSH banding;
     * verification touches candidates only; the negative join shuffles
     * on the bucket key; ranking windows partition per anchor and hold
-    * one bucket's rows. No stage is quadratic in the corpus. */
+    * one ≈500-row bucket. No stage is quadratic in the corpus. */
   def qContrastivePairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sig = minhashSigned(s, dir)
@@ -2310,13 +2317,13 @@ object Queries {
     val anchors = verified.select(col("id_a").as("anchor_id"), col("id_b").as("partner"))
       .unionAll(verified.select(col("id_b").as("anchor_id"), col("id_a").as("partner")))
       .groupBy(col("anchor_id")).agg(min(col("partner")).as("pos_id"))
-    val nBuckets = 16
     val ds = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val nBuckets = math.max(16L, ds.count() / 500L)
     val ab = anchors
       .join(ds.select(col("doc_id").as("anchor_id"), col("source").as("a_src")), "anchor_id")
-      .withColumn("bkt", pmod(Sketches.hash32(col("anchor_id")), lit(nBuckets.toLong)))
+      .withColumn("bkt", pmod(Sketches.hash32(col("anchor_id")), lit(nBuckets)))
     val nb = ds.select(col("doc_id").as("neg_id"), col("source").as("n_src"))
-      .withColumn("bkt", pmod(Sketches.hash32(col("neg_id")), lit(nBuckets.toLong)))
+      .withColumn("bkt", pmod(Sketches.hash32(col("neg_id")), lit(nBuckets)))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(md5(concat(col("anchor_id").cast("string"), lit("|"),
         col("neg_id").cast("string"))), col("neg_id"))
@@ -4711,11 +4718,14 @@ object Queries {
          |    UNION ALL SELECT id_b, id_a FROM ver)
          |  GROUP BY anchor_id),
          |ds AS (SELECT doc_id, source FROM documents),
+         |bc AS (SELECT greatest(16, COUNT(*) // 500) AS b FROM documents),
          |ab AS (SELECT anchor_id, pos_id, source AS a_src,
-         |    ('0x'||substr(md5(CAST(anchor_id AS VARCHAR)),1,8))::BIGINT % 16 AS bkt
+         |    ('0x'||substr(md5(CAST(anchor_id AS VARCHAR)),1,8))::BIGINT
+         |      % (SELECT b FROM bc) AS bkt
          |  FROM anch JOIN ds ON anchor_id = ds.doc_id),
          |nb AS (SELECT doc_id AS neg_id, source AS n_src,
-         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS bkt
+         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         |      % (SELECT b FROM bc) AS bkt
          |  FROM ds),
          |j AS (SELECT anchor_id, pos_id, neg_id,
          |    ROW_NUMBER() OVER (PARTITION BY anchor_id
