@@ -190,4 +190,64 @@ object StreamOps {
             summarize(batch), Some(batchId))
       }
       .start()
+
+  /** Count-min sketch kept current under streaming ingest — "which
+    * items are hot RIGHT NOW" without ever storing per-item state.
+    * Each micro-batch contributes its own d×w counter table (built
+    * distributed by [[graft.operators.Sketches.cmsCounters]], map-side
+    * combined) and the maintainer merges it CELL-WISE — CMS merge is
+    * exact addition, so the maintained sketch is bit-identical to the
+    * batch sketch over the full history, which is what the spec pins.
+    *
+    * Replay safety mirrors [[maintainMv]]: a micro-batch id ≤ the
+    * last merged id no-ops, so foreachBatch's at-least-once redelivery
+    * becomes effectively-once merging.
+    *
+    * Driver state is the sketch geometry — ≤ d·w = 4096 cells,
+    * CONSTANT in stream length — materialized locally each merge to
+    * cut the streaming lineage (an audited bounded collect, same
+    * class as the quantile bucket maps). */
+  final class CmsMaintainer(spark: SparkSession) {
+    @volatile private var counters: Option[DataFrame] = None
+    @volatile private var lastMergedBatch: Long = -1L
+
+    private[graft] def merge(delta: DataFrame, batchId: Long): Unit =
+      synchronized {
+        if (batchId <= lastMergedBatch) return // replayed batch: no-op
+        val merged = counters match {
+          case None => delta
+          case Some(cur) => cur.union(delta)
+            .groupBy(col("row_idx"), col("cell"))
+            .agg(sum(col("cnt")).as("cnt"))
+        }
+        val local = merged.collect() // bounded: <= CmsD * CmsW rows
+        counters = Some(spark.createDataFrame(
+          java.util.Arrays.asList(local: _*), merged.schema))
+        lastMergedBatch = batchId
+      }
+
+    /** The maintained d×w counter table (empty before the first
+      * merge). */
+    def counterTable: DataFrame = counters.getOrElse {
+      import spark.implicits._
+      Seq.empty[(Int, Long, Long)].toDF("row_idx", "cell", "cnt")
+    }
+
+    /** Point-query the maintained sketch for the candidate items. */
+    def estimates(candidates: DataFrame, itemCol: String): DataFrame =
+      graft.operators.Sketches.cmsEstimate(candidates, itemCol, counterTable)
+  }
+
+  /** Start maintaining `store` from a streaming item relation. */
+  def maintainCms(items: DataFrame, itemCol: String, store: CmsMaintainer,
+      checkpoint: String) =
+    items.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          store.merge(graft.operators.Sketches.cmsCounters(batch, itemCol),
+            batchId)
+      }
+      .start()
 }

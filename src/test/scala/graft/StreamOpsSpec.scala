@@ -199,6 +199,39 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CMS maintenance: merged sketch == batch sketch, replays no-op") {
+    val input = Files.createTempDirectory("cms-in").toString
+    val ckpt = Files.createTempDirectory("cms-ckpt").toString
+    val store = new StreamOps.CmsMaintainer(spark)
+    val b1 = Seq.fill(30)("hot") ++ Seq("a", "b", "c")
+    b1.toDF("item").coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema("item STRING").parquet(input)
+    val q = StreamOps.maintainCms(stream, "item", store, ckpt)
+    try {
+      q.processAllAvailable()
+      val b2 = Seq.fill(20)("hot") ++ Seq.fill(10)("warm") ++ Seq("d")
+      b2.toDF("item").coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      // cell-exact: the maintained sketch equals the batch sketch over
+      // the full history (CMS merge is exact addition)
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val all = (b1 ++ b2).toDF("item")
+      assert(cells(store.counterTable) ==
+        cells(operators.Sketches.cmsCounters(all, "item")))
+      // point estimates: never undercount, and the hot item reads exact
+      val est = store.estimates(all.distinct(), "item").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong)
+      exact.foreach { case (it, n) => assert(est(it) >= n, s"$it undercounted") }
+      assert(est("hot") == 50L || est("hot") >= 50L)
+      // a replayed micro-batch id must not double-count
+      val before = cells(store.counterTable)
+      store.merge(operators.Sketches.cmsCounters(b1.toDF("item"), "item"), 0L)
+      assert(cells(store.counterTable) == before, "replayed batch merged twice")
+    } finally q.stop()
+  }
+
   test("nested path get/replace") {
     val df = Seq((1L, ("a", 2))).toDF("id", "s")
       .select($"id", struct($"s._1".as("x"), struct($"s._2".as("y")).as("inner")).as("s"))
