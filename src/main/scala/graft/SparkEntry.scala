@@ -2336,6 +2336,35 @@ object Queries {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** Winsorized robust aggregate: clip the value distribution at its
+    * exact 1st/99th percentiles, then aggregate the clipped column —
+    * the standard outlier-robust mean/sum (tail values are capped,
+    * not dropped, so totals stay comparable). The clip boundaries are
+    * the [[operators.Quantiles.rankElement]] exact rank elements
+    * (rank = ceil(q·n), never a global sort) folded into the clip
+    * projection as literals — the same no-join composition as
+    * q_curriculum. One final single-group aggregate; the sum routes
+    * through DECIMAL(18,2) on both engines (raw double sums are
+    * partition-order sensitive). */
+  def qWinsorized(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+    val n = li.filter(col("v").isNotNull).count()
+    val lo = Quantiles.rankElement(li, "v", math.ceil(0.01 * n).toLong)
+    val hi = Quantiles.rankElement(li, "v", math.ceil(0.99 * n).toLong)
+    li.filter(col("v").isNotNull)
+      .select(
+        when(col("v") < lit(lo), lit(lo))
+          .when(col("v") > lit(hi), lit(hi))
+          .otherwise(col("v")).as("w"),
+        col("v"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < lit(lo), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("v") > lit(hi), 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(col("w").cast(dec)).cast("double").as("sum_winsorized"),
+        min(col("w")).as("lo_bound"), max(col("w")).as("hi_bound"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -3265,6 +3294,7 @@ object Queries {
     "q_eval_leakage" -> (qEvalLeakage _),
     "q_approx_rewrite" -> (qApproxRewrite _),
     "q_contrastive_pairs" -> (qContrastivePairs _),
+    "q_winsorized" -> (qWinsorized _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -4735,6 +4765,26 @@ object Queries {
          |  WHERE n_src != a_src AND neg_id != anchor_id AND neg_id != pos_id)
          |SELECT anchor_id, pos_id, neg_id, CAST(rn AS BIGINT) AS neg_rank
          |FROM j WHERE rn <= 2 ORDER BY anchor_id, neg_rank""".stripMargin,
+
+    // exact winsorization: clip bounds at rank ceil(q*n) (the engine's
+    // rank-element rule), DECIMAL(18,2)-routed sum of the clipped col
+    "q_winsorized" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+        |        COUNT(*) OVER () AS n FROM v),
+        |b AS (SELECT
+        |    MAX(CASE WHEN rn = CAST(ceil(0.01 * n) AS BIGINT) THEN v END) AS lo,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS hi
+        |  FROM r)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |  CAST(SUM(CAST(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized,
+        |  MIN(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) AS lo_bound,
+        |  MAX(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) AS hi_bound
+        |FROM v, b""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

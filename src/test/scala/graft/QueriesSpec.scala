@@ -282,6 +282,27 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_winsorized clips at exact percentile bounds, refereed on the driver") {
+    val row = Queries.qWinsorized(spark, sf).collect().head
+    val vs = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_extendedprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vs.length
+    val lo = vs(math.ceil(0.01 * n).toInt - 1)
+    val hi = vs(math.ceil(0.99 * n).toInt - 1)
+    assert(row.getAs[Long]("n") == n.toLong)
+    assert(row.getAs[Double]("lo_bound") == lo)
+    assert(row.getAs[Double]("hi_bound") == hi)
+    assert(row.getAs[Long]("n_clipped_lo") == vs.count(_ < lo).toLong)
+    assert(row.getAs[Long]("n_clipped_hi") == vs.count(_ > hi).toLong)
+    val expectSum = vs.map(v => BigDecimal(math.max(lo, math.min(hi, v)))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(math.abs(row.getAs[Double]("sum_winsorized") - expectSum.toDouble) <
+      1e-6 * math.abs(expectSum.toDouble))
+    // clipping must actually engage on both tails
+    assert(row.getAs[Long]("n_clipped_lo") > 0 && row.getAs[Long]("n_clipped_hi") > 0)
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
