@@ -2365,6 +2365,80 @@ object Queries {
         min(col("w")).as("lo_bound"), max(col("w")).as("hi_bound"))
   }
 
+  /** Markov transition matrix over the event stream: per (src, dst)
+    * event-type pair, how often dst follows src for the same user,
+    * with the transition probability in exact integer ppm — the
+    * next-event model a product-analytics stack derives before any
+    * sequence model. One lead() in a per-user window (single key
+    * shuffle, same shape as q_event_paths), then a hash aggregate;
+    * the per-src normalization window runs on the AGGREGATED
+    * |types|² relation — bounded cardinality, not the stream. */
+  def qMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val wSrc = Window.partitionBy(col("src"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("src_total", sum(col("n")).over(wSrc))
+      .select(col("src"), col("dst"), col("n"),
+        expr("CAST((n * 1000000) div src_total AS BIGINT)").as("prob_ppm"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Frequent item PAIRS (market-basket level 2): parts that co-occur
+    * in the same order, with support counts — the Apriori second
+    * level, which is where basket analysis actually starts paying.
+    * The self-join is keyed on the ORDER (co-partitioned equi-join),
+    * and baskets are smallint-sized (TPC-H orders hold ≤ 7 items), so
+    * per-order pair fan-out is bounded ≈ 21 and the whole query is
+    * linear in lineitems — the classic shape that stays linear at
+    * 100 TB because pair space is per-basket, never corpus-wide. */
+  def qItemsetPairs(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    items.select(col("ok"), col("pk").as("p_a"))
+      .join(items.select(col("ok"), col("pk").as("p_b")), "ok")
+      .filter(col("p_a") < col("p_b"))
+      .groupBy(col("p_a"), col("p_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("p_a"), col("p_b"))
+      .limit(50)
+  }
+
+  /** One-hop neighborhood aggregation (the message-passing primitive
+    * a GNN feature pipeline runs): per node of the customer–supplier
+    * graph, the average out-degree of its neighbors in exact integer
+    * ppm. Same bipartite edge construction as q_pagerank (integer
+    * node ids, both directions from one scan); degree relation joins
+    * back on the edge dst — two shuffles total, both on node keys.
+    * decimal(38,0) internal for the Σdeg·10⁶ product (Σdeg ≤ |E| can
+    * reach 10¹² at 100 TB; ×10⁶ brushes the BIGINT ceiling). */
+  def qNeighborAgg(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sup"))
+      .distinct()
+    val sym = e0.select(explode(array(
+        struct(col("c").as("src"), col("sup").as("dst")),
+        struct(col("sup").as("src"), col("c").as("dst")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    sym.join(deg.select(col("node").as("dst"), col("deg").as("dst_deg")), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("dst_deg")).as("sum_deg"))
+      .select(col("node"), col("n_neighbors"),
+        expr("CAST((CAST(sum_deg AS DECIMAL(38,0)) * 1000000) div n_neighbors AS BIGINT)")
+          .as("avg_nbr_deg_ppm"))
+      .orderBy(col("node"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -3295,6 +3369,9 @@ object Queries {
     "q_approx_rewrite" -> (qApproxRewrite _),
     "q_contrastive_pairs" -> (qContrastivePairs _),
     "q_winsorized" -> (qWinsorized _),
+    "q_markov_transitions" -> (qMarkovTransitions _),
+    "q_itemset_pairs" -> (qItemsetPairs _),
+    "q_neighbor_agg" -> (qNeighborAgg _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -4785,6 +4862,44 @@ object Queries {
         |  MIN(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) AS lo_bound,
         |  MAX(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) AS hi_bound
         |FROM v, b""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id,
+        |    event_type FROM events),
+        |p AS (SELECT event_type AS src,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS dst
+        |  FROM e),
+        |tr AS (SELECT src, dst, COUNT(*) AS n FROM p
+        |       WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT)
+        |    AS prob_ppm
+        |FROM tr ORDER BY src, dst""".stripMargin,
+
+    "q_itemset_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |p AS (SELECT a.pk AS p_a, b.pk AS p_b
+        |      FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT p_a, p_b, CAST(COUNT(*) AS BIGINT) AS support
+        |FROM p GROUP BY p_a, p_b
+        |HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, p_a, p_b LIMIT 50""".stripMargin,
+
+    // same bipartite edge construction as q_pagerank; HUGEINT mirrors
+    // the decimal(38,0) internal product
+    "q_neighbor_agg" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sup
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sym AS (SELECT c AS src, sup AS dst FROM e0
+        |        UNION ALL SELECT sup AS src, c AS dst FROM e0),
+        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src)
+        |SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+        |  CAST(CAST(SUM(d.deg) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS avg_nbr_deg_ppm
+        |FROM sym s JOIN deg d ON s.dst = d.node
+        |GROUP BY s.src ORDER BY node""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

@@ -303,6 +303,67 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Long]("n_clipped_lo") > 0 && row.getAs[Long]("n_clipped_hi") > 0)
   }
 
+  test("q_markov_transitions rows normalize to ~1e6 per source type") {
+    val rows = Queries.qMarkovTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, rs) =>
+      val total = rs.map(_.getAs[Long]("n")).sum
+      // truncating division: sum of probs in (1e6 - |dst|, 1e6]
+      val probSum = rs.map(_.getAs[Long]("prob_ppm")).sum
+      assert(probSum <= 1000000L && probSum > 1000000L - rs.length,
+        s"$src probs sum to $probSum over ${rs.length} rows")
+      rs.foreach { r =>
+        val expect = r.getAs[Long]("n") * 1000000L / total
+        assert(r.getAs[Long]("prob_ppm") == expect)
+      }
+    }
+  }
+
+  test("q_itemset_pairs supports are exact and the plan joins on the basket key") {
+    val rows = Queries.qItemsetPairs(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_a") < r.getAs[Long]("p_b"))
+      assert(r.getAs[Long]("support") >= 2)
+    }
+    // driver referee for the top pair
+    val baskets = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).toSet)
+    val top = rows.head
+    val expect = baskets.count(b =>
+      b.contains(top.getAs[Long]("p_a")) && b.contains(top.getAs[Long]("p_b")))
+    assert(top.getAs[Long]("support") == expect.toLong)
+  }
+
+  test("q_neighbor_agg matches a driver-side one-hop recomputation") {
+    val rows = Queries.qNeighborAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_custkey"))
+      .join(Tables.lineitem(spark, sf)
+          .select(org.apache.spark.sql.functions.col("l_orderkey"),
+            org.apache.spark.sql.functions.col("l_suppkey")),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select((org.apache.spark.sql.functions.col("o_custkey") * 2).as("c"),
+        (org.apache.spark.sql.functions.col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges.flatMap { case (c, s2) => Seq(c -> s2, s2 -> c) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.take(20).foreach { r =>
+      val node = r.getAs[Long]("node")
+      val ns = nbrs(node)
+      assert(r.getAs[Long]("n_neighbors") == ns.length.toLong)
+      val expect = BigInt(ns.map(deg).sum) * 1000000 / ns.length
+      assert(BigInt(r.getAs[Long]("avg_nbr_deg_ppm")) == expect)
+    }
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
