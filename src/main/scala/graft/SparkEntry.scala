@@ -2418,7 +2418,15 @@ object Queries {
     * node ids, both directions from one scan); degree relation joins
     * back on the edge dst — two shuffles total, both on node keys.
     * decimal(38,0) internal for the Σdeg·10⁶ product (Σdeg ≤ |E| can
-    * reach 10¹² at 100 TB; ×10⁶ brushes the BIGINT ceiling). */
+    * reach 10¹² at 100 TB; ×10⁶ brushes the BIGINT ceiling). The edge
+    * relation feeds BOTH the degree aggregate and the join probe, and
+    * the two consumers prune differently enough that Spark does NOT
+    * reuse the exchange (plan-verified: two full orders⋈lineitem +
+    * distinct subtrees) — so it is cached once, the q_pagerank
+    * discipline. At the test SFs the two variants measure within
+    * host noise of each other; at 100 TB recomputing a fact-fact
+    * join + distinct twice is strictly worse than one cached build.
+    */
   def qNeighborAgg(s: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
@@ -2429,6 +2437,7 @@ object Queries {
         struct(col("c").as("src"), col("sup").as("dst")),
         struct(col("sup").as("src"), col("c").as("dst")))).as("d"))
       .select(col("d.src").as("src"), col("d.dst").as("dst"))
+      .cache()
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     sym.join(deg.select(col("node").as("dst"), col("deg").as("dst_deg")), "dst")
       .groupBy(col("src").as("node"))
