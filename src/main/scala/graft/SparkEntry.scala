@@ -2448,6 +2448,64 @@ object Queries {
       .orderBy(col("node"))
   }
 
+  /** Multi-touch attribution: for every purchase, the user's FIRST
+    * and LAST marketing touch (click/view) strictly before it — the
+    * two classic credit models, computed in ONE pass. Both are
+    * IGNORE-NULLS window extractions over the per-user event stream
+    * (rows-frame to 1 PRECEDING), so the whole query is a single
+    * user-keyed shuffle + one sorted window — never an events×events
+    * self-join, which is the naive formulation's quadratic trap.
+    * Purchases with no preceding touch report nulls (typed columns,
+    * deterministic). */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("t"), col("event_id"), col("event_type")))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"),
+        col("event_type"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("first_touch.event_type").as("first_touch_type"),
+        col("first_touch.event_id").as("first_touch_id"),
+        col("last_touch.event_type").as("last_touch_type"),
+        col("last_touch.event_id").as("last_touch_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Substring search through a TRIGRAM INDEX, recall-1: a document
+    * containing the pattern necessarily contains every character
+    * trigram of the pattern, so intersecting the pattern-trigram
+    * posting lists yields a candidate set that provably misses
+    * nothing; contains() verifies only candidates. The ORACLE is the
+    * naive full-scan LIKE — the hash-match IS the recall-1 proof.
+    * At 100 TB the posting lists of a selective pattern's trigrams
+    * are orders of magnitude smaller than the corpus scan (this is
+    * how pg_trgm / code-search indexes work); the index build here is
+    * inline one-time — a deployment materializes it once and amortizes
+    * across queries. The per-row trigram HOF is interpreted but
+    * off the dedup hot path (one linear pass at index build). */
+  def qTrigramSearch(s: SparkSession, dir: String): DataFrame = {
+    val pattern = "table key value"
+    val pgrams = pattern.sliding(3).toSeq.distinct
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val tri = docs.select(col("doc_id"), explode(expr(
+      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)), " +
+        "i -> substring(text, i, 3)))")).as("g"))
+    tri.filter(col("g").isin(pgrams: _*))
+      .groupBy(col("doc_id")).agg(countDistinct(col("g")).as("m"))
+      .filter(col("m") === pgrams.length.toLong)
+      .join(docs, "doc_id")
+      .filter(col("text").contains(pattern))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -3381,6 +3439,8 @@ object Queries {
     "q_markov_transitions" -> (qMarkovTransitions _),
     "q_itemset_pairs" -> (qItemsetPairs _),
     "q_neighbor_agg" -> (qNeighborAgg _),
+    "q_attribution" -> (qAttribution _),
+    "q_trigram_search" -> (qTrigramSearch _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -4909,6 +4969,38 @@ object Queries {
         |    AS avg_nbr_deg_ppm
         |FROM sym s JOIN deg d ON s.dst = d.node
         |GROUP BY s.src ORDER BY node""".stripMargin,
+
+    // first/last IGNORE NULLS over the strictly-preceding rows frame;
+    // DuckDB spells the same frame and null handling
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id,
+        |    event_type FROM events),
+        |x AS (SELECT user_id, t, event_id, event_type,
+        |    FIRST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |        THEN {'t': t, 'event_id': event_id, 'event_type': event_type}
+        |      END IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |        THEN {'t': t, 'event_id': event_id, 'event_type': event_type}
+        |      END IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id,
+        |  ft.event_type AS first_touch_type,
+        |  ft.event_id AS first_touch_id,
+        |  lt.event_type AS last_touch_type,
+        |  lt.event_id AS last_touch_id
+        |FROM x WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+
+    // the oracle IS the naive scan — the hash-match proves the
+    // trigram-index path has recall 1
+    "q_trigram_search" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE text LIKE '%table key value%'
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

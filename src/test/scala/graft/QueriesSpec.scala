@@ -364,6 +364,46 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_attribution credits first/last preceding touch, refereed per user") {
+    val rows = Queries.qAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val events = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("ts div 1000").as("t"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = events.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._2, e._3))).toMap
+    rows.take(50).foreach { r =>
+      val pid = r.getAs[Long]("purchase_id"); val uid = r.getAs[Long]("user_id")
+      val stream = byUser(uid)
+      val idx = stream.indexWhere(_._3 == pid)
+      val touches = stream.take(idx).filter(e => e._4 == "click" || e._4 == "view")
+      if (touches.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("first_touch_id")))
+        assert(r.isNullAt(r.fieldIndex("last_touch_id")))
+      } else {
+        assert(r.getAs[Long]("first_touch_id") == touches.head._3)
+        assert(r.getAs[Long]("last_touch_id") == touches.last._3)
+        assert(r.getAs[String]("first_touch_type") == touches.head._4)
+        assert(r.getAs[String]("last_touch_type") == touches.last._4)
+      }
+    }
+  }
+
+  test("q_trigram_search equals the naive LIKE scan (recall-1 referee)") {
+    val rows = Queries.qTrigramSearch(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val naive = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("text").contains("table key value"))
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == naive, "trigram-index path diverged from the scan")
+    assert(rows.nonEmpty, "chosen pattern should match at least one doc at test SF")
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
