@@ -67,6 +67,25 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
     assert(!hasDistinctAgg(simple.queryExecution.optimizedPlan))
   }
 
+  test("rewrite handles multiple grouping attributes") {
+    val as = ApproxDistinct.sessionWith(spark)
+    val df = Tables.orders(as, sf)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+    assert(!hasDistinctAgg(df.queryExecution.optimizedPlan))
+    val ref = operators.Sketches
+      .hllDistinct(Tables.orders(spark, sf),
+        Seq("o_orderstatus", "o_orderpriority"), col("o_custkey"))
+      .collect()
+      .map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[String]("o_orderpriority")) ->
+        math.floor(r.getAs[Double]("hll_est")).toLong)
+      .toMap
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == ref)
+  }
+
   test("rewrite composes with a filter below and a sort above") {
     val as = ApproxDistinct.sessionWith(spark)
     val df = Tables.orders(as, sf)
