@@ -110,6 +110,38 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       == java.lang.Double.doubleToLongBits(0.0))
   }
 
+  test("weighted rank element: exact on ties, weight skew, and the stall fallback") {
+    // heavy duplication + skewed weights: value 42 carries almost all mass
+    val dup = (Seq((1.0, 1L), (99.0, 1L)) ++ Seq.fill(50)((42.0, 40L))).toDF("x", "w")
+    assert(Quantiles.weightedRankElement(dup, "x", "w", 1L,
+      buckets = 8, collectLimit = 5) == 1.0)
+    assert(Quantiles.weightedRankElement(dup, "x", "w", 2L,
+      buckets = 8, collectLimit = 5) == 42.0)
+    assert(Quantiles.weightedRankElement(dup, "x", "w", 2001L,
+      buckets = 8, collectLimit = 5) == 42.0)
+    assert(Quantiles.weightedRankElement(dup, "x", "w", 2002L,
+      buckets = 8, collectLimit = 5) == 99.0)
+    // the q_quantile_global adversarial geometric chain, weighted form:
+    // histogram refinement peels one binade per pass, so the 20-pass
+    // budget stalls and the bit-space CUMULATIVE-WEIGHT binary search
+    // must finish exactly — with collectLimit=2 pinning that the
+    // driver never materializes the stalled subset
+    val vals = (0 until 40).flatMap(i =>
+      Seq.fill(25)((java.lang.Math.scalb(1.0, -10 * i), 2L)))
+    val wdf = vals.toDF("x", "w")
+    val expanded = vals.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+      .sorted.toArray
+    Seq(1L, 999L, 1000L, 1001L, 2000L).foreach { kk =>
+      val got = Quantiles.weightedRankElement(wdf, "x", "w", kk,
+        buckets = 1024, collectLimit = 2)
+      assert(got == expanded((kk - 1).toInt), s"weighted rank $kk")
+    }
+    // zero/negative weights carry no rank mass
+    val zw = Seq((5.0, 0L), (7.0, 3L), (9.0, -2L)).toDF("x", "w")
+    assert(Quantiles.weightedRankElement(zw, "x", "w", 3L,
+      buckets = 8, collectLimit = 1) == 7.0)
+  }
+
   test("csv and json round-trips preserve row counts and aggregates") {
     val csv = Queries.qSourceCsv(spark, sf).collect()
     assert(csv.map(_.getLong(1)).sum == Tables.nation(spark, sf).count())
