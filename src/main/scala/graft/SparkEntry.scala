@@ -2506,6 +2506,29 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The dashboard shape through the approx-distinct rewrite: ONE
+    * sketched distinct count alongside EXACT companion aggregates
+    * (row count, max, an integer-cents revenue sum), all riding the
+    * same two-level HLL pipeline — companions travel as per-bucket
+    * partials re-aggregated at the keys level, so the whole mixed
+    * aggregate still shuffles constant-width rows. The oracle
+    * computes the sketch AND the exact companions in SQL and joins
+    * them per group: the hash-match proves the rewrite sketched ONLY
+    * the distinct count. Revenue is summed in integer cents
+    * (floor(price·100): Spark's double→long cast truncates while
+    * DuckDB's rounds, but floor agrees everywhere, and a long sum is
+    * partition-order-exact where a double sum is not). */
+  def qApproxRewriteMixed(s: SparkSession, dir: String): DataFrame = {
+    val as = graft.plans.ApproxDistinct.sessionWith(s)
+    Tables.orders(as, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_custkeys_est"),
+        count(lit(1)).as("n_orders"),
+        sum(expr("floor(o_totalprice * 100)")).as("sum_cents"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -3441,6 +3464,7 @@ object Queries {
     "q_neighbor_agg" -> (qNeighborAgg _),
     "q_attribution" -> (qAttribution _),
     "q_trigram_search" -> (qTrigramSearch _),
+    "q_approx_rewrite_mixed" -> (qApproxRewriteMixed _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -5001,6 +5025,38 @@ object Queries {
       """SELECT doc_id, n_chars FROM documents
         |WHERE text LIKE '%table key value%'
         |ORDER BY doc_id""".stripMargin,
+
+    // sketch + exact companions joined per group; the hash-match
+    // proves the rewrite sketched ONLY the distinct count
+    "q_approx_rewrite_mixed" -> {
+      import graft.operators.Sketches
+      val lcTable = Sketches.HllLinearTable.mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT o_orderstatus, (_h >> 24) AS bucket,
+         |    ${Sketches.hllRhoSql("(_h & 16777215)")} AS rho
+         |  FROM (SELECT o_orderstatus,
+         |    ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1,8))::BIGINT AS _h
+         |    FROM orders)),
+         |m AS (SELECT o_orderstatus, bucket, MAX(rho) AS maxrho
+         |  FROM b GROUP BY o_orderstatus, bucket),
+         |agg AS (SELECT o_orderstatus, COUNT(*) AS n_buckets_hit,
+         |    ${Sketches.HllNumerator} /
+         |      (SUM(1.0 / CAST(1::BIGINT << maxrho AS DOUBLE)) + (256 - COUNT(*))) AS raw
+         |  FROM m GROUP BY o_orderstatus),
+         |hll AS (SELECT o_orderstatus,
+         |    CAST(floor(CASE WHEN raw <= ${2.5 * Sketches.HllM} AND n_buckets_hit < 256
+         |         THEN ($lcTable)[256 - n_buckets_hit]
+         |         ELSE raw END) AS BIGINT) AS n_custkeys_est
+         |  FROM agg),
+         |ex AS (SELECT o_orderstatus,
+         |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS sum_cents,
+         |    MAX(o_totalprice) AS max_price
+         |  FROM orders GROUP BY o_orderstatus)
+         |SELECT o_orderstatus, n_custkeys_est, n_orders, sum_cents, max_price
+         |FROM hll JOIN ex USING (o_orderstatus)
+         |ORDER BY o_orderstatus""".stripMargin
+    },
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

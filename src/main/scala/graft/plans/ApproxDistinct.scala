@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Max, Sum}
+  AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType, StringType}
@@ -36,9 +36,16 @@ import graft.operators.Sketches
   *
   * Scope guards (a non-match just keeps the exact plan):
   *   - grouping expressions must be plain attributes;
-  *   - exactly one aggregate call, a single-argument unfiltered
-  *     `Count(...)` with isDistinct, emitted bare (no arithmetic
-  *     around it);
+  *   - exactly ONE single-argument unfiltered `Count(...)` with
+  *     isDistinct, emitted bare (no arithmetic around it);
+  *   - every OTHER aggregate call must be a re-aggregable companion —
+  *     an unfiltered non-distinct Sum/Count/Min/Max, also emitted
+  *     bare. Companions ride the two-level pipeline as per-bucket
+  *     PARTIALS re-aggregated at the keys level (sum→sum-of-sums,
+  *     count→sum-of-counts, min/max compose — MaterializedViewRule's
+  *     algebra), so the common "count(distinct user), sum(revenue),
+  *     count(*)" dashboard shape rewrites whole. avg and everything
+  *     else refuse;
   *   - grouped aggregates only: a GLOBAL count(distinct) over an
   *     empty relation must return 0, while the rewritten pipeline's
   *     empty-input row would carry NULL — rather than special-case
@@ -81,6 +88,16 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
     CaseWhen(branches, Some(Literal(Bits + 1)))
   }
 
+  /** A companion (non-distinct, unfiltered) aggregate call that can
+    * ride the two-level pipeline: its per-(keys, bucket) PARTIAL is
+    * re-aggregated at the keys level — sum→sum-of-sums,
+    * count→sum-of-counts, min/max→min/max of partials, the same
+    * re-aggregability algebra MaterializedViewRule uses. avg and
+    * everything else refuse the rewrite (avg is only
+    * partial-derivable in exact decimal — out of scope here). */
+  private final case class Companion(out: Alias, ae: AggregateExpression,
+      fn: String, arg: Expression)
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     // grouped, attribute-keyed aggregates only
     if (agg.groupingExpressions.isEmpty) return None
@@ -88,53 +105,72 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
       case a: AttributeReference => a
       case _ => return None
     }
-    // exactly one aggregate call: single-arg unfiltered DISTINCT count
-    val calls = agg.aggregateExpressions.flatMap(ne =>
-      ne.collect { case ae: AggregateExpression => ae })
-    if (calls.length != 1) return None
-    val ae = calls.head
-    val countArg = ae.aggregateFunction match {
-      case Count(Seq(e)) if ae.isDistinct && ae.filter.isEmpty => e
+    // classify outputs: group passthroughs, exactly ONE bare DISTINCT
+    // count, and re-aggregable companion calls (also emitted bare)
+    var distinctOut: Option[(Alias, Expression)] = None
+    val companions = scala.collection.mutable.ArrayBuffer[Companion]()
+    agg.aggregateExpressions.foreach {
+      case a: AttributeReference =>
+        if (!groupAttrs.exists(_.exprId == a.exprId)) return None
+      case al @ Alias(ae: AggregateExpression, _) =>
+        if (ae.filter.nonEmpty) return None
+        ae.aggregateFunction match {
+          case Count(Seq(e)) if ae.isDistinct =>
+            if (distinctOut.isDefined) return None // one sketch per agg
+            distinctOut = Some((al, e))
+          case _ if ae.isDistinct => return None
+          case Sum(e, _) => companions += Companion(al, ae, "sum", e)
+          case Count(Seq(e)) => companions += Companion(al, ae, "count", e)
+          case Min(e) => companions += Companion(al, ae, "min", e)
+          case Max(e) => companions += Companion(al, ae, "max", e)
+          case _ => return None
+        }
       case _ => return None
     }
-    // the call must be emitted bare (Alias(ae)); everything else must
-    // be a grouping-attribute passthrough
-    val countOut = agg.aggregateExpressions.find {
-      case Alias(inner, _) => inner eq ae
-      case _               => false
-    }.getOrElse(return None)
-    val passthroughsOk = agg.aggregateExpressions.forall {
-      case a if a eq countOut => true
-      case a: AttributeReference => groupAttrs.exists(_.exprId == a.exprId)
-      case _ => false
-    }
-    if (!passthroughsOk) return None
+    val (countOut, countArg) = distinctOut.getOrElse(return None)
 
-    // level 1: keys + 32-bit hash of the counted expression
+    // level 1: keys + 32-bit hash + each companion's argument
     val hAlias = Alias(hash32(countArg), "_h")()
-    val p1 = Project(groupAttrs :+ hAlias, agg.child)
+    val argAliases = companions.zipWithIndex.map { case (c, i) =>
+      Alias(c.arg, s"_arg$i")()
+    }.toSeq
+    val p1 = Project((groupAttrs :+ hAlias) ++ argAliases, agg.child)
     val hAttr = hAlias.toAttribute
+    val argAttrs = argAliases.map(_.toAttribute)
 
     // level 2: bucket (top p bits) + rho (ladder on the remainder)
     val bucketAlias = Alias(ShiftRight(hAttr, Literal(Bits)), "_bucket")()
     val rhoAlias = Alias(
       rho(BitwiseAnd(hAttr, Literal((1L << Bits) - 1))), "_rho")()
-    val p2 = Project((groupAttrs :+ bucketAlias) :+ rhoAlias, p1)
+    val p2 = Project(
+      ((groupAttrs :+ bucketAlias) :+ rhoAlias) ++ argAttrs, p1)
 
-    // level 3: per-(keys, bucket) max rho — partial maxima combine
-    // map-side, so the first shuffle carries one row per touched
-    // bucket per group, never one per distinct value
+    // level 3: per-(keys, bucket) max rho + companion PARTIALS — all
+    // combine map-side, so the first shuffle carries one row per
+    // touched bucket per group, never one per distinct value
     val maxAlias = Alias(
       AggregateExpression(Max(rhoAlias.toAttribute), Complete, isDistinct = false),
       "_maxrho")()
+    val partialAliases = companions.toSeq.zip(argAttrs).zipWithIndex.map {
+      case ((c, a), i) =>
+        val f = c.fn match {
+          case "sum"   => Sum(a)
+          case "count" => Count(Seq(a))
+          case "min"   => Min(a)
+          case "max"   => Max(a)
+        }
+        Alias(AggregateExpression(f, Complete, isDistinct = false), s"_part$i")()
+    }
     val agg1 = Aggregate(
       groupAttrs :+ bucketAlias.toAttribute,
-      (groupAttrs: Seq[NamedExpression]) ++ Seq(bucketAlias.toAttribute, maxAlias),
+      ((groupAttrs: Seq[NamedExpression]) ++
+        Seq(bucketAlias.toAttribute, maxAlias)) ++ partialAliases,
       p2)
 
-    // level 4: per-keys bucket-hit count + harmonic sum; every addend
-    // is an exact power of two, so addition order cannot change the
-    // double sum (`1.0 / cast(shiftleft(1L, _maxrho) as double)`)
+    // level 4: per-keys bucket-hit count + harmonic sum (every addend
+    // an exact power of two, so addition order cannot change the
+    // double sum) + companion RE-AGGREGATION aliased straight onto
+    // the original output exprIds
     val hitAlias = Alias(
       AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
       "_nhit")()
@@ -142,9 +178,28 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
       Cast(ShiftLeft(Literal(1L), maxAlias.toAttribute), DoubleType))
     val sumAlias = Alias(
       AggregateExpression(Sum(inv), Complete, isDistinct = false), "_sumhit")()
+    val reaggAliases = companions.toSeq.zip(partialAliases.map(_.toAttribute)).map {
+      case (c, p) =>
+        val f = c.fn match {
+          case "sum" | "count" => Sum(p)
+          case "min"           => Min(p)
+          case "max"           => Max(p)
+        }
+        val re = AggregateExpression(f, Complete, isDistinct = false)
+        val typed =
+          if (c.fn == "count")
+            // count over partials = sum of partial counts; Count's
+            // never-null contract holds because every (keys, bucket)
+            // group descends from at least one input row
+            Coalesce(Seq(Cast(re, c.ae.dataType), Literal(0L)))
+          else if (re.dataType == c.ae.dataType) re
+          else Cast(re, c.ae.dataType)
+        Alias(typed, c.out.name)(exprId = c.out.exprId)
+    }
     val agg2 = Aggregate(
       groupAttrs,
-      (groupAttrs: Seq[NamedExpression]) ++ Seq(hitAlias, sumAlias),
+      ((groupAttrs: Seq[NamedExpression]) ++
+        Seq(hitAlias, sumAlias)) ++ reaggAliases,
       agg1)
 
     // final: raw estimator with the literal linear-counting switch,
@@ -160,9 +215,13 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
           CreateArray(Sketches.HllLinearTable.map(Literal(_))),
           Cast(Subtract(Literal(M.toLong), nhit), IntegerType)))),
       Some(raw))
+    val reaggByExprId = reaggAliases.map(a => a.exprId -> a.toAttribute).toMap
     val outs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
       if (ne eq countOut) Alias(Floor(est), ne.name)(exprId = ne.exprId)
-      else ne
+      else reaggByExprId.get(ne.exprId) match {
+        case Some(attr) => attr
+        case None       => ne // grouping passthrough
+      }
     }
     Some(Project(outs, agg2))
   }

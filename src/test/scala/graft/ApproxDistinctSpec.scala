@@ -45,13 +45,42 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
     assert(hasDistinctAgg(df.queryExecution.optimizedPlan))
   }
 
-  test("guards: multi-aggregate, global, and expression-key queries keep exact plans") {
+  test("companion aggregates rewrite alongside the sketch with EXACT values") {
+    val as = ApproxDistinct.sessionWith(spark)
+    val df = Tables.orders(as, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("nd"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_orders"),
+        max(col("o_totalprice")).as("max_price"))
+    assert(!hasDistinctAgg(df.queryExecution.optimizedPlan),
+      "mixed distinct+companion aggregate should rewrite whole")
+    val got = df.collect().map(r => r.getAs[String]("o_orderstatus") -> r).toMap
+    // companions must be EXACT (only the distinct count is sketched)
+    val exact = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_orders"),
+        max(col("o_totalprice")).as("max_price"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val hll = operators.Sketches
+      .hllDistinct(Tables.orders(spark, sf), Seq("o_orderstatus"), col("o_custkey"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        math.floor(r.getAs[Double]("hll_est")).toLong).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (k, r) =>
+      assert(r.getAs[java.math.BigDecimal]("rev") ==
+        exact(k).getAs[java.math.BigDecimal]("rev"), s"$k revenue drifted")
+      assert(r.getAs[Long]("n_orders") == exact(k).getAs[Long]("n_orders"))
+      assert(r.getAs[Double]("max_price") == exact(k).getAs[Double]("max_price"))
+      assert(r.getAs[Long]("nd") == hll(k), s"$k sketch value drifted")
+    }
+  }
+
+  test("guards: global, expression-key, avg-companion queries keep exact plans") {
     val as = ApproxDistinct.sessionWith(spark)
     val orders = Tables.orders(as, sf)
-    // a second aggregate call alongside the distinct count
-    val multi = orders.groupBy(col("o_orderstatus"))
-      .agg(countDistinct(col("o_custkey")).as("n"), sum(col("o_totalprice")).as("s"))
-    assert(hasDistinctAgg(multi.queryExecution.optimizedPlan))
     // global (ungrouped) distinct count: empty-input 0 contract
     val global = orders.agg(countDistinct(col("o_custkey")).as("n"))
     assert(hasDistinctAgg(global.queryExecution.optimizedPlan))
@@ -60,6 +89,25 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
     val exprKey = orders.groupBy((col("o_orderkey") % 7).as("b"))
       .agg(countDistinct(col("o_custkey")).as("n"))
     assert(hasDistinctAgg(exprKey.queryExecution.optimizedPlan))
+    // avg is not re-aggregable from partials in double — refuse
+    val withAvg = orders.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"), avg(col("o_totalprice")).as("a"))
+    assert(hasDistinctAgg(withAvg.queryExecution.optimizedPlan))
+    // two distinct counts — refused by this rule (Spark's own
+    // RewriteDistinctAggregates expands them into Expand form before
+    // user rules run, so the isDistinct flag is gone from the
+    // optimized plan either way; exact VALUES prove no sketch fired)
+    val twoDistinct = orders.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n1"),
+        countDistinct(col("o_orderpriority")).as("n2"))
+    val tdExact = Tables.orders(spark, sf).groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n1"),
+        countDistinct(col("o_orderpriority")).as("n2"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    twoDistinct.collect().foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == tdExact(r.getString(0)),
+        "multi-distinct values must stay exact")
+    }
     // and the rewritten session still answers correctly elsewhere: the
     // simple grouped shape rewrites and floors to the sketch value
     val simple = orders.groupBy(col("o_orderstatus"))
