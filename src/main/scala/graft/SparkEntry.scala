@@ -2529,6 +2529,53 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** BFS hop distances from hub customers over the customer–supplier
+    * graph ([[operators.Graph.bfsHops]], 3 bounded rounds): every
+    * node labeled with its minimal hop count from the hub set (even
+    * node ids < 20 = the first ten customers). Frontier-only
+    * expansion — each round shuffles the frontier, never the graph;
+    * the oracle is an independent recursive CTE (UNION-deduped, so
+    * no path explosion) taking MIN(depth) per node. */
+  def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sup"))
+      .distinct()
+    val edges = e0.select(explode(array(
+        struct(col("c").as("src"), col("sup").as("dst")),
+        struct(col("sup").as("src"), col("c").as("dst")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"))
+      .cache()
+    val sources = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") < 20 && col("node") % 2 === 0)
+    Graph.bfsHops(edges, sources, maxHops = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Running DISTINCT count as a window — "how many distinct event
+    * types has this user touched so far" at every event, without any
+    * per-row set state: a first-occurrence flag (row_number over
+    * (user, type) = 1) cumulatively summed over the user's time
+    * order. The naive formulation keeps a growing set per row
+    * (O(n·k) state and no codegen); this is two plain windows on the
+    * SAME (user) shuffle — Spark plans one exchange, two sorts. */
+  def qRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"),
+        col("event_type"))
+      .withColumn("first_seen",
+        when(row_number().over(w1) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_types", sum(col("first_seen")).over(w2))
+      .select(col("user_id"), col("event_id"), col("t"), col("n_distinct_types"))
+      .orderBy(col("user_id"), col("t"), col("event_id"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair generation a real dedup
     * needs — connected components over the verified (jaccard >= 0.5)
     * pair graph, each doc labeled with its component's min id (the
@@ -3465,6 +3512,8 @@ object Queries {
     "q_attribution" -> (qAttribution _),
     "q_trigram_search" -> (qTrigramSearch _),
     "q_approx_rewrite_mixed" -> (qApproxRewriteMixed _),
+    "q_bfs_hops" -> (qBfsHops _),
+    "q_running_distinct" -> (qRunningDistinct _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -5057,6 +5106,35 @@ object Queries {
          |FROM hll JOIN ex USING (o_orderstatus)
          |ORDER BY o_orderstatus""".stripMargin
     },
+
+    // UNION (not UNION ALL) dedupes (node, depth) pairs per step, so
+    // the recursion never path-explodes; MIN(d) = BFS distance
+    "q_bfs_hops" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sup
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, sup AS dst FROM e0
+        |          UNION ALL SELECT sup AS src, c AS dst FROM e0),
+        |bfs(node, d) AS (
+        |  SELECT DISTINCT src, 0 FROM edges WHERE src < 20 AND src % 2 = 0
+        |  UNION
+        |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON b.node = e.src
+        |  WHERE b.d < 3)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_running_distinct" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id,
+        |    event_type FROM events),
+        |f AS (SELECT user_id, t, event_id,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY t, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM e)
+        |SELECT user_id, event_id, t,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct_types
+        |FROM f ORDER BY user_id, t, event_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $minhashCte

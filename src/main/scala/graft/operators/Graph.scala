@@ -247,4 +247,34 @@ object Graph {
     tri.select(F.explode(F.array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Bounded-depth BFS hop distances from a source set — the
+    * "how far is every node from the hubs" labeling that feeds graph
+    * cleaning (drop far-periphery nodes) and feature pipelines. Each
+    * round expands only the FRONTIER (nodes first reached last round):
+    * frontier⋈edges, dedup, anti-join against everything already
+    * labeled — so a node is labeled exactly once, at its first (= BFS
+    * minimal) hop count, and the per-round shuffle is sized by the
+    * frontier, not the graph. Rounds are bounded by `maxHops` (plan
+    * depth stays O(maxHops); for unbounded-fixpoint traversal the
+    * k-core peel's per-round checkpoint discipline applies instead).
+    * Each round's label set is cached: it feeds the anti-join of
+    * every later round plus the final union. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    var dist = sources.select(col("node"), lit(0L).as("dist")).distinct().cache()
+    var frontier = dist.select(col("node"))
+    (1 to maxHops).foreach { r =>
+      // explicit aliases: the frontier often DERIVES from the edge
+      // relation (sources picked off it), which otherwise trips
+      // Spark's ambiguous-self-join detection
+      val reached = frontier.as("f")
+        .join(edges.as("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node")).distinct()
+      val fresh = reached.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist")).cache()
+      dist = dist.unionAll(fresh).cache()
+      frontier = fresh.select(col("node"))
+    }
+    dist
+  }
 }

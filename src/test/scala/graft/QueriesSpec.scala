@@ -404,6 +404,56 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.nonEmpty, "chosen pattern should match at least one doc at test SF")
   }
 
+  test("q_bfs_hops labels every node once at its minimal hop, refereed") {
+    val rows = Queries.qBfsHops(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist"))
+    assert(rows.map(_._1).distinct.length == rows.length, "a node labeled twice")
+    // independent driver-side BFS over the same edges
+    val edges = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_custkey"))
+      .join(Tables.lineitem(spark, sf)
+          .select(org.apache.spark.sql.functions.col("l_orderkey"),
+            org.apache.spark.sql.functions.col("l_suppkey")),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select((org.apache.spark.sql.functions.col("o_custkey") * 2).as("c"),
+        (org.apache.spark.sql.functions.col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sources = adj.keySet.filter(n => n < 20 && n % 2 == 0)
+    var distRef = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    (1 to 3).foreach { r =>
+      val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(distRef.contains)
+      distRef ++= nxt.map(_ -> r.toLong)
+      frontier = nxt
+    }
+    assert(rows.toMap == distRef, "BFS labeling diverged from reference")
+    assert(rows.exists(_._2 == 1L) && rows.exists(_._2 == 2L),
+      "expansion should reach beyond the sources")
+  }
+
+  test("q_running_distinct is monotone per user and ends at the user's type count") {
+    val rows = Queries.qRunningDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val typesPerUser = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions
+        .countDistinct(org.apache.spark.sql.functions.col("event_type")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser.foreach { case (uid, rs) =>
+      val seq = rs.map(_.getAs[Long]("n_distinct_types")) // already t-ordered
+      assert(seq.head == 1L, s"user $uid must start at 1")
+      assert(seq.zip(seq.tail).forall { case (a, b) => b == a || b == a + 1 },
+        s"user $uid running count must step by 0 or 1")
+      assert(seq.last == typesPerUser(uid), s"user $uid final count wrong")
+    }
+  }
+
   test("every query has a name and every oracle refers to a query") {
     assert(SparkEntry.queries.nonEmpty)
     SparkEntry.oracleSql.keys.foreach { k =>
