@@ -256,21 +256,23 @@ object Queries {
   /** Top-k vocabulary coverage: what fraction of token occurrences a
     * 1000-type vocabulary captures — the tokenizer-budget metric for
     * corpus curation. Coverage reported in ppm via integer division
-    * (exact cross-engine). One shuffle on token; the rank window runs
-    * over distinct types, not occurrences. */
+    * (exact cross-engine). One shuffle on token; the top-k is a
+    * TakeOrdered (per-partition heaps, k rows to the driver side of
+    * the exchange) — an earlier form ranked via `row_number() OVER
+    * (ORDER BY c DESC)`, which single-partitions the ENTIRE distinct-
+    * type relation (billions of types at corpus scale); both scalar
+    * branches reuse the one token-count exchange, and the final
+    * combine is a 1-row×1-row broadcast cross. */
   def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = 1000
     val counts = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("rk",
-      row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
-    ranked.agg(
-        sum(when(col("rk") <= k, col("c")).otherwise(0L)).as("covered"),
-        sum(col("c")).as("total"),
-        count(lit(1)).as("n_types"))
+    val covered = counts.orderBy(col("c").desc, col("tok")).limit(k)
+      .agg(sum(col("c")).as("covered"))
+    counts.agg(sum(col("c")).as("total"), count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(covered))
       .select(lit(k.toLong).as("k"), col("covered"), col("total"), col("n_types"),
         expr("(covered * 1000000) div total").as("coverage_ppm"))
   }

@@ -255,25 +255,42 @@ object Graph {
     * frontier⋈edges, dedup, anti-join against everything already
     * labeled — so a node is labeled exactly once, at its first (= BFS
     * minimal) hop count, and the per-round shuffle is sized by the
-    * frontier, not the graph. Rounds are bounded by `maxHops` (plan
-    * depth stays O(maxHops); for unbounded-fixpoint traversal the
-    * k-core peel's per-round checkpoint discipline applies instead).
-    * Each round's label set is cached: it feeds the anti-join of
-    * every later round plus the final union. */
-  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
-    var dist = sources.select(col("node"), lit(0L).as("dist")).distinct().cache()
-    var frontier = dist.select(col("node"))
+    * frontier, not the graph.
+    *
+    * Round storage follows the same [[Rounds.persist]] release
+    * discipline as the k-core peel and star-contraction CC: each
+    * round materializes ONE label relation (`dist` so far — the new
+    * frontier is just its `dist = r` slice, so no separate frontier
+    * cache exists) with truncated lineage, and the previous round's
+    * blocks are released the moment the next round lands. A plain
+    * `.cache()` chain would instead accumulate O(maxHops) label-set
+    * copies in executor storage until the session cleared its cache
+    * (GraphSpec pins the release via `getPersistentRDDs`). The FINAL
+    * round stays materialized — the returned relation IS it; its
+    * storage is reclaimed by the ContextCleaner when the caller drops
+    * the reference (the [[Rounds]] contract). Lineage truncation also
+    * severs the sources-derive-from-edges lineage that otherwise
+    * trips Spark's ambiguous-self-join detection on the frontier⋈edge
+    * join. Pass `reliableCheckpointDir` on a real cluster so rounds
+    * survive executor loss (same contract as [[kcorePeel]]). */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      reliableCheckpointDir: Option[String] = None): DataFrame = {
+    reliableCheckpointDir.foreach(
+      edges.sparkSession.sparkContext.setCheckpointDir)
+    val reliable = reliableCheckpointDir.isDefined
+    var (dist, release) = Rounds.persist(
+      sources.select(col("node"), lit(0L).as("dist")).distinct(), reliable)
     (1 to maxHops).foreach { r =>
-      // explicit aliases: the frontier often DERIVES from the edge
-      // relation (sources picked off it), which otherwise trips
-      // Spark's ambiguous-self-join detection
+      val frontier = dist.filter(col("dist") === (r - 1)).select(col("node"))
       val reached = frontier.as("f")
         .join(edges.as("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node")).distinct()
       val fresh = reached.join(dist, Seq("node"), "left_anti")
-        .select(col("node"), lit(r.toLong).as("dist")).cache()
-      dist = dist.unionAll(fresh).cache()
-      frontier = fresh.select(col("node"))
+        .select(col("node"), lit(r.toLong).as("dist"))
+      val (next, nextRelease) = Rounds.persist(dist.unionAll(fresh), reliable)
+      release()
+      dist = next
+      release = nextRelease
     }
     dist
   }

@@ -123,6 +123,28 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
         "(expected at most the final round); round releases are not firing")
   }
 
+  test("bfsHops labels minimal hops and releases intermediate rounds") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // undirected path 0-1-2-3-4-5 with shortcut 0-3 (directed both ways)
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 3L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val sources = Seq(0L).toDF("node")
+    val before = sc.getPersistentRDDs.keySet
+    val res = Graph.bfsHops(edges, sources, maxHops = 5)
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortcut makes 3 a 1-hop node, so 4 is 2 and 5 is 3; 2 stays 2
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L,
+      4L -> 2L, 5L -> 3L))
+    // same release contract as the k-core peel: only the FINAL round
+    // may stay registered with the block manager
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"${leaked.size} persisted RDDs survive a 5-round BFS " +
+        "(expected at most the final round); round releases are not firing")
+  }
+
   test("triangle-free graph yields no rows") {
     val star = (1L to 10L).map(x => (0L, x))
     assert(Graph.triangleCounts(edgeDf(star), denseMaxNodes = 1000).count() == 0)

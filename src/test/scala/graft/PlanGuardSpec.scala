@@ -38,15 +38,75 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_dq_checks" -> "1-row metrics relation crossed with the check table",
     "q_histogram" -> "1-row data-derived bounds broadcast to the fill pass",
     "q_join_range" -> ("small interval side broadcast by design — the " +
-      "scalable form of this join is q_range_autobin's binned equi-join")
+      "scalable form of this join is q_range_autobin's binned equi-join"),
+    "q_vocab_coverage" -> ("1-row covered-sum aggregate broadcast " +
+      "crossed with the 1-row totals aggregate")
   )
+
+  /** query -> why its empty-partition-spec (single-partition) window
+    * is bounded. A global window moves ALL rows of its input to one
+    * partition — legitimate ONLY when that input is a provably
+    * bounded relation (a per-domain allocation, a gated sliver, a
+    * k-row vocabulary). EXACT set, enforced both ways like the BNLJ
+    * whitelist. */
+  private val globalWindowWhitelist: Map[String, String] = Map(
+    "q_triangle_count" -> ("dense-path id ranking: input is the node " +
+      "set, gated to n <= denseMaxNodes (16384) by the dispatch"),
+    "q_kmeans_embed" -> ("seed ranking over vec ids: runs once on the " +
+      "bounded candidate-seed relation (k-scaled, not data-scaled)"),
+    "q_semdedup" -> "same k-means seed ranking (bounded seed relation)",
+    "q_domain_mix" -> ("largest-remainder allocation windows on the " +
+      "one-row-per-domain aggregate (|domains| rows)"),
+    "q_mix_materialize" -> ("same allocation windows, one row per " +
+      "domain, feeding the per-domain quota join"),
+    "q_dense_ids" -> ("partition-offset prefix sum over the pid-count " +
+      "relation (shuffle-partition-count rows), broadcast back; the " +
+      "per-row ranking itself is partitioned"),
+    "q_skyline_2d" -> ("stage-2 frontier window runs on the bucket-" +
+      "local skyline sliver; its size is the query's own output " +
+      "(the exact frontier), not the input"),
+    "q_sample_weighted" -> ("systematic-sampler shard-offset prefix " +
+      "sum, one row per shard")
+  )
+
+  /** True iff the PHYSICAL plan contains an empty-partition window
+    * operator, recursing through AQE wrappers and cached-relation
+    * boundaries (a `.cache()` in the query body otherwise hides its
+    * subtree's windows behind an InMemoryTableScan leaf). */
+  private def physHasGlobalWindow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    p.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty => true
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => true
+      case a: AdaptiveSparkPlanExec if physHasGlobalWindow(a.executedPlan) => true
+      case s: InMemoryTableScanExec
+          if physHasGlobalWindow(s.relation.cachedPlan) => true
+    }.nonEmpty
+  }
+
+  /** Per-query plan facts, built ONCE for the whole catalog (plan
+    * construction is the expensive part — some queries run bounded
+    * driver work while building). Note: driver-side work executed
+    * DURING query construction (k-means seeding/iterations, quantile
+    * refinement) never appears in the returned plan and is guarded by
+    * its operator's own bounds + specs, not here. */
+  private lazy val planFacts: Seq[(String, String, Boolean)] =
+    SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val logical = qe.optimizedPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      val global = logical || physHasGlobalWindow(qe.executedPlan)
+      (name, qe.executedPlan.toString, global)
+    }
 
   test("no catalog query plans a CartesianProduct; BNLJ only where bounded") {
     val cart = scala.collection.mutable.ArrayBuffer[String]()
     val bnlj = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
+    planFacts.foreach { case (name, plan, _) =>
       if (plan.contains("CartesianProduct")) cart += name
       if (plan.contains("BroadcastNestedLoopJoin")) bnlj += name
     }
@@ -57,5 +117,18 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       s"un-whitelisted BroadcastNestedLoopJoin in: ${unlisted.mkString(", ")}")
     assert(stale.isEmpty,
       s"stale whitelist entries (no BNLJ in plan): ${stale.mkString(", ")}")
+  }
+
+  test("single-partition windows only on whitelisted bounded relations") {
+    val global = planFacts.collect { case (name, _, true) => name }
+    val unlisted = global.filterNot(globalWindowWhitelist.contains)
+    val stale = globalWindowWhitelist.keys.toSeq.sorted
+      .filterNot(global.contains)
+    assert(unlisted.isEmpty,
+      "un-whitelisted empty-partition Window in: " + unlisted.mkString(", ") +
+        " - a global window single-partitions its whole input; prove the " +
+        "input bounded and whitelist it, or partition the window")
+    assert(stale.isEmpty,
+      s"stale global-window whitelist entries: ${stale.mkString(", ")}")
   }
 }
