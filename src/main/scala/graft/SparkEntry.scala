@@ -2824,8 +2824,31 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
   }
 
-  /** Multimodal feature extraction: binary payload column decoded in
-    * partition batches (stubbed deterministic decoder, real plumbing). */
+  /** REAL image decode: each document id becomes a genuine
+    * zlib-compressed grayscale PNG (encoded AND decoded with
+    * `javax.imageio` inside the plan — [[operators.MediaCodec]]), and
+    * the features (dims, pixel sum, top-2-bit histogram) are computed
+    * from the DECODED RASTER only. The oracle knows the generator
+    * arithmetic, not the codec: a broken inflate/defilter fails the
+    * hash compare. Partition-parallel encode→decode, zero shuffles
+    * before the final order. */
+  def qImageDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(s,
+        Multimodal.pngMedia(s, Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  /** REAL audio decode: id-derived 16-bit PCM in a genuine RIFF/WAV
+    * container, parsed back via `javax.sound.sampled`; features from
+    * the decoded frames only (count, sum, positives, min, max). */
+  def qAudioDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(s,
+        Multimodal.wavMedia(s, Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  /** Byte-level payload statistics (the opaque-format tier: no in-JVM
+    * decoder): binary payload column processed in partition batches. */
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s,
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
@@ -3574,6 +3597,8 @@ object Queries {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_image_decode" -> (qImageDecode _),
+    "q_audio_decode" -> (qAudioDecode _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_join_range" -> (qJoinRange _),
     "q_range_autobin" -> (qRangeAutobin _),
@@ -5279,6 +5304,31 @@ object Queries {
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) rnk, cos_sim
          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
+
+    "q_image_decode" ->
+      """WITH d AS (SELECT doc_id, 32 + doc_id % 32 AS width,
+        |    16 + doc_id % 16 AS height FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |    (doc_id*7 + unnest(range(0, width*height))*13) % 256 AS v
+        |  FROM d)
+        |SELECT doc_id AS media_id, width, height,
+        |  CAST(SUM(v) AS BIGINT) px_sum,
+        |  CAST(SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) h0,
+        |  CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) h1,
+        |  CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) h2,
+        |  CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) h3
+        |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin,
+
+    "q_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 400 + doc_id % 256 AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    (doc_id*31 + unnest(range(0, n))*17) % 65536 - 32768 AS v
+        |  FROM d)
+        |SELECT doc_id AS media_id, n AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) sample_sum,
+        |  CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) n_positive,
+        |  CAST(MIN(v) AS BIGINT) s_min, CAST(MAX(v) AS BIGINT) s_max
+        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
 
     "q_multimodal_features" ->
       """WITH c AS (SELECT doc_id media_id, length(text) byte_len,

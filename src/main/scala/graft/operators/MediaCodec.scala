@@ -1,0 +1,160 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** REAL pure-JDK media codecs for the multimodal pipeline — no
+  * external media library needed: PNG (zlib-compressed, filtered)
+  * through `javax.imageio` and WAV (RIFF container, 16-bit PCM)
+  * through `javax.sound.sampled`, both shipped with every JDK.
+  *
+  * The encode side synthesizes payloads whose pixel/sample values are
+  * a pure integer function of the media id, so a SQL oracle can
+  * compute the expected decoded features with no media stack at all —
+  * while the DECODE side reads exclusively from the decoded
+  * raster/PCM frames. A broken or lossy decode therefore fails the
+  * oracle compare: the feature path runs through genuine PNG inflate +
+  * defilter and genuine RIFF/fmt-chunk parsing, not the generator
+  * formula. (Replaces the round-11 `Multimodal.FakeByteDecoder`-only
+  * posture, which treated payloads as opaque bytes; the reference
+  * consumer has no media path at all — this is north-star surface for
+  * the 100 TB training-data pipeline.)
+  *
+  * Determinism: PNG and 16-bit PCM WAV are lossless, so features are
+  * bit-reproducible on any JVM; the codecs run inside `mapPartitions`
+  * batches, embarrassingly parallel, no shuffle.
+  */
+object MediaCodec extends Serializable {
+
+  // javax.imageio writes through a temp-file cache by default; media
+  // decode at executor scale must stay in-memory
+  ImageIO.setUseCache(false)
+
+  // ---------------------------------------------------------------
+  // Image: grayscale PNG
+  // ---------------------------------------------------------------
+
+  /** Image dims derive from the id (32–63 × 16–31: small enough that
+    * the oracle's per-pixel expansion stays linear in corpus size). */
+  def imageWidth(id: Long): Int  = (32 + id % 32).toInt
+  def imageHeight(id: Long): Int = (16 + id % 16).toInt
+
+  /** Pixel value at flat index `idx`, the oracle-shared generator:
+    * (id·7 + idx·13) mod 256. */
+  def pixel(id: Long, idx: Long): Int = ((id * 7 + idx * 13) % 256).toInt
+
+  /** Encode the id-derived grayscale image as a real PNG byte stream
+    * (8-bit gray, zlib-compressed). */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = (imageWidth(id), imageHeight(id))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, pixel(id, y.toLong * w + x))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", out), "no PNG writer in this JVM")
+    out.toByteArray
+  }
+
+  final case class ImageFeatures(media_id: Long, width: Long, height: Long,
+      px_sum: Long, h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** Decode a PNG payload and compute features FROM THE DECODED
+    * RASTER ONLY: dimensions, pixel sum, and a 4-bin histogram of the
+    * top-2 bits of each pixel. */
+  def decodePngFeatures(id: Long, png: Array[Byte]): ImageFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    require(img != null, s"payload for media $id is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var sum = 0L
+    val bins = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0)
+        sum += v
+        bins(v >> 6) += 1
+        x += 1
+      }
+      y += 1
+    }
+    ImageFeatures(id, w.toLong, h.toLong, sum, bins(0), bins(1), bins(2), bins(3))
+  }
+
+  // ---------------------------------------------------------------
+  // Audio: 16-bit PCM mono WAV
+  // ---------------------------------------------------------------
+
+  /** Sample count derives from the id (400–655 frames). */
+  def audioFrames(id: Long): Int = (400 + id % 256).toInt
+
+  /** Sample value at frame `i`, oracle-shared:
+    * (id·31 + i·17) mod 65536 − 32768 ∈ [−32768, 32767]. */
+  def sample(id: Long, i: Long): Int = ((id * 31 + i * 17) % 65536 - 32768).toInt
+
+  private val WavFormat =
+    new AudioFormat(8000f, 16, 1, /*signed*/ true, /*bigEndian*/ false)
+
+  /** Encode the id-derived sample stream as a real RIFF/WAV file
+    * (16-bit little-endian PCM, mono, 8 kHz). */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = audioFrames(id)
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sample(id, i)
+      raw(i * 2) = (v & 0xff).toByte
+      raw(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    val ais = new AudioInputStream(new ByteArrayInputStream(raw), WavFormat, n.toLong)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  final case class AudioFeatures(media_id: Long, n_samples: Long,
+      sample_sum: Long, n_positive: Long, s_min: Long, s_max: Long)
+
+  /** Decode a WAV payload via the JDK's RIFF parser and compute
+    * features FROM THE DECODED PCM FRAMES ONLY: frame count, sample
+    * sum, positive-sample count, min, max. The frame size, byte
+    * order, and data-chunk offset all come from the parsed header. */
+  def decodeWavFeatures(id: Long, wav: Array[Byte]): AudioFeatures = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media $id: expected 16-bit mono PCM, got $fmt")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var (sum, pos) = (0L, 0L)
+      var (mn, mx) = (Long.MaxValue, Long.MinValue)
+      var i = 0
+      while (i < n) {
+        val lo = data(i * 2) & 0xff
+        val hi = data(i * 2 + 1).toInt // sign-extends
+        val v = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                else (hi << 8) | lo
+        sum += v
+        if (v > 0) pos += 1
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      AudioFeatures(id, n.toLong, sum, pos, mn, mx)
+    } finally ais.close()
+  }
+}

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * analog of mapInPandas batch shape), frame sampling is a pure
   * projection.
   *
-  * The actual media decode is STUBBED with a deterministic byte-level
-  * fake (no image/audio libs in this environment); the Spark-side
-  * plumbing — schema, binary handling, partition batching, feature
-  * fan-out — is real and oracle-tested. Swap `FakeByteDecoder` for a
-  * real decoder (JNI/javacv) without touching the pipeline.
+  * Two decode tiers share the plumbing:
+  *  - [[MediaCodec]] — REAL pure-JDK decodes: PNG via `javax.imageio`
+  *    (zlib inflate + defilter) and WAV via `javax.sound.sampled`
+  *    (RIFF parse), wired below as [[pngMedia]]/[[imageFeatures]] and
+  *    [[wavMedia]]/[[audioFeatures]]. Features come from decoded
+  *    pixels/PCM frames, oracle-verified.
+  *  - [[FakeByteDecoder]] — byte-level payload statistics for formats
+  *    with no in-JVM decoder (video, proprietary codecs): treats the
+  *    payload as opaque bytes; swap in a JNI/javacv decoder without
+  *    touching the pipeline.
   */
 object Multimodal {
 
@@ -54,6 +59,44 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => FakeByteDecoder.decode(id, bytes) })
+  }
+
+  /** Id-keyed REAL PNG payload table (media_id, content): each row's
+    * binary column is a genuine zlib-compressed PNG whose pixels are
+    * the oracle-shared generator function. Partition-parallel encode,
+    * no shuffle. */
+  def pngMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, MediaCodec.encodePng(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Real image decode over the binary column: `javax.imageio` PNG
+    * inflate per row, features from the decoded raster only. */
+  def imageFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[MediaCodec.ImageFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => MediaCodec.decodePngFeatures(id, b) })
+  }
+
+  /** Id-keyed REAL WAV payload table (media_id, content): 16-bit PCM
+    * mono in a genuine RIFF container. */
+  def wavMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, MediaCodec.encodeWav(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Real audio decode over the binary column: JDK RIFF/fmt-chunk
+    * parse per row, features from the decoded PCM frames only. */
+  def audioFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[MediaCodec.AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => MediaCodec.decodeWavFeatures(id, b) })
   }
 
   /** Frame sampling for a "video" payload: fixed-size frames, keep

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MediaCodec, Multimodal}
+
+/** Real-codec roundtrip properties: the payloads are genuine PNG/WAV
+  * containers (magic bytes + compression prove it's not a passthrough)
+  * and the decoded features match the generator arithmetic — i.e. the
+  * decode path (inflate/defilter, RIFF parse) is lossless end-to-end. */
+class MediaCodecSpec extends AnyFunSuite with SparkTestBase {
+
+  private val ids = Seq(0L, 1L, 7L, 31L, 32L, 255L, 256L, 100003L)
+
+  test("PNG payload is a real PNG container, not raw pixels") {
+    ids.foreach { id =>
+      val png = MediaCodec.encodePng(id)
+      assert((png.take(8).map(_ & 0xff) sameElements
+          Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)),
+        s"id=$id payload lacks the PNG signature")
+      // IHDR immediately follows the signature in a well-formed PNG
+      assert(new String(png.slice(12, 16), "ASCII") == "IHDR")
+    }
+  }
+
+  test("PNG decode recovers every pixel the generator wrote") {
+    ids.foreach { id =>
+      val f = MediaCodec.decodePngFeatures(id, MediaCodec.encodePng(id))
+      val (w, h) = (MediaCodec.imageWidth(id), MediaCodec.imageHeight(id))
+      val px = (0L until w.toLong * h).map(MediaCodec.pixel(id, _))
+      assert(f.width == w && f.height == h)
+      assert(f.px_sum == px.map(_.toLong).sum, s"pixel sum mismatch for id=$id")
+      val bins = px.groupBy(_ >> 6).view.mapValues(_.size.toLong).toMap
+      assert(Seq(f.h0, f.h1, f.h2, f.h3) ==
+        (0 to 3).map(b => bins.getOrElse(b, 0L)), s"histogram mismatch id=$id")
+    }
+  }
+
+  test("WAV payload is a real RIFF container and decodes losslessly") {
+    ids.foreach { id =>
+      val wav = MediaCodec.encodeWav(id)
+      assert(new String(wav.take(4), "ASCII") == "RIFF" &&
+        new String(wav.slice(8, 12), "ASCII") == "WAVE",
+        s"id=$id payload lacks the RIFF/WAVE header")
+      val f = MediaCodec.decodeWavFeatures(id, wav)
+      val n = MediaCodec.audioFrames(id)
+      val vs = (0L until n.toLong).map(MediaCodec.sample(id, _))
+      assert(f.n_samples == n && f.sample_sum == vs.map(_.toLong).sum)
+      assert(f.n_positive == vs.count(_ > 0))
+      assert(f.s_min == vs.min && f.s_max == vs.max)
+    }
+  }
+
+  test("corrupt payload fails loudly, not with garbage features") {
+    val broken = MediaCodec.encodePng(5L).take(20) // truncated container
+    intercept[Exception](MediaCodec.decodePngFeatures(5L, broken))
+  }
+
+  test("distributed encode→decode pipeline matches local features") {
+    import spark.implicits._
+    val idDf = ids.toDF("doc_id").repartition(3)
+    val img = Multimodal.imageFeatures(spark,
+      Multimodal.pngMedia(spark, idDf, "doc_id")).collect()
+      .map(f => f.media_id -> f).toMap
+    ids.foreach { id =>
+      assert(img(id) == MediaCodec.decodePngFeatures(id, MediaCodec.encodePng(id)))
+    }
+    val aud = Multimodal.audioFeatures(spark,
+      Multimodal.wavMedia(spark, idDf, "doc_id")).collect()
+      .map(f => f.media_id -> f).toMap
+    ids.foreach { id =>
+      assert(aud(id) == MediaCodec.decodeWavFeatures(id, MediaCodec.encodeWav(id)))
+    }
+  }
+}
