@@ -130,6 +130,34 @@ object ScaleGen {
     }
   }
 
+  /** Deterministic sparse power-law graph — the workload the dense-
+    * bitmap triangle gate (n ≤ 16384) and the union-find CC gate
+    * (≤ 5M driver edges) were built to refuse, so the SPARSE fallback
+    * paths ([[operators.Graph.orientedTriangles]], Kiveris star
+    * contraction) finally execute on data-scale input instead of toy
+    * spec fixtures. Each of `draws` candidate edges picks endpoints
+    * floor(n·r²) with r uniform from xxhash64 — the quadratic warp
+    * concentrates mass at low ids, giving degree density f(k) ∝
+    * k^(−1/2) (hub deg ≈ draws/√(n·k): ~45k at n=200k/draws=10M) —
+    * then self-loops drop and (lo,hi) canonicalization + distinct
+    * leaves a simple undirected graph of ~0.95·draws edges. Pure
+    * projection + one distinct: generates 10M edges in seconds and
+    * scales to any size. */
+  def powerLawEdges(spark: SparkSession, nNodes: Long, draws: Long,
+      seed: Long = 42L): DataFrame = {
+    val base = spark.range(draws)
+    def endpoint(salt: Int) = {
+      val r = (pmod(xxhash64(col("id"), lit(seed), lit(salt)),
+        lit(1L << 30)).cast("double") / (1L << 30).toDouble)
+      floor(lit(nNodes.toDouble) * r * r).cast("long")
+    }
+    base.select(endpoint(1).as("a"), endpoint(2).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+  }
+
   def main(args: Array[String]): Unit = {
     val (srcDir, outDir) = (args(0), args(1))
     val factor = args(2).toInt

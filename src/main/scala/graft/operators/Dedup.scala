@@ -405,7 +405,18 @@ object Dedup {
     * per-component-min labeling on any engine and partition order. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20, reliableCheckpointDir: Option[String] = None,
-      driverEdgeLimit: Long = 5000000L): DataFrame = {
+      driverEdgeLimit: Long = 5000000L): DataFrame =
+    connectedComponentsWithMethod(pairs, aCol, bCol, maxIters,
+      reliableCheckpointDir, driverEdgeLimit)._1
+
+  /** [[connectedComponents]] plus the dispatched method name
+    * ("union-find" | "star-contraction") — package-private so specs
+    * and the GraphScale sweep can PIN which path the driver-edge gate
+    * chose at a given scale. */
+  private[graft] def connectedComponentsWithMethod(pairs: DataFrame,
+      aCol: String, bCol: String,
+      maxIters: Int = 20, reliableCheckpointDir: Option[String] = None,
+      driverEdgeLimit: Long = 5000000L): (DataFrame, String) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     reliableCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -430,7 +441,7 @@ object Dedup {
     // set by the star-contraction branch to the FINAL round's release
     // thunk; called only after `out` below has materialized from it
     var releaseFinal: () => Unit = () => ()
-    val labels: DataFrame =
+    val (labels: DataFrame, method: String) =
       if (longKeys && edges.count() <= driverEdgeLimit) {
         val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -449,7 +460,8 @@ object Dedup {
           if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
         }
         val nodeIds = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
-        nodeIds.map(n => (n, find(n))).toSeq.toDF("node", "label")
+        (nodeIds.map(n => (n, find(n))).toSeq.toDF("node", "label"),
+          "union-find")
       } else {
         // large-star: for each node u with symmetric neighborhood
         // N(u) and m = min(N(u) ∪ {u}), emit (m, v) for every v > u
@@ -502,9 +514,9 @@ object Dedup {
               "rounds: the pair graph is pathologically large or adversarial; " +
               "raise maxIters (rounds needed is O(log² n), ~5 in practice)")
         releaseFinal = release
-        edges.select(col("hi").as("node"), col("lo").as("label"))
+        (edges.select(col("hi").as("node"), col("lo").as("label"))
           .unionByName(edges.select(col("lo").as("node"), col("lo").as("label")))
-          .distinct()
+          .distinct(), "star-contraction")
       }
     // self-paired or otherwise edge-less nodes are their own cluster.
     // Materialize eagerly BEFORE dropping the caches — returning the
@@ -515,7 +527,7 @@ object Dedup {
     releaseFinal() // star path: free the final round's checkpointed blocks
     edges.unpersist() // union-find path: edges is the plain .cache() above
     p.unpersist()
-    out
+    (out, method)
   }
 
 

@@ -52,7 +52,15 @@ object Graph {
     * @return one row per node that participates in ≥1 triangle:
     *         (`node`, `n_triangles`).
     */
-  def triangleCounts(edges: DataFrame, denseMaxNodes: Int = 16384): DataFrame = {
+  def triangleCounts(edges: DataFrame, denseMaxNodes: Int = 16384): DataFrame =
+    triangleCountsWithPath(edges, denseMaxNodes)._1
+
+  /** [[triangleCounts]] plus the dispatched path name ("dense" |
+    * "sparse") — package-private so specs and the GraphScale sweep can
+    * PIN which plan the gate chose at a given scale instead of
+    * inferring it from wall time. */
+  private[graft] def triangleCountsWithPath(edges: DataFrame,
+      denseMaxNodes: Int = 16384): (DataFrame, String) = {
     // |V| decides the plan. Cache the canonical edge list — it is the
     // narrowest relation every downstream consumer derives from — and
     // pay the upstream edge-construction pipeline exactly once (the
@@ -61,8 +69,8 @@ object Graph {
     val nodes = e.select(F.explode(F.array(col("u"), col("v"))).as("node"))
       .distinct()
     val n = nodes.count()
-    if (n <= denseMaxNodes) denseTriangles(e, nodes, n)
-    else { e.unpersist(); orientedTriangles(edges) }
+    if (n <= denseMaxNodes) (denseTriangles(e, nodes, n), "dense")
+    else { e.unpersist(); (orientedTriangles(edges), "sparse") }
   }
 
   /** Dense path over the DIRECTED (both-ways) edge relation `both`

@@ -145,6 +145,29 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
         "(expected at most the final round); round releases are not firing")
   }
 
+  test("adaptive gates dispatch by measured size, pinned by name") {
+    import spark.implicits._
+    // triangles: 4 distinct nodes vs a denseMaxNodes=3 gate
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (0L, 2L))
+    assert(Graph.triangleCountsWithPath(edgeDf(square), denseMaxNodes = 3)._2
+      == "sparse")
+    assert(Graph.triangleCountsWithPath(edgeDf(square), denseMaxNodes = 4)._2
+      == "dense")
+    // CC: the 5M driver-edge gate, scaled down to 1 edge
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val (ufLabels, m1) = graft.operators.Dedup
+      .connectedComponentsWithMethod(pairs, "a", "b", driverEdgeLimit = 2L)
+    val (starLabels, m2) = graft.operators.Dedup
+      .connectedComponentsWithMethod(pairs, "a", "b", driverEdgeLimit = 1L)
+    assert(m1 == "union-find" && m2 == "star-contraction")
+    // and both sides of the gate agree on the labeling
+    assert(toMap(ufLabels) == toMap(starLabels))
+    // non-long keys can never take the driver path
+    val strPairs = Seq(("a", "b")).toDF("a", "b")
+    assert(graft.operators.Dedup
+      .connectedComponentsWithMethod(strPairs, "a", "b")._2 == "star-contraction")
+  }
+
   test("triangle-free graph yields no rows") {
     val star = (1L to 10L).map(x => (0L, x))
     assert(Graph.triangleCounts(edgeDf(star), denseMaxNodes = 1000).count() == 0)
