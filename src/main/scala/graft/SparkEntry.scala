@@ -3459,6 +3459,155 @@ object Queries {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Skip-gram (center, context) pair generation, window ±2 — the
+    * word2vec/fastText training-pair extraction. No token self-join:
+    * the four context slots are lag/lead extractions over ONE
+    * per-document window (a single doc_id-keyed shuffle), then a
+    * 4-wide explode and a pair-count aggregate. Per-token fan-out is
+    * the window width, so output scales linearly with corpus tokens
+    * at any SF. Top-30 pairs under a total order. */
+  def qSkipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .select(col("w").as("center"),
+        array(lag(col("w"), 2).over(win), lag(col("w"), 1).over(win),
+          lead(col("w"), 1).over(win), lead(col("w"), 2).over(win)).as("ctx"))
+      .select(col("center"), explode(col("ctx")).as("context"))
+      .filter(col("context").isNotNull)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("center"), col("context"))
+      .limit(30)
+      .orderBy(col("n_pairs").desc, col("center"), col("context"))
+  }
+
+  /** BM25-lite retrieval: top-20 documents for a fixed 3-term query
+    * under the classic BM25 shape (k1 = 1.2, b = 0.75) made EXACT
+    * cross-engine by rational arithmetic — idf is the integer ratio
+    * ((2(N−df)+1)·1000) div (2df+1) (monotone in the true
+    * log-idf), and the tf saturation term multiplies through by
+    * 20·TL so the whole per-term score is one integer division:
+    * idf · 44·tf·TL div (20·tf·TL + 6·TL + 18·dl·N), accumulated in
+    * DECIMAL(38,0), emitted as BIGINT milli-score.
+    *
+    * Scale shape: tokenize → one tf aggregate over the 3 query terms
+    * (the filter pushes into the scan side of the agg), doc lengths
+    * from one count aggregate, 1-row corpus totals broadcast-crossed
+    * (bounded BNLJ), term df broadcast (3 rows). Top-20 is a
+    * TakeOrdered, never a global sort. */
+  def qBm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "spark", "merge")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("tl"), count(lit(1)).as("nd"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfq), "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_part", expr(
+        """CAST((CAST(((2*(nd - df) + 1) * 1000) div (2*df + 1) AS DECIMAL(38,0))
+          |  * 44 * tf * tl) div (20*tf*tl + 6*tl + 18*dl*nd) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_part")).as("bm25_milli"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_milli").desc, col("doc_id"))
+      .limit(20)
+      .orderBy(col("bm25_milli").desc, col("doc_id"))
+  }
+
+  /** Blocklist/safety scoring — rule-based content filtering: a
+    * category→term table (broadcast; real deployments load thousands
+    * of terms, still broadcast-sized) joined against the token
+    * stream; per category: matched-doc count, total hits, and the
+    * top offending document (hits desc, doc_id — deterministic).
+    * One shuffle on (category, doc) for the per-doc counts; the
+    * per-category rollup and top-1 window run on the bounded
+    * category-keyed relation. */
+  def qBlocklistScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cats = Seq(
+      ("latency", "slow"), ("latency", "fast"),
+      ("storage", "row"), ("storage", "column"),
+      ("compute", "scan"), ("compute", "merge")).toDF("category", "term")
+    val hits = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(cats), col("w") === col("term"))
+      .groupBy(col("category"), col("doc_id"))
+      .agg(count(lit(1)).as("h"))
+    val agg = hits.groupBy(col("category"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("n_hits"))
+    val top = hits.withColumn("rn", row_number().over(
+        Window.partitionBy(col("category")).orderBy(col("h").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("category"), col("doc_id").as("top_doc"), col("h").as("top_hits"))
+    agg.join(top, "category").orderBy(col("category"))
+  }
+
+  /** χ² drift of the source×lang contingency table — the
+    * distribution-shift check a curation pipeline runs per ingest:
+    * per observed cell, the scaled independence deviation
+    * (O·T − rt·ct)²·10⁶ div (rt·ct·T) plus the expected count in
+    * milli-docs, all in DECIMAL(38,0) integer arithmetic (exact on
+    * any engine; no floating χ²). One count aggregate over the fact
+    * table; margins and totals are aggregates OF the cell relation
+    * (bounded: |sources|×|langs| rows), totals broadcast-crossed. */
+  def qChisqDomain(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+    val ct = obs.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).as("t"))
+    obs.join(broadcast(rt), "source").join(broadcast(ct), "lang")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("o").as("observed"),
+        expr("CAST((CAST(rt AS DECIMAL(38,0)) * ct * 1000) div t AS BIGINT)")
+          .as("expected_milli"),
+        expr("""CAST(((CAST(o AS DECIMAL(38,0))*t - CAST(rt AS DECIMAL(38,0))*ct)
+          |  * (CAST(o AS DECIMAL(38,0))*t - CAST(rt AS DECIMAL(38,0))*ct)
+          |  * 1000000) div (CAST(rt AS DECIMAL(38,0)) * ct * t) AS BIGINT)""".stripMargin)
+          .as("cell_chi2_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** Domain-centroid Gram matrix over embeddings: per label, the
+    * component-wise sum of µ-scaled integer embeddings (floor(x·10⁶)
+    * — exact on any engine, unlike float sums), then every label-pair
+    * dot product ⟨s_a, s_b⟩ (a ≤ b: off-diagonals are cross-domain
+    * similarity, diagonals the squared norms), DECIMAL(38,0)
+    * accumulated, emitted div 10⁹. The downstream cosine is a
+    * float-space normalization of this exact artifact.
+    *
+    * Scale shape: one (label, dim) aggregate over the exploded
+    * embeddings (map-side combined), then the pair join runs on the
+    * |labels|·dims relation — bounded by the domain count, never by
+    * rows. */
+  def qDomainCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("sv"))
+    val n = Tables.embeddings(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val a = comp.select(col("label").as("label_a"), col("d"), col("sv").as("sa"))
+    val b = comp.select(col("label").as("label_b"), col("d"), col("sv").as("sb"))
+    a.join(b, "d").filter(col("label_a") <= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(expr("CAST(sum(CAST(sa AS DECIMAL(38,0)) * sb) div 1000000000 AS BIGINT)")
+        .as("dot_g"))
+      .join(broadcast(n.select(col("label").as("label_a"), col("n").as("n_a"))), "label_a")
+      .join(broadcast(n.select(col("label").as("label_b"), col("n").as("n_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"), col("dot_g"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -3599,6 +3748,11 @@ object Queries {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_image_decode" -> (qImageDecode _),
     "q_audio_decode" -> (qAudioDecode _),
+    "q_skipgram_pairs" -> (qSkipgramPairs _),
+    "q_bm25_topk" -> (qBm25Topk _),
+    "q_blocklist_score" -> (qBlocklistScore _),
+    "q_chisq_domain" -> (qChisqDomain _),
+    "q_domain_centroid_sim" -> (qDomainCentroidSim _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_join_range" -> (qJoinRange _),
     "q_range_autobin" -> (qRangeAutobin _),
@@ -5318,6 +5472,87 @@ object Queries {
         |  CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) h2,
         |  CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) h3
         |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin,
+
+    "q_skipgram_pairs" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE w <> ''),
+        |c AS (SELECT w AS center,
+        |    lag(w, 2) OVER win AS c1, lag(w, 1) OVER win AS c2,
+        |    lead(w, 1) OVER win AS c3, lead(w, 2) OVER win AS c4
+        |  FROM f WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |p AS (SELECT center, c1 AS context FROM c WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT center, c2 FROM c WHERE c2 IS NOT NULL
+        |  UNION ALL SELECT center, c3 FROM c WHERE c3 IS NOT NULL
+        |  UNION ALL SELECT center, c4 FROM c WHERE c4 IS NOT NULL)
+        |SELECT center, context, count(*) AS n_pairs FROM p
+        |GROUP BY center, context
+        |ORDER BY n_pairs DESC, center, context LIMIT 30""".stripMargin,
+
+    "q_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE w <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM f GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tl, count(*) AS nd FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM f
+        |  WHERE w IN ('table', 'spark', 'merge') GROUP BY doc_id, w),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT t2.doc_id,
+        |    CAST((CAST(((2*(nd - df) + 1) * 1000) // (2*df + 1) AS HUGEINT)
+        |      * 44 * tf * tl) // (20*tf*tl + 6*tl + 18*dl*nd) AS BIGINT) AS score_part
+        |  FROM tf t2 JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(score_part) AS BIGINT) AS bm25_milli,
+        |  count(*) AS n_terms
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25_milli DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_blocklist_score" ->
+      """WITH cat(category, term) AS (VALUES
+        |    ('latency', 'slow'), ('latency', 'fast'),
+        |    ('storage', 'row'), ('storage', 'column'),
+        |    ('compute', 'scan'), ('compute', 'merge')),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |hits AS (SELECT category, doc_id, count(*) AS h
+        |  FROM t JOIN cat ON w = term GROUP BY category, doc_id),
+        |agg AS (SELECT category, count(*) AS n_docs,
+        |    CAST(sum(h) AS BIGINT) AS n_hits FROM hits GROUP BY category),
+        |r AS (SELECT category, doc_id, h, row_number() OVER
+        |    (PARTITION BY category ORDER BY h DESC, doc_id) AS rn FROM hits)
+        |SELECT category, n_docs, n_hits, doc_id AS top_doc, h AS top_hits
+        |FROM agg JOIN r USING (category) WHERE rn = 1
+        |ORDER BY category""".stripMargin,
+
+    "q_chisq_domain" ->
+      """WITH obs AS (SELECT source, lang, count(*) AS o FROM documents
+        |  GROUP BY source, lang),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY source),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY lang),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM obs)
+        |SELECT source, lang, o AS observed,
+        |  CAST((CAST(rt AS HUGEINT) * ct * 1000) // t AS BIGINT) AS expected_milli,
+        |  CAST(((CAST(o AS HUGEINT)*t - CAST(rt AS HUGEINT)*ct)
+        |    * (CAST(o AS HUGEINT)*t - CAST(rt AS HUGEINT)*ct)
+        |    * 1000000) // (CAST(rt AS HUGEINT) * ct * t) AS BIGINT) AS cell_chi2_ppm
+        |FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tot
+        |ORDER BY source, lang""".stripMargin,
+
+    "q_domain_centroid_sim" ->
+      """WITH comp AS (SELECT label, unnest(range(0, len(embedding))) AS d,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS sx
+        |  FROM embeddings),
+        |s AS (SELECT label, d, CAST(sum(sx) AS BIGINT) AS sv FROM comp
+        |  GROUP BY label, d),
+        |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(CAST(a.sv AS HUGEINT) * b.sv) // 1000000000 AS BIGINT) AS dot_g
+        |  FROM s a JOIN s b ON a.d = b.d AND a.label <= b.label
+        |  GROUP BY a.label, b.label)
+        |SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b, dot_g
+        |FROM p JOIN n na ON label_a = na.label JOIN n nb ON label_b = nb.label
+        |ORDER BY label_a, label_b""".stripMargin,
 
     "q_audio_decode" ->
       """WITH d AS (SELECT doc_id, 400 + doc_id % 256 AS n FROM documents),

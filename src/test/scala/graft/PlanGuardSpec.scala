@@ -40,7 +40,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_join_range" -> ("small interval side broadcast by design — the " +
       "scalable form of this join is q_range_autobin's binned equi-join"),
     "q_vocab_coverage" -> ("1-row covered-sum aggregate broadcast " +
-      "crossed with the 1-row totals aggregate")
+      "crossed with the 1-row totals aggregate"),
+    "q_bm25_topk" -> "1-row corpus totals broadcast (tl, nd)",
+    "q_chisq_domain" -> "1-row contingency total broadcast (t)"
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
