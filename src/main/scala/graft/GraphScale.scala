@@ -130,6 +130,29 @@ object GraphScale {
     }
     require(ccBad == 0, s"union-find vs star-contraction mismatch: $ccBad rows")
     jline("xcheck_cc", tXCc, s""","mismatches":$ccBad""")
+    spark.catalog.clearCache()
+
+    // dense-blocked vs sparse on a DISJOINT-COPIES graph (the sf10
+    // supplier-co-occurrence shape that broke the sparse tier): 30
+    // key-shifted copies of a 4096-node graph — total n over the dense
+    // gate, every component under it -> the gate must pick the blocked
+    // bitmap plan, and it must equal the wedge join row-for-row
+    val (dbBad, tXDb) = time {
+      val copy = ScaleGen.powerLawEdges(spark, 4096L, 200000L)
+      val copies = copy
+        .crossJoin(broadcast(spark.range(30).select(col("id").as("c"))))
+        .select((col("u") + col("c") * 10000L).as("u"),
+          (col("v") + col("c") * 10000L).as("v"))
+        .localCheckpoint(true)
+      val (blocked, p) = Graph.triangleCountsWithPath(copies)
+      require(p == "dense-blocked", s"expected dense-blocked, got $p")
+      val blockedMat = blocked.localCheckpoint(true)
+      spark.catalog.clearCache() // release the blocked tier's builds
+      val sparse = Graph.orientedTriangles(copies)
+      blockedMat.exceptAll(sparse).count() + sparse.exceptAll(blockedMat).count()
+    }
+    require(dbBad == 0, s"dense-blocked vs sparse mismatch: $dbBad rows")
+    jline("xcheck_dense_blocked", tXDb, s""","mismatches":$dbBad""")
 
     spark.stop()
   }

@@ -178,10 +178,19 @@ object Dedup {
 
   /** Direct-join gate for [[exactSimJoin]]: the co-token pair volume
     * Σ df² the direct plan may shuffle before the prefix-filtered
-    * plan takes over. 2²⁶ ≈ 67M narrow rows — an easy single-stage
-    * shuffle for a cluster, far past anything a benign (non-Zipf)
-    * token distribution produces at test scale. */
-  val DirectSimJoinMaxPairs: Long = 1L << 26
+    * plan takes over. 2²⁹ ≈ 537M NARROW rows (two ids) — one
+    * map-side-combined shuffle stage, routine for a cluster and fine
+    * on one node (the sf10 sweep measured the direct plan at
+    * Σdf² = 329M completing where the prefix plan's verification —
+    * candidates × |A| token expansion — spilled past 70 GB of local
+    * disk). The gate's design point is the ZIPF HEAD: a few df ≈ n
+    * tokens push Σdf² toward n², which no constant survives — there
+    * the rarest-first prefix plan wins precisely because prefixes
+    * exclude the head. For bounded-df corpora (copy-tagged shingles,
+    * near-dup text) Σdf² grows linearly with the corpus and direct
+    * stays the cheaper plan as long as the shuffle fits — hence a
+    * generous constant, not a timid one. */
+  val DirectSimJoinMaxPairs: Long = 1L << 29
 
   /** EXACT set-similarity self-join (Jaccard ≥ tNum/tDen) over an
     * exploded token relation — returns verified pairs, not just

@@ -145,6 +145,31 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
         "(expected at most the final round); round releases are not firing")
   }
 
+  test("dense-blocked tier: per-component bitmaps match brute force; gate order pinned") {
+    // 3 disjoint copies of the test graph: total nodes exceed the
+    // dense gate, every component fits it -> dense-blocked
+    val copies = (0 to 2).flatMap(c =>
+      testEdges.map { case (u, v) => (u + 100L * c, v + 100L * c) })
+    val want = (0 to 2).flatMap(c =>
+      bruteCounts(testEdges).filter(_._2 > 0)
+        .map { case (n, t) => (n + 100L * c) -> t }).toMap
+    val (blocked, p1) = Graph.triangleCountsWithPath(edgeDf(copies),
+      denseMaxNodes = 60)
+    assert(p1 == "dense-blocked", s"expected dense-blocked, got $p1")
+    assert(toMap(blocked) == want)
+    spark.catalog.clearCache()
+    // a component larger than the gate (the 23-node hub component)
+    // forces sparse ...
+    assert(Graph.triangleCountsWithPath(edgeDf(copies),
+      denseMaxNodes = 10)._2 == "sparse")
+    spark.catalog.clearCache()
+    // ... and so does an adjacency-table byte cap too small to hold
+    // totalNodes x ceil(cmax/64) words
+    assert(Graph.triangleCountsWithPath(edgeDf(copies),
+      denseMaxNodes = 60, maxAdjBytes = 64L)._2 == "sparse")
+    spark.catalog.clearCache()
+  }
+
   test("adaptive gates dispatch by measured size, pinned by name") {
     import spark.implicits._
     // triangles: 4 distinct nodes vs a denseMaxNodes=3 gate
