@@ -3608,6 +3608,111 @@ object Queries {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Window-PMI collocations over skip-gram pairs: the ±2-window
+    * (center, context) relation re-ranked by pointwise mutual
+    * information — pairs that co-occur far above chance — with the
+    * same lag/lead single-window construction as q_skipgram_pairs
+    * (never a token self-join) and RATIONAL ranking: pmi_ppm =
+    * n_pair·T·10⁶ div (n_center·n_context) in DECIMAL(38,0), exact
+    * on any engine (log-PMI is monotone in this ratio). Marginals
+    * and the total are aggregates OF the pair relation. Min support
+    * 5; top-20 under a total order. */
+  def qSkipgramPmi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .select(col("w").as("center"),
+        array(lag(col("w"), 2).over(win), lag(col("w"), 1).over(win),
+          lead(col("w"), 1).over(win), lead(col("w"), 2).over(win)).as("ctx"))
+      .select(col("center"), explode(col("ctx")).as("context"))
+      .filter(col("context").isNotNull)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pair"))
+    val nc = pairs.groupBy(col("center")).agg(sum(col("n_pair")).as("n_center"))
+    val nx = pairs.groupBy(col("context")).agg(sum(col("n_pair")).as("n_context"))
+    val tot = pairs.agg(sum(col("n_pair")).as("t"))
+    pairs.filter(col("n_pair") >= 5)
+      .join(nc, "center").join(nx, "context")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_ppm", expr(
+        "CAST((CAST(n_pair AS DECIMAL(38,0)) * t * 1000000) div (CAST(n_center AS DECIMAL(38,0)) * n_context) AS BIGINT)"))
+      .select(col("center"), col("context"), col("n_pair"), col("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("center"), col("context"))
+      .limit(20)
+      .orderBy(col("pmi_ppm").desc, col("center"), col("context"))
+  }
+
+  /** First BPE merge decision: frequency of every adjacent symbol
+    * (character) pair WITHIN words — the statistic byte-pair-encoding
+    * tokenizer training computes each round. Pure projection (per-word
+    * bounded transform over substring windows; pairs never cross word
+    * boundaries) + one pair-keyed aggregate; top-20 total-ordered. */
+  def qBpeFirstMerge(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+      .orderBy(col("n").desc, col("pair"))
+
+  /** Per-vector scalar quantization (the vector-DB/int8 prep step):
+    * µ-scaled integer components, per-vector min/max, and the 8-bit
+    * code checksum Σ ((x−min)·255 div (max−min)) — all integer, so
+    * the quantization artifact is bit-exact on any engine. One
+    * vec-keyed shuffle: min/max ride a partitioned window over the
+    * exploded components, codes re-aggregate on the same key. */
+  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("xm", expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+      .withColumn("mn", min(col("xm")).over(w))
+      .withColumn("mx", max(col("xm")).over(w))
+      .groupBy(col("vec_id"), col("mn"), col("mx"))
+      .agg(sum(expr(
+        "CASE WHEN mx > mn THEN ((xm - mn) * 255) div (mx - mn) ELSE 0 END")).as("checksum"))
+      .select(col("vec_id"), col("mn"), col("mx"), col("checksum"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Language-ID evaluation: confusion matrix of the declared `lang`
+    * column against the n-gram-heuristic topic prediction
+    * ([[operators.TextAnalysis.withLanguageId]]) — the quality gate a
+    * pipeline runs on its own classifier. One count aggregate over
+    * the bounded (lang × prediction) grid. */
+  def qLangidEval(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLanguageId(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")), "text")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  /** ANN index self-evaluation: recall@3 of the hyperplane-LSH index
+    * against the exact brute-force ranking, per query point — the
+    * eval harness an embedding store runs after (re)building an
+    * index, in one plan. Reuses both ANN pipelines; the only new work
+    * is a semi-join of the two bounded top-k relations. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = qAnnBruteforce(s, dir).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = qAnnLsh(s, dir).select(col("query_id"), col("neighbor_id"))
+    val nl = lsh.groupBy(col("query_id")).agg(count(lit(1)).as("n_lsh"))
+    val hits = lsh.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    nl.join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("query_id"), col("n_lsh"), col("hits"),
+        expr("hits * 1000000 div 3").as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -3753,6 +3858,11 @@ object Queries {
     "q_blocklist_score" -> (qBlocklistScore _),
     "q_chisq_domain" -> (qChisqDomain _),
     "q_domain_centroid_sim" -> (qDomainCentroidSim _),
+    "q_skipgram_pmi" -> (qSkipgramPmi _),
+    "q_bpe_first_merge" -> (qBpeFirstMerge _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_langid_eval" -> (qLangidEval _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_join_range" -> (qJoinRange _),
     "q_range_autobin" -> (qRangeAutobin _),
@@ -5458,6 +5568,105 @@ object Queries {
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) rnk, cos_sim
          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
+
+    "q_ann_recall" -> {
+      val bandSelects = Queries.lshPlanesLiterals.grouped(10).toSeq.zipWithIndex.map {
+        case (grp, bi) =>
+          val v = grp.zipWithIndex.map { case (p, j) =>
+            s"(CASE WHEN list_dot_product(qv, $p) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, $bi AS band_idx, $v AS band_key FROM n"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
+         |banded AS (
+         |$bandSelects),
+         |cand AS (SELECT DISTINCT a.vec_id query_id, b.vec_id neighbor_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |ls AS (SELECT query_id, neighbor_id,
+         |    list_dot_product(na.qv, nb.qv)/(sqrt(na.norm2)*sqrt(nb.norm2)) cos_sim
+         |  FROM cand JOIN n na ON query_id = na.vec_id JOIN n nb ON neighbor_id = nb.vec_id),
+         |lr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) rnk
+         |  FROM ls),
+         |lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rnk <= 3),
+         |bs AS (SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         |    list_dot_product(a.qv, b.qv)/(sqrt(a.norm2)*sqrt(b.norm2)) cos_sim
+         |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) rnk
+         |  FROM bs),
+         |brute AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 3),
+         |nl AS (SELECT query_id, count(*) AS n_lsh FROM lsh GROUP BY query_id),
+         |h AS (SELECT l.query_id, count(*) AS hits FROM lsh l
+         |  JOIN brute b USING (query_id, neighbor_id) GROUP BY l.query_id)
+         |SELECT query_id, n_lsh, coalesce(hits, 0) AS hits,
+         |  coalesce(hits, 0) * 1000000 // 3 AS recall_ppm
+         |FROM nl LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+    },
+
+    "q_skipgram_pmi" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE w <> ''),
+        |c AS (SELECT w AS center,
+        |    lag(w, 2) OVER win AS c1, lag(w, 1) OVER win AS c2,
+        |    lead(w, 1) OVER win AS c3, lead(w, 2) OVER win AS c4
+        |  FROM f WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |p AS (SELECT center, c1 AS context FROM c WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT center, c2 FROM c WHERE c2 IS NOT NULL
+        |  UNION ALL SELECT center, c3 FROM c WHERE c3 IS NOT NULL
+        |  UNION ALL SELECT center, c4 FROM c WHERE c4 IS NOT NULL),
+        |pc AS (SELECT center, context, count(*) AS n_pair FROM p
+        |  GROUP BY center, context),
+        |nc AS (SELECT center, CAST(sum(n_pair) AS BIGINT) AS n_center FROM pc GROUP BY center),
+        |nx AS (SELECT context, CAST(sum(n_pair) AS BIGINT) AS n_context FROM pc GROUP BY context),
+        |tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t FROM pc)
+        |SELECT center, context, n_pair,
+        |  CAST((CAST(n_pair AS HUGEINT) * t * 1000000)
+        |    // (CAST(n_center AS HUGEINT) * n_context) AS BIGINT) AS pmi_ppm
+        |FROM pc JOIN nc USING (center) JOIN nx USING (context) CROSS JOIN tot
+        |WHERE n_pair >= 5
+        |ORDER BY pmi_ppm DESC, center, context LIMIT 20""".stripMargin,
+
+    "q_bpe_first_merge" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p AS (SELECT substr(w, CAST(unnest(range(1, length(w))) AS INT), 2) AS pair
+        |  FROM f)
+        |SELECT pair, count(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH m AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, list_min(xm) AS mn, list_max(xm) AS mx, xm FROM m)
+        |SELECT vec_id, mn, mx,
+        |  CAST(CASE WHEN mx > mn THEN
+        |    list_sum(list_transform(xm, v -> ((v - mn) * 255) // (mx - mn)))
+        |  ELSE 0 END AS BIGINT) AS checksum
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_langid_eval" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(text,' ')) toks FROM documents),
+        |s AS (SELECT lang,
+        |  CAST(len(list_intersect(toks, ['the','a','of','and'])) AS DOUBLE)/len(toks) AS score_general,
+        |  CAST(len(list_intersect(toks, ['query','table','scan','join','filter'])) AS DOUBLE)/len(toks) AS score_query,
+        |  CAST(len(list_intersect(toks, ['stream','batch','window','event'])) AS DOUBLE)/len(toks) AS score_stream
+        |FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN score_general = greatest(score_general, score_query, score_stream) THEN 'general'
+        |       WHEN score_query = greatest(score_general, score_query, score_stream) THEN 'query'
+        |       ELSE 'stream' END AS pred_lang
+        |FROM s)
+        |SELECT lang, pred_lang, count(*) AS n FROM p
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
     "q_image_decode" ->
       """WITH d AS (SELECT doc_id, 32 + doc_id % 32 AS width,

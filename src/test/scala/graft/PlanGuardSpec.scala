@@ -42,7 +42,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_vocab_coverage" -> ("1-row covered-sum aggregate broadcast " +
       "crossed with the 1-row totals aggregate"),
     "q_bm25_topk" -> "1-row corpus totals broadcast (tl, nd)",
-    "q_chisq_domain" -> "1-row contingency total broadcast (t)"
+    "q_chisq_domain" -> "1-row contingency total broadcast (t)",
+    "q_skipgram_pmi" -> "1-row pair-total broadcast (t)",
+    "q_ann_recall" -> ("inherits q_ann_bruteforce/q_ann_lsh's bounded " +
+      "query-vector broadcasts (both independently whitelisted)")
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
