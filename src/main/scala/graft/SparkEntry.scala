@@ -3713,6 +3713,59 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** Near-dup cluster size histogram — the dedup REPORT (how much of
+    * the corpus sits in 2-doc pairs vs mega-clusters) a curation run
+    * publishes: component sizes from the verified-pair clustering,
+    * rolled to (size, n_clusters, n_docs). Both aggregates run on the
+    * bounded cluster relation. */
+  def qCcSizeHist(s: SparkSession, dir: String): DataFrame =
+    qDedupClusters(s, dir)
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  /** Half-life-decayed popularity per event type: each event weighs
+    * 2^(−age_days) of a 2²⁰ unit scale — EXACT on any engine because
+    * the decay is a power-of-two integer shift (1048576 div 2^b),
+    * never exp()/pow() doubles. The classic trending-score shape:
+    * one pass, one 1-row max-timestamp broadcast, one type-keyed
+    * aggregate. */
+  def qDecayPopularity(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
+    val tmax = ev.agg(max(col("ts")).as("tmax"))
+    ev.crossJoin(broadcast(tmax))
+      .withColumn("w", expr(
+        "1048576 div shiftleft(1L, CAST(least((tmax - ts) div 86400000000000, 20) AS INT))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_score"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Null-skew-routed LEFT join: log-style FK columns are routinely
+    * mostly-NULL, and a shuffle join hashes EVERY null row to one
+    * partition — the classic silent skew killer. This plan routes the
+    * null-key slice AROUND the join entirely (it can never match) and
+    * unions it back with null build-side columns: result ≡ the plain
+    * LEFT JOIN the oracle runs, but no executor ever sees the null
+    * key. The matched/unmatched rollup is the reporting shape. */
+  def qNullSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(when(col("value") < 1.0, lit(null)).otherwise(col("user_id")).as("k"),
+        col("value"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_nationkey").cast("long"))
+    val matched = e.filter(col("k").isNotNull).join(c, Seq("k"), "left")
+    val nulls = e.filter(col("k").isNull)
+      .withColumn("c_nationkey", lit(null).cast("long"))
+    matched.unionByName(nulls)
+      .groupBy(coalesce(col("c_nationkey"), lit(-1L)).as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .orderBy(col("nation"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -3859,6 +3912,9 @@ object Queries {
     "q_chisq_domain" -> (qChisqDomain _),
     "q_domain_centroid_sim" -> (qDomainCentroidSim _),
     "q_skipgram_pmi" -> (qSkipgramPmi _),
+    "q_cc_size_hist" -> (qCcSizeHist _),
+    "q_decay_popularity" -> (qDecayPopularity _),
+    "q_null_skew_join" -> (qNullSkewJoin _),
     "q_bpe_first_merge" -> (qBpeFirstMerge _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_langid_eval" -> (qLangidEval _),
@@ -6194,6 +6250,43 @@ object Queries {
          |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u)
          |SELECT src AS doc_id, MIN(node) AS cluster_rep
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q_cc_size_hist" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |verified AS (SELECT id_a, id_b
+         |  FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+         |edges AS (SELECT id_a u, id_b v FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT u AS src, u AS node FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u),
+         |clusters AS (SELECT src AS doc_id, MIN(node) AS cluster_rep
+         |  FROM reach GROUP BY src),
+         |cs AS (SELECT cluster_rep, count(*) AS cluster_size FROM clusters
+         |  GROUP BY cluster_rep)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "q_decay_popularity" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) AS t FROM events),
+        |m AS (SELECT max(t) AS tmax FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(1048576 // (1 << CAST(least((tmax - t) // 86400000000000, 20) AS INT)))
+        |    AS BIGINT) AS decayed_score
+        |FROM e CROSS JOIN m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_null_skew_join" ->
+      """WITH e AS (SELECT CASE WHEN value < 1.0 THEN NULL ELSE user_id END AS k,
+        |    value FROM events)
+        |SELECT coalesce(CAST(c_nationkey AS BIGINT), -1) AS nation,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e LEFT JOIN customer ON k = c_custkey
+        |GROUP BY nation ORDER BY nation""".stripMargin,
 
     // survivor selection mirrors the cluster closure, then ranks each
     // cluster by (text_len DESC, doc_id) — same deterministic

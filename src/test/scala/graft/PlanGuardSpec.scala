@@ -44,6 +44,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_bm25_topk" -> "1-row corpus totals broadcast (tl, nd)",
     "q_chisq_domain" -> "1-row contingency total broadcast (t)",
     "q_skipgram_pmi" -> "1-row pair-total broadcast (t)",
+    "q_decay_popularity" -> "1-row max-timestamp broadcast (tmax)",
     "q_ann_recall" -> ("inherits q_ann_bruteforce/q_ann_lsh's bounded " +
       "query-vector broadcasts (both independently whitelisted)")
   )
