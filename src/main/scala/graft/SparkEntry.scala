@@ -3766,6 +3766,55 @@ object Queries {
       .orderBy(col("nation"))
   }
 
+  /** Sequence-packing efficiency report: per shard, how full the
+    * 256-token training packs actually are (fill in ppm, integer
+    * division — exact) — the metric that decides whether the packing
+    * budget wastes accelerator steps. Reuses the q_pack_docs
+    * assignment; the rollup runs on the bounded shard relation. */
+  def qPackEfficiency(s: SparkSession, dir: String): DataFrame =
+    operators.TextPrep.withPacks(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("size(split(text, ' '))").cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 256, 8)
+      .groupBy(col("shard"))
+      .agg((max(col("pack_idx")) + 1).as("n_packs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("shard"), col("n_packs"), col("total_tokens"),
+        expr("(total_tokens * 1000000) div (n_packs * 256)").as("fill_ppm"))
+      .orderBy(col("shard"))
+
+  /** Exact-duplicate ratio per source — the per-provider quality
+    * report an ingest pipeline publishes: a doc is a dup if its
+    * content hash appears ≥2 times ANYWHERE in the corpus (cross-
+    * source dups attribute to each source holding a copy). One hash
+    * aggregate + one hash-keyed join; ppm via integer division. */
+  def qDupRatioBySource(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .select(col("source"), md5(col("text")).as("h"))
+    val counts = h.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    h.join(counts, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        expr("(n_dup_docs * 1000000) div n_docs").as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Hour-of-day activity profile: events and distinct users per
+    * (hour, type) — the ops-telemetry heatmap. Epoch-nanos integer
+    * bucketing (identical in both engines); one grid-keyed count +
+    * distinct aggregate. */
+  def qHourlyActivity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(expr("(ts div 3600000000000) % 24").as("hour"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -3913,6 +3962,9 @@ object Queries {
     "q_domain_centroid_sim" -> (qDomainCentroidSim _),
     "q_skipgram_pmi" -> (qSkipgramPmi _),
     "q_cc_size_hist" -> (qCcSizeHist _),
+    "q_pack_efficiency" -> (qPackEfficiency _),
+    "q_dup_ratio_by_source" -> (qDupRatioBySource _),
+    "q_hourly_activity" -> (qHourlyActivity _),
     "q_decay_popularity" -> (qDecayPopularity _),
     "q_null_skew_join" -> (qNullSkewJoin _),
     "q_bpe_first_merge" -> (qBpeFirstMerge _),
@@ -6270,6 +6322,39 @@ object Queries {
          |SELECT cluster_size, count(*) AS n_clusters,
          |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
          |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "q_pack_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS strt
+        |  FROM t),
+        |p AS (SELECT shard, CAST(max(strt // 256) + 1 AS BIGINT) AS n_packs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM c GROUP BY shard)
+        |SELECT shard, n_packs, total_tokens,
+        |  (total_tokens * 1000000) // (n_packs * 256) AS fill_ppm
+        |FROM p ORDER BY shard""".stripMargin,
+
+    "q_dup_ratio_by_source" ->
+      """WITH h AS (SELECT source, md5(text) AS h FROM documents),
+        |c AS (SELECT h, count(*) AS c FROM h GROUP BY h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // count(*) AS dup_ppm
+        |FROM h JOIN c USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_hourly_activity" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY hour, event_type
+        |ORDER BY hour, event_type""".stripMargin,
 
     "q_decay_popularity" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) AS t FROM events),
