@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Advisory check at the prefix-plan dispatch: rarest-first prefix
+    * blocking can only REDUCE pair volume when the df distribution
+    * has a head for prefixes to exclude. On a headless (bounded-df)
+    * distribution, prefix dfs ≈ full dfs, so candidate generation
+    * degenerates to ≈ Σdf² rows CARRYING positional-prune baggage —
+    * strictly worse than the direct count (measured at sf10,
+    * FIXTURES.md: direct 204 s where forced-prefix exhausted local
+    * disk in candidate DISTINCT). The gate still dispatches by
+    * volume; this logs when that dispatch lands in the regime the
+    * prefix plan was not built for, so an operator sizes the shuffle
+    * (or raises maxDirectPairs) instead of debugging a mystery
+    * spill. */
+  private def warnIfHeadless(dfreq: DataFrame, op: String): Unit = {
+    val row = dfreq.agg(max(col("df")).as("m"),
+      count(lit(1)).as("types")).head()
+    if (!row.isNullAt(0)) {
+      val (dfMax, types) = (row.getLong(0), row.getLong(1))
+      if (dfMax * dfMax * 100 < types)
+        log.warn(s"$op: prefix plan dispatched on a HEADLESS df " +
+          s"distribution (max df $dfMax over $types token types) - " +
+          "prefix blocking cannot shrink this workload; prefer raising " +
+          "maxDirectPairs (direct is one narrow df^2-volume shuffle)")
+    }
+  }
+
   /** df + `sh` column: distinct word-n-gram shingles of textCol. Rows
     * with fewer than n tokens get an empty shingle set. */
   def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
@@ -240,12 +267,22 @@ object Dedup {
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("inter_n"))
       } else {
+        // verify on GROUPED token arrays — one row per candidate pair
+        // (size(array_intersect)), not |A| exploded rows per pair: the
+        // sf10 sweep measured the exploded form shuffling candidates
+        // × |A| rows (~1B, >70 GB local spill); the array form ships
+        // the same bytes in |cands| rows, no re-shuffle, no sort, and
+        // array_intersect is a single O(|A|+|B|) hash probe per pair
+        warnIfHeadless(dfreq, "exactSimJoin")
         val cands = prefixCandidatesFromTokens(tok, dfreq, idCol, tNum, tDen)
+        val sets = tok.groupBy(col(idCol))
+          .agg(collect_list(col("tok")).as("ts"))
         cands
-          .join(tok.select(col(idCol).as("id_a"), col("tok")), "id_a")
-          .join(tok.select(col(idCol).as("id_b"), col("tok")), Seq("id_b", "tok"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("inter_n"))
+          .join(sets.select(col(idCol).as("id_a"), col("ts").as("ts_a")), "id_a")
+          .join(sets.select(col(idCol).as("id_b"), col("ts").as("ts_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("ts_a"), col("ts_b")))
+              .cast("long").as("inter_n"))
       }
     // sizes join: keyed by id, AQE broadcasts when small; at corpus
     // scale it shuffle-joins on the pair relation's existing keys
@@ -305,12 +342,18 @@ object Dedup {
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("inter_n"))
       } else {
+        // grouped-array verify, one row per directed candidate pair —
+        // same rationale as the exactSimJoin prefix branch
+        warnIfHeadless(dfreq, "containmentJoin")
         val cands = containmentPrefixCandidates(tok, dfreq, idCol, tNum, tDen)
+        val sets = tok.groupBy(col(idCol))
+          .agg(collect_list(col("tok")).as("ts"))
         cands
-          .join(tok.select(col(idCol).as("id_a"), col("tok")), "id_a")
-          .join(tok.select(col(idCol).as("id_b"), col("tok")), Seq("id_b", "tok"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("inter_n"))
+          .join(sets.select(col(idCol).as("id_a"), col("ts").as("ts_a")), "id_a")
+          .join(sets.select(col(idCol).as("id_b"), col("ts").as("ts_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("ts_a"), col("ts_b")))
+              .cast("long").as("inter_n"))
       }
     val sz = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     inter
