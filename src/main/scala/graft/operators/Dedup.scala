@@ -35,7 +35,9 @@ object Dedup {
       count(lit(1)).as("types")).head()
     if (!row.isNullAt(0)) {
       val (dfMax, types) = (row.getLong(0), row.getLong(1))
-      if (dfMax * dfMax * 100 < types)
+      // BigInt: dfMax^2*100 overflows Long for dfMax >~ 3e8, which is
+      // inside the design envelope this heuristic exists for
+      if (BigInt(dfMax) * BigInt(dfMax) * 100 < BigInt(types))
         log.warn(s"$op: prefix plan dispatched on a HEADLESS df " +
           s"distribution (max df $dfMax over $types token types) - " +
           "prefix blocking cannot shrink this workload; prefer raising " +

@@ -39,13 +39,18 @@ object Graph {
 
   /** Per-node exact triangle participation counts.
     *
-    * Cache contract: the returned LAZY plan reads caches built here
-    * (edge list, and on the dense path the id-mapped edges and
-    * adjacency bitmaps), so they cannot be unpersisted before the
-    * caller materializes the result. Callers that invoke this
-    * repeatedly in one session should `spark.catalog.clearCache()`
-    * (or unpersist the input) after each terminal action, or
-    * executor storage accumulates across calls.
+    * Cache contract: on the "dense" tier the returned LAZY plan reads
+    * caches built here (edge list, id-mapped edges, adjacency
+    * bitmaps), so they cannot be unpersisted before the caller
+    * materializes the result — callers that invoke this repeatedly in
+    * one session should `spark.catalog.clearCache()` (or unpersist
+    * the input) after each terminal action. The "dense-blocked" tier
+    * self-releases (it returns an eager localCheckpoint and
+    * unpersists its caches before returning), and "sparse" never
+    * caches. Driver memory: tiers beyond "dense" run a
+    * connected-components probe whose union-find shortcut may collect
+    * up to [[ProbeDriverEdgeLimit]] (1M) edges on the driver; larger
+    * graphs probe via distributed star contraction.
     *
     * @param edges undirected edge relation with columns `u`, `v` —
     *              distinct, no self-loops (`u < v` canonical form).
@@ -60,6 +65,13 @@ object Graph {
     * driver + every executor comfortably (Spark's own broadcast limit
     * is 8 GB; 256 MB keeps head-room at 1000-executor scale). */
   val DenseBlockedMaxAdjBytes: Long = 1L << 28
+
+  /** Driver-edge cap for the decomposition PROBE inside
+    * [[triangleCountsWithPath]]: the probe only needs component
+    * labels, so it never justifies the full 5M-edge union-find
+    * collect — past 1M edges it runs distributed star contraction
+    * and the driver stays out of the data path entirely. */
+  val ProbeDriverEdgeLimit: Long = 1000000L
 
   /** [[triangleCounts]] plus the dispatched path name ("dense" |
     * "dense-blocked" | "sparse") — package-private so specs and the
@@ -98,12 +110,25 @@ object Graph {
     val n = nodes.count()
     if (n <= denseMaxNodes) (denseTriangles(e, nodes, n), "dense")
     else {
-      val labels = Dedup.connectedComponents(e, "u", "v")
+      // Decomposition probe: only the LABELS matter here, so cap the
+      // union-find shortcut's driver collect at 1M edges (not the 5M
+      // default) — this is the one spot a previously driver-free
+      // operator could otherwise pull a 5M-edge boxed HashMap onto the
+      // driver; past the cap the probe runs distributed star
+      // contraction, which is exactly as correct and never leaves the
+      // executors.
+      val labels = Dedup.connectedComponents(e, "u", "v",
+        driverEdgeLimit = ProbeDriverEdgeLimit)
       val cmax = labels.groupBy(col("label")).agg(count(lit(1)).as("cn"))
         .agg(F.max(col("cn"))).head.getLong(0)
       val words = (cmax + 63) / 64
-      if (cmax <= denseMaxNodes && n * words * 8 <= maxAdjBytes)
-        (componentDenseTriangles(e, labels, cmax), "dense-blocked")
+      if (cmax <= denseMaxNodes && n * words * 8 <= maxAdjBytes) {
+        // componentDenseTriangles returns an eager localCheckpoint, so
+        // the edge cache has no remaining consumer
+        val res = componentDenseTriangles(e, labels, cmax)
+        e.unpersist()
+        (res, "dense-blocked")
+      }
       else { e.unpersist(); (orientedTriangles(edges), "sparse") }
     }
   }
@@ -209,12 +234,19 @@ object Graph {
     val common = (0 until words)
       .map(wi => expr(s"CAST(bit_count(a_bm_$wi & b_bm_$wi) AS BIGINT)"))
       .reduce(_ + _)
-    eb.join(broadcast(adjA), Seq("label", "aid"))
+    val res = eb.join(broadcast(adjA), Seq("label", "aid"))
       .join(broadcast(adjB), Seq("label", "bid"))
       .select(col("a").as("node"), common.as("common"))
       .groupBy(col("node"))
       .agg(expr("sum(common) div 2").as("n_triangles"))
       .filter(col("n_triangles") > 0)
+      // eager per-node result (bounded by |V|) so the two caches this
+      // plan reads release NOW instead of lingering until the caller's
+      // clearCache — the sparse branch's unpersist discipline
+      .localCheckpoint(true)
+    eb.unpersist()
+    adj.unpersist()
+    res
   }
 
   /** k-core peel — the standard graph-cleaning step before community
