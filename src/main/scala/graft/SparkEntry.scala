@@ -3815,7 +3815,140 @@ object Queries {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("hour"), col("event_type"))
 
+  // ---- evaluation / monitoring metric family (operators.Eval) ----
+
+  /** Grouped ROC AUC of a filter signal: does document length actually
+    * rank English docs above the rest, per source? Exact Mann–Whitney
+    * rank-sum with tie handling — see [[operators.Eval.rocAuc]]. */
+  def qScoreAuc(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.rocAuc(
+        Tables.documents(s, dir).select(col("source"),
+          (col("lang") === "en").as("is_en"), col("n_chars")),
+        "source", "is_en", "n_chars")
+      .orderBy(col("source"))
+
+  /** Continuous drift monitor: exact two-sample Kolmogorov–Smirnov D
+    * between the first and second half-month of `value`, per event
+    * type — the snapshot-over-snapshot distribution check (chi-square
+    * covers the categorical case elsewhere in the catalog). */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.ksStatistic(
+        Tables.events(s, dir).select(col("event_type"),
+          (col("ts") < lit(KsCutoffNs)).as("in_a"), col("value")),
+        "event_type", "in_a", "value")
+      .orderBy(col("event_type"))
+
+  /** 2024-01-16T00:00Z in epoch nanos — the mid-window snapshot split
+    * for the KS drift check (events span 2024-01-01..30). */
+  val KsCutoffNs: Long = 1705363200000000000L
+
+  /** Inter-annotator agreement: Cohen's kappa between two tercile
+    * labelers of document length — one reading characters, one
+    * reading whitespace tokens — per source. The agreement audit run
+    * before trusting any new heuristic labeler. */
+  def qCohenKappa(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.cohenKappa(
+        Tables.documents(s, dir).select(col("source"),
+          when(col("n_chars") < 216, 0L).when(col("n_chars") < 379, 1L)
+            .otherwise(2L).as("len_label"),
+          when(size(split(col("text"), " ")) < 39, 0L)
+            .when(size(split(col("text"), " ")) < 69, 1L)
+            .otherwise(2L).as("wc_label")),
+        "source", "len_label", "wc_label")
+      .orderBy(col("source"))
+
+  /** Retrieval eval: rank of each user's first `purchase` when their
+    * events are ordered by value (desc, event-id tiebreak), plus the
+    * reciprocal rank in ppm — mean the ppm column for MRR. */
+  def qMrrEval(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.firstRelevantRank(
+        Tables.events(s, dir).select(col("user_id"), col("value"),
+          col("event_id"), (col("event_type") === "purchase").as("rel")),
+        "user_id", Seq(col("value").desc, col("event_id")), "rel")
+      .orderBy(col("user_id"))
+
+  /** Corpus-balance dashboard: Gini concentration of per-user activity
+    * within each event type — 0 = uniform engagement, →1 = all mass on
+    * a few users. Exact rational form. */
+  def qGiniConcentration(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.giniConcentration(
+        Tables.events(s, dir), "event_type", "user_id")
+      .orderBy(col("event_type"))
+
+  /** Clustering quality against gold labels: purity of the k-means
+    * cells over the labeled embeddings — the SemDeDup sanity check
+    * that semantic cells actually align with label structure. */
+  def qClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val assign = operators.KMeans.assign(
+        Similarity.quantized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("qv")),
+        KmeansK, KmeansIters)
+      .select(col("vec_id"), col("cluster"))
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"))
+    operators.Eval.clusterPurity(assign.join(labels, "vec_id"),
+        "cluster", "label")
+      .orderBy(col("cluster"))
+  }
+
+  /** Lexical diversity: overall type-token ratio plus mean segmental
+    * TTR over full 10-token segments (MSTTR — the length-robust form:
+    * raw TTR shrinks with doc length, segmental does not). Truncated
+    * ppm; segment ids come from the token position, so the only
+    * shuffle is the (doc, segment)-keyed aggregate. */
+  def qLexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, tok)")
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"))
+    val segs = toks.withColumn("seg", expr("pos div 10"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("sn"), countDistinct(col("tok")).as("sd"))
+      .filter(col("sn") === 10)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(expr("sd * 1000000 div 10")).as("sttr_sum"))
+    perDoc.join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        expr("sttr_sum div n_segments").as("msttr_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc n-gram novelty: fraction of a doc's distinct 3-gram
+    * shingles whose FIRST corpus occurrence (by doc id) is this doc —
+    * the freshness/diversity signal a curriculum or dedup pass reads
+    * before adding a batch. Two aggregates keyed by shingle then doc;
+    * the novel counts come straight off the first-occurrence relation
+    * (no join back against the exploded corpus). */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.withShingles(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val tot = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val nov = first.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    tot.join(nov, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_score_auc" -> (qScoreAuc _),
+    "q_ks_drift" -> (qKsDrift _),
+    "q_cohen_kappa" -> (qCohenKappa _),
+    "q_mrr_eval" -> (qMrrEval _),
+    "q_gini_concentration" -> (qGiniConcentration _),
+    "q_cluster_purity" -> (qClusterPurity _),
+    "q_lexical_diversity" -> (qLexicalDiversity _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_quality_repetition" -> (qQualityRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_kmeans_embed" -> (qKmeansEmbed _),
@@ -4064,6 +4197,138 @@ object Queries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_score_auc" ->
+      """WITH ps AS (SELECT source, n_chars,
+        |  sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) cp,
+        |  sum(CASE WHEN lang='en' THEN 0 ELSE 1 END) cn
+        |  FROM documents GROUP BY source, n_chars),
+        |sw AS (SELECT source, cp, cn,
+        |  COALESCE(sum(cn) OVER (PARTITION BY source ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cnb
+        |  FROM ps),
+        |ag AS (SELECT source, sum(cp) n_pos, sum(cn) n_neg,
+        |  sum(CAST(cp AS HUGEINT) * (2*cnb + cn)) u2s
+        |  FROM sw GROUP BY source
+        |  HAVING sum(cp) > 0 AND sum(cn) > 0)
+        |SELECT source, CAST(n_pos AS BIGINT) n_pos,
+        |  CAST(n_neg AS BIGINT) n_neg,
+        |  CAST(u2s * 500000 // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) auc_ppm
+        |FROM ag ORDER BY source""".stripMargin,
+
+    "q_ks_drift" ->
+      s"""WITH pv AS (SELECT event_type, value,
+         |  sum(CASE WHEN epoch_ns(ts) < ${KsCutoffNs} THEN 1 ELSE 0 END) ca,
+         |  sum(CASE WHEN epoch_ns(ts) < ${KsCutoffNs} THEN 0 ELSE 1 END) cb
+         |  FROM events GROUP BY event_type, value),
+         |sw AS (SELECT event_type,
+         |  sum(ca) OVER (PARTITION BY event_type ORDER BY value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_a,
+         |  sum(cb) OVER (PARTITION BY event_type ORDER BY value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_b,
+         |  sum(ca) OVER (PARTITION BY event_type) na,
+         |  sum(cb) OVER (PARTITION BY event_type) nb
+         |  FROM pv),
+         |ag AS (SELECT event_type, max(na) n_a, max(nb) n_b,
+         |  max(abs(CAST(cum_a AS HUGEINT)*nb - CAST(cum_b AS HUGEINT)*na)) d_num
+         |  FROM sw GROUP BY event_type
+         |  HAVING max(na) > 0 AND max(nb) > 0)
+         |SELECT event_type, CAST(n_a AS BIGINT) n_a, CAST(n_b AS BIGINT) n_b,
+         |  CAST(d_num * 1000000 // (CAST(n_a AS HUGEINT)*n_b) AS BIGINT) d_ppm
+         |FROM ag ORDER BY event_type""".stripMargin,
+
+    "q_cohen_kappa" ->
+      """WITH l AS (SELECT source,
+        |  CASE WHEN n_chars < 216 THEN 0 WHEN n_chars < 379 THEN 1 ELSE 2 END len_label,
+        |  CASE WHEN len(string_split(text,' ')) < 39 THEN 0
+        |       WHEN len(string_split(text,' ')) < 69 THEN 1 ELSE 2 END wc_label
+        |  FROM documents),
+        |m AS (SELECT source, len_label, wc_label, count(*) nab FROM l GROUP BY 1,2,3),
+        |r AS (SELECT source, len_label lab, sum(nab) rn FROM m GROUP BY 1,2),
+        |c AS (SELECT source, wc_label lab, sum(nab) cn FROM m GROUP BY 1,2),
+        |ch AS (SELECT r.source, sum(CAST(rn AS HUGEINT)*cn) chance_num
+        |  FROM r JOIN c ON r.source = c.source AND r.lab = c.lab
+        |  GROUP BY r.source),
+        |ag AS (SELECT source, sum(nab) n,
+        |  sum(CASE WHEN len_label = wc_label THEN nab ELSE 0 END) agree_n
+        |  FROM m GROUP BY source)
+        |SELECT ag.source, CAST(n AS BIGINT) n, CAST(agree_n AS BIGINT) agree_n,
+        |  CAST(chance_num AS BIGINT) chance_num,
+        |  CAST((CAST(n AS HUGEINT)*agree_n - chance_num) * 1000000
+        |    // (CAST(n AS HUGEINT)*n - chance_num) AS BIGINT) kappa_ppm
+        |FROM ag JOIN ch ON ag.source = ch.source
+        |ORDER BY ag.source""".stripMargin,
+
+    "q_mrr_eval" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) rnk
+        |  FROM events)
+        |SELECT user_id, CAST(min(rnk) AS BIGINT) first_rank,
+        |  CAST(1000000 // min(rnk) AS BIGINT) rr_ppm
+        |FROM r WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_gini_concentration" ->
+      """WITH pu AS (SELECT event_type, user_id, count(*) x
+        |  FROM events GROUP BY 1,2),
+        |rk AS (SELECT event_type, user_id, x,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) i
+        |  FROM pu),
+        |ag AS (SELECT event_type, count(*) n_units, sum(x) total,
+        |  sum(CAST(i AS HUGEINT)*x) six FROM rk GROUP BY event_type)
+        |SELECT event_type, CAST(n_units AS BIGINT) n_units,
+        |  CAST(total AS BIGINT) total,
+        |  CAST((2*six - (n_units+1)*CAST(total AS HUGEINT)) * 1000000
+        |    // (CAST(n_units AS HUGEINT)*total) AS BIGINT) gini_ppm
+        |FROM ag WHERE total > 0 ORDER BY event_type""".stripMargin,
+
+    "q_cluster_purity" ->
+      s"""WITH ${kmeansCte(Queries.KmeansK, Queries.KmeansIters)},
+         |j AS (SELECT cl, label FROM a${Queries.KmeansIters}
+         |  JOIN embeddings USING (vec_id)),
+         |pl AS (SELECT cl, label, count(*) nl FROM j GROUP BY 1,2),
+         |top AS (SELECT cl, label, nl,
+         |  row_number() OVER (PARTITION BY cl ORDER BY nl DESC, label) rn,
+         |  sum(nl) OVER (PARTITION BY cl) n FROM pl)
+         |SELECT cl AS cluster, CAST(n AS BIGINT) n,
+         |  CAST(label AS BIGINT) majority_label,
+         |  CAST(nl AS BIGINT) majority_n,
+         |  CAST(nl * 1000000 // n AS BIGINT) purity_ppm
+         |FROM top WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    "q_lexical_diversity" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(string_split(text,' ')) tok,
+        |  unnest(range(0, len(string_split(text,' ')))) pos
+        |  FROM documents),
+        |pd AS (SELECT doc_id, count(*) n_tokens, count(DISTINCT tok) n_types
+        |  FROM t GROUP BY doc_id),
+        |sg AS (SELECT doc_id, pos // 10 seg, count(*) sn,
+        |  count(DISTINCT tok) sd FROM t GROUP BY 1,2),
+        |fs AS (SELECT doc_id, count(*) n_segments,
+        |  sum(sd * 1000000 // 10) sttr_sum
+        |  FROM sg WHERE sn = 10 GROUP BY doc_id)
+        |SELECT pd.doc_id, CAST(n_tokens AS BIGINT) n_tokens,
+        |  CAST(n_types AS BIGINT) n_types,
+        |  CAST(n_types * 1000000 // n_tokens AS BIGINT) ttr_ppm,
+        |  CAST(COALESCE(n_segments, 0) AS BIGINT) n_segments,
+        |  CAST(sttr_sum // n_segments AS BIGINT) msttr_ppm
+        |FROM pd LEFT JOIN fs ON pd.doc_id = fs.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH ${shingleCte},
+         |ex AS (SELECT doc_id, unnest(sh) shingle FROM sh),
+         |fd AS (SELECT shingle, min(doc_id) first_doc FROM ex GROUP BY shingle),
+         |tot AS (SELECT doc_id, count(*) n_shingles FROM ex GROUP BY doc_id),
+         |nov AS (SELECT first_doc doc_id, count(*) n_novel
+         |  FROM fd GROUP BY first_doc)
+         |SELECT tot.doc_id, CAST(n_shingles AS BIGINT) n_shingles,
+         |  CAST(COALESCE(n_novel, 0) AS BIGINT) n_novel,
+         |  CAST(COALESCE(n_novel, 0) * 1000000 // n_shingles AS BIGINT) novelty_ppm
+         |FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+
     "q_quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
         |b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN

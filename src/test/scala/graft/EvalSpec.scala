@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Eval
+
+/** Hand-computed fixtures for the evaluation-metric family. Every
+  * metric is a ratio of counting statistics, so each test pins the
+  * exact integer output against arithmetic done in the comment. */
+class EvalSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("rocAuc: perfect, reversed, and tied rankings") {
+    // group p: scores rank positives strictly above negatives -> AUC 1
+    // group r: reversed -> AUC 0
+    // group t: all scores tied -> AUC 0.5 (ties count half)
+    val df = Seq(
+      ("p", true, 10L), ("p", true, 9L), ("p", false, 2L), ("p", false, 1L),
+      ("r", true, 1L), ("r", false, 9L), ("r", false, 10L),
+      ("t", true, 5L), ("t", true, 5L), ("t", false, 5L)
+    ).toDF("g", "y", "s")
+    val out = Eval.rocAuc(df, "g", "y", "s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("p") === ((2L, 2L, 1000000L)))
+    assert(out("r") === ((1L, 2L, 0L)))
+    assert(out("t") === ((2L, 1L, 500000L)))
+  }
+
+  test("rocAuc drops single-class groups") {
+    val df = Seq(("a", true, 1L), ("a", true, 2L), ("b", true, 1L),
+      ("b", false, 0L)).toDF("g", "y", "s")
+    val out = Eval.rocAuc(df, "g", "y", "s")
+    assert(out.select("g").as[String].collect().toSeq === Seq("b"))
+  }
+
+  test("ksStatistic: disjoint supports give D=1, identical give D=0") {
+    // d: A={1,2}, B={10,11} -> D = 1; i: A == B -> D = 0
+    // m: A={1,2,3,4}, B={3,4,5,6} -> max gap at x=2: |2*4-0|/16 -> 500000
+    val df = Seq(
+      ("d", true, 1.0), ("d", true, 2.0), ("d", false, 10.0), ("d", false, 11.0),
+      ("i", true, 1.0), ("i", false, 1.0), ("i", true, 2.0), ("i", false, 2.0),
+      ("m", true, 1.0), ("m", true, 2.0), ("m", true, 3.0), ("m", true, 4.0),
+      ("m", false, 3.0), ("m", false, 4.0), ("m", false, 5.0), ("m", false, 6.0)
+    ).toDF("g", "a", "v")
+    val out = Eval.ksStatistic(df, "g", "a", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("d") === 1000000L)
+    assert(out("i") === 0L)
+    assert(out("m") === 500000L)
+  }
+
+  test("giniConcentration: uniform mass -> 0; concentrated -> high") {
+    // u: 4 users x 1 event -> G = 0
+    // c: counts (1,1,1,97): n=4 S=100, sorted 1,1,1,97
+    //    2*(1+2+3+4*97) - 5*100 = 2*394-500 = 288; den 400 -> 720000
+    val rows = Seq.fill(1)(("u", 1L)) ++ Seq(("u", 2L), ("u", 3L), ("u", 4L)) ++
+      (Seq.fill(1)(("c", 1L)) ++ Seq.fill(1)(("c", 2L)) ++
+        Seq.fill(1)(("c", 3L)) ++ Seq.fill(97)(("c", 4L)))
+    val out = Eval.giniConcentration(rows.toDF("g", "unit"), "g", "unit")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out("u") === ((4L, 4L, 0L)))
+    assert(out("c") === ((4L, 100L, 720000L)))
+  }
+
+  test("cohenKappa: perfect agreement -> 1e6; independence -> ~0") {
+    // p: labels identical -> kappa 1
+    // z: a=(0,0,1,1), b=(0,1,0,1) -> agree 2, chance 4/16*... :
+    //    N=4 agree=2 chance=sum r_i*c_i = 2*2+2*2 = 8
+    //    kappa = (16-8)... wait N*agree=8, num=0 -> kappa 0
+    val df = Seq(
+      ("p", 0L, 0L), ("p", 1L, 1L), ("p", 2L, 2L), ("p", 0L, 0L),
+      ("z", 0L, 0L), ("z", 0L, 1L), ("z", 1L, 0L), ("z", 1L, 1L)
+    ).toDF("g", "a", "b")
+    val out = Eval.cohenKappa(df, "g", "a", "b").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out("p") === ((4L, 4L, 6L, 1000000L)))
+    assert(out("z") === ((4L, 2L, 8L, 0L)))
+  }
+
+  test("firstRelevantRank: rank under explicit ordering; irrelevant groups drop") {
+    val df = Seq(
+      ("u1", 9.0, 1L, false), ("u1", 8.0, 2L, true), ("u1", 7.0, 3L, true),
+      ("u2", 5.0, 4L, true),
+      ("u3", 1.0, 5L, false)
+    ).toDF("g", "score", "id", "rel")
+    val out = Eval.firstRelevantRank(df, "g",
+        Seq(col("score").desc, col("id")), "rel").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("u1" -> ((2L, 500000L)), "u2" -> ((1L, 1000000L))))
+  }
+
+  test("clusterPurity: majority label with smallest-label tie-break") {
+    val df = Seq(
+      (0L, 7), (0L, 7), (0L, 8),           // cluster 0: majority 7, 2/3
+      (1L, 3), (1L, 4)                     // cluster 1: tie -> label 3, 1/2
+    ).toDF("cluster", "label")
+    val out = Eval.clusterPurity(df, "cluster", "label").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out(0L) === ((3L, 7L, 2L, 666666L)))
+    assert(out(1L) === ((2L, 3L, 1L, 500000L)))
+  }
+
+  test("catalog eval queries run end-to-end on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q_score_auc", "q_ks_drift", "q_cohen_kappa", "q_mrr_eval",
+        "q_gini_concentration", "q_cluster_purity", "q_lexical_diversity",
+        "q_ngram_novelty")) {
+      val n = Queries.all(q)(spark, dir).count()
+      assert(n > 0, s"$q returned no rows")
+    }
+  }
+}

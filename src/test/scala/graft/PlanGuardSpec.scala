@@ -34,6 +34,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_ann_ivf" -> "bounded centroid set broadcast",
     "q_kmeans_embed" -> "bounded centroid set broadcast (k rows/iteration)",
     "q_semdedup" -> "bounded centroid set broadcast (cells stay O(k))",
+    "q_cluster_purity" -> ("inherits q_kmeans_embed's bounded centroid " +
+      "broadcast (purity reads the same assignment relation)"),
     "q_tfidf_topk" -> "1-row document-count broadcast for the IDF term",
     "q_dq_checks" -> "1-row metrics relation crossed with the check table",
     "q_histogram" -> "1-row data-derived bounds broadcast to the fill pass",
@@ -61,6 +63,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_kmeans_embed" -> ("seed ranking over vec ids: runs once on the " +
       "bounded candidate-seed relation (k-scaled, not data-scaled)"),
     "q_semdedup" -> "same k-means seed ranking (bounded seed relation)",
+    "q_cluster_purity" -> ("same k-means seed ranking via the shared " +
+      "assignment relation; the purity windows themselves partition " +
+      "by cluster"),
     "q_domain_mix" -> ("largest-remainder allocation windows on the " +
       "one-row-per-domain aggregate (|domains| rows)"),
     "q_mix_materialize" -> ("same allocation windows, one row per " +
