@@ -3891,6 +3891,39 @@ object Queries {
       .orderBy(col("cluster"))
   }
 
+  /** Operating-point eval: precision/recall/F1/accuracy per source of
+    * the median-length threshold predicting English — the companion
+    * to [[qScoreAuc]] once a threshold actually ships. */
+  def qPrfEval(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.binaryPrf(
+        Tables.documents(s, dir).select(col("source"),
+          (col("lang") === "en").as("is_en"),
+          (col("n_chars") >= 306).as("pred_en")),
+        "source", "is_en", "pred_en")
+      .orderBy(col("source"))
+
+  /** Monotone association between the character-length and
+    * token-count signals, per source: exact Spearman ρ over the
+    * doc-id-tiebroken total order — the "are these two scores
+    * redundant" check before retiring one. */
+  def qSpearmanRho(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.spearmanRho(
+        Tables.documents(s, dir).select(col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("wc"),
+          col("doc_id")),
+        "source", "n_chars", "wc", "doc_id")
+      .orderBy(col("source"))
+
+  /** Calibration curve of the length score against the English label,
+    * per source: ten equal-count bins, exact integer bucket cuts,
+    * per-bin positive rate — monotone bins = informative score. */
+  def qScoreCalibration(s: SparkSession, dir: String): DataFrame =
+    operators.Eval.calibrationBins(
+        Tables.documents(s, dir).select(col("source"), col("n_chars"),
+          col("doc_id"), (col("lang") === "en").as("is_en")),
+        "source", "n_chars", "doc_id", "is_en")
+      .orderBy(col("source"), col("bucket"))
+
   /** Lexical diversity: overall type-token ratio plus mean segmental
     * TTR over full 10-token segments (MSTTR — the length-robust form:
     * raw TTR shrinks with doc length, segmental does not). Truncated
@@ -3946,6 +3979,9 @@ object Queries {
     "q_cohen_kappa" -> (qCohenKappa _),
     "q_mrr_eval" -> (qMrrEval _),
     "q_gini_concentration" -> (qGiniConcentration _),
+    "q_prf_eval" -> (qPrfEval _),
+    "q_spearman_rho" -> (qSpearmanRho _),
+    "q_score_calibration" -> (qScoreCalibration _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -4257,6 +4293,55 @@ object Queries {
         |    // (CAST(n AS HUGEINT)*n - chance_num) AS BIGINT) kappa_ppm
         |FROM ag JOIN ch ON ag.source = ch.source
         |ORDER BY ag.source""".stripMargin,
+
+    "q_prf_eval" ->
+      """WITH p AS (SELECT source, (lang = 'en') y, (n_chars >= 306) yh
+        |  FROM documents),
+        |ag AS (SELECT source,
+        |  sum(CASE WHEN y AND yh THEN 1 ELSE 0 END) tp,
+        |  sum(CASE WHEN NOT y AND yh THEN 1 ELSE 0 END) fp,
+        |  sum(CASE WHEN y AND NOT yh THEN 1 ELSE 0 END) fn,
+        |  sum(CASE WHEN NOT y AND NOT yh THEN 1 ELSE 0 END) tn
+        |  FROM p GROUP BY source)
+        |SELECT source, CAST(tp AS BIGINT) tp, CAST(fp AS BIGINT) fp,
+        |  CAST(fn AS BIGINT) fn, CAST(tn AS BIGINT) tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END precision_ppm,
+        |  CASE WHEN tp + fn > 0
+        |    THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END recall_ppm,
+        |  CASE WHEN 2*tp + fp + fn > 0 THEN
+        |    CAST(2 * tp * 1000000 // (2*tp + fp + fn) AS BIGINT) END f1_ppm,
+        |  CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT) accuracy_ppm
+        |FROM ag ORDER BY source""".stripMargin,
+
+    "q_spearman_rho" ->
+      """WITH d AS (SELECT source, n_chars,
+        |  len(string_split(text,' ')) wc, doc_id FROM documents),
+        |r AS (SELECT source,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) rx,
+        |  row_number() OVER (PARTITION BY source ORDER BY wc, doc_id) ry
+        |  FROM d),
+        |ag AS (SELECT source, count(*) n,
+        |  sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) sd2 FROM r GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) n, CAST(sd2 AS BIGINT) sum_d2,
+        |  1000000 - CAST(sd2 * 6000000
+        |    // (CAST(n AS HUGEINT) * (n*n - 1)) AS BIGINT) rho_ppm
+        |FROM ag WHERE n > 1 ORDER BY source""".stripMargin,
+
+    "q_score_calibration" ->
+      """WITH b AS (SELECT source, n_chars, (lang = 'en') y,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) rn,
+        |  count(*) OVER (PARTITION BY source) nd
+        |  FROM documents),
+        |g AS (SELECT source, (rn - 1) * 10 // nd bucket, count(*) n,
+        |  sum(CASE WHEN y THEN 1 ELSE 0 END) n_pos,
+        |  min(n_chars) score_lo, max(n_chars) score_hi
+        |  FROM b GROUP BY 1, 2)
+        |SELECT source, CAST(bucket AS BIGINT) bucket, CAST(n AS BIGINT) n,
+        |  CAST(n_pos AS BIGINT) n_pos,
+        |  CAST(n_pos * 1000000 // n AS BIGINT) pos_rate_ppm,
+        |  CAST(score_lo AS BIGINT) score_lo, CAST(score_hi AS BIGINT) score_hi
+        |FROM g ORDER BY source, bucket""".stripMargin,
 
     "q_mrr_eval" ->
       """WITH r AS (SELECT user_id, event_type,

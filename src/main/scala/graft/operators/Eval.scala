@@ -210,6 +210,96 @@ object Eval {
       .withColumn("rr_ppm", expr("1000000 div first_rank"))
   }
 
+  /** Grouped precision/recall/F1/accuracy of a binary prediction at a
+    * chosen operating point — the companion to [[rocAuc]] (which is
+    * threshold-free): once a threshold ships, THIS is the number on
+    * the dashboard. All four ratios are exact truncated ppm;
+    * F1 = 2tp/(2tp+fp+fn) needs no intermediate precision/recall.
+    * Degenerate groups emit NULL for the undefined ratio (no
+    * predicted positives → precision NULL; no actual positives →
+    * recall/F1 NULL) identically on any engine. One aggregate keyed
+    * by the group — nothing else.
+    *
+    * @return (group, tp, fp, fn, tn, precision_ppm, recall_ppm,
+    *         f1_ppm, accuracy_ppm)
+    */
+  def binaryPrf(df: DataFrame, groupCol: String, labelCol: String,
+                predCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        sum(when(col(labelCol) && col(predCol), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col(labelCol) && col(predCol), 1L).otherwise(0L)).as("fp"),
+        sum(when(col(labelCol) && !col(predCol), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col(labelCol) && !col(predCol), 1L).otherwise(0L)).as("tn"))
+      .select(col(groupCol), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) END")
+          .as("recall_ppm"),
+        expr("CASE WHEN 2*tp + fp + fn > 0 THEN " +
+          "2 * tp * 1000000 div (2*tp + fp + fn) END").as("f1_ppm"),
+        expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)")
+          .as("accuracy_ppm"))
+
+  /** Grouped Spearman rank correlation over a TOTAL order: ranks are
+    * assigned by (value, tiebreakCol), so ranks are distinct and the
+    * classical closed form ρ = 1 − 6Σd²/(n(n²−1)) is exact rational —
+    * no tie-corrected Pearson (which would drag a √ into the
+    * comparison). The deterministic tiebreak makes this "rank
+    * agreement of two signals under a fixed total order": the
+    * monotone-association check between two heuristic scores before
+    * one replaces the other. Two partitioned sorts + one aggregate.
+    *
+    * @return (group, n, sum_d2, rho_ppm); groups with n < 2 drop
+    *         (ρ undefined)
+    */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, tiebreakCol: String): DataFrame = {
+    val wx = Window.partitionBy(col(groupCol))
+      .orderBy(col(xCol), col(tiebreakCol))
+    val wy = Window.partitionBy(col(groupCol))
+      .orderBy(col(yCol), col(tiebreakCol))
+    df.withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .withColumn("d2", expr(s"CAST(rx - ry AS $D38) * (rx - ry)"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+      .filter(col("n") > 1)
+      .select(col(groupCol), col("n"),
+        col("sd2").cast("long").as("sum_d2"),
+        expr(s"1000000 - CAST(sd2 * 6000000 div (CAST(n AS $D38) " +
+          "* (n*n - 1)) AS BIGINT)").as("rho_ppm"))
+  }
+
+  /** Grouped score-calibration bins: rank rows by (score, tiebreak)
+    * within the group, cut into `bins` equal-count buckets with exact
+    * integer arithmetic (bucket = (rank−1)·bins div n — no ntile
+    * semantics to cross-check), and report per-bucket size, positive
+    * rate, and score range. A monotone pos_rate over buckets is what
+    * a well-calibrated filter score looks like; flat means the score
+    * carries nothing in that group. One partitioned sort + one
+    * aggregate on (group, bucket).
+    *
+    * @return (group, bucket, n, n_pos, pos_rate_ppm, score_lo,
+    *         score_hi)
+    */
+  def calibrationBins(df: DataFrame, groupCol: String, scoreCol: String,
+                      tiebreakCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(tiebreakCol))
+    val wn = Window.partitionBy(col(groupCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nd", count(lit(1)).over(wn))
+      .withColumn("bucket", expr(s"(rn - 1) * $bins div nd"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        min(col(scoreCol)).as("score_lo"),
+        max(col(scoreCol)).as("score_hi"))
+      .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
+  }
+
   /** Cluster purity against gold labels: per cluster, the majority
     * gold label (smallest label on ties), its count, and
     * purity_ppm = ⌊10⁶·majority/n⌋ — the "did k-means actually find

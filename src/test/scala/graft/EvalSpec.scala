@@ -106,11 +106,54 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) === ((2L, 3L, 1L, 500000L)))
   }
 
+  test("binaryPrf: balanced confusion and degenerate no-positive-pred group") {
+    val df = Seq(
+      ("g", true, true), ("g", true, false), ("g", false, true), ("g", false, false),
+      ("h", true, false), ("h", false, false)
+    ).toDF("grp", "y", "yh")
+    val rows = Eval.binaryPrf(df, "grp", "y", "yh").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = rows("g")
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4)) ===
+      ((1L, 1L, 1L, 1L)))
+    assert((g.getLong(5), g.getLong(6), g.getLong(7), g.getLong(8)) ===
+      ((500000L, 500000L, 500000L, 500000L)))
+    val h = rows("h")
+    assert(h.isNullAt(5), "precision undefined with no predicted positives")
+    assert(h.getLong(6) === 0L && h.getLong(7) === 0L)
+    assert(h.getLong(8) === 500000L)
+  }
+
+  test("spearmanRho: identity -> +1e6, reversal -> -1e6 exactly") {
+    val df = Seq(
+      ("a", 1L, 10L, 1L), ("a", 2L, 20L, 2L), ("a", 3L, 30L, 3L),
+      ("b", 1L, 30L, 4L), ("b", 2L, 20L, 5L), ("b", 3L, 10L, 6L),
+      ("s", 1L, 1L, 7L) // single row: dropped
+    ).toDF("grp", "x", "y", "id")
+    val out = Eval.spearmanRho(df, "grp", "x", "y", "id").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map("a" -> ((0L, 1000000L)), "b" -> ((8L, -1000000L))))
+  }
+
+  test("calibrationBins: exact equal-count cuts and per-bin positive rates") {
+    val df = Seq(
+      ("g", 1L, 1L, false), ("g", 2L, 2L, false),
+      ("g", 3L, 3L, true), ("g", 4L, 4L, true)
+    ).toDF("grp", "score", "id", "y")
+    val out = Eval.calibrationBins(df, "grp", "score", "id", "y", bins = 2)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // bucket 0: scores 1,2 zero positives; bucket 1: scores 3,4 all positive
+    assert(out(0L) === ((2L, 0L, 1L, 2L, 0L)))
+    assert(out(1L) === ((2L, 2L, 3L, 4L, 1000000L)))
+  }
+
   test("catalog eval queries run end-to-end on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("q_score_auc", "q_ks_drift", "q_cohen_kappa", "q_mrr_eval",
         "q_gini_concentration", "q_cluster_purity", "q_lexical_diversity",
-        "q_ngram_novelty")) {
+        "q_ngram_novelty", "q_prf_eval", "q_spearman_rho",
+        "q_score_calibration")) {
       val n = Queries.all(q)(spark, dir).count()
       assert(n > 0, s"$q returned no rows")
     }
