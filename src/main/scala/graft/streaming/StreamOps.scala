@@ -250,4 +250,104 @@ object StreamOps {
             batchId)
       }
       .start()
+
+  /** Streaming drift monitor: maintains a fixed-geometry histogram of
+    * a numeric column over the stream's full history and reads out
+    * the EXACT bucket-level Kolmogorov–Smirnov distance against any
+    * baseline histogram on demand — the live counterpart of the batch
+    * [[graft.operators.Eval.ksStatistic]] snapshot check ("has the
+    * incoming value distribution drifted from last week's corpus?").
+    *
+    * Bucketing the support is what makes the state bounded and the
+    * merge exact: per-bucket counts add associatively, so the
+    * maintained table equals the batch histogram over the full
+    * history regardless of micro-batch boundaries (spec-pinned), and
+    * driver state is ≤ `buckets` rows — CONSTANT in stream length,
+    * the same audited-bounded-collect class as [[CmsMaintainer]].
+    * D over the bucketed support lower-bounds raw-value D (mass
+    * moving within one bucket is invisible) — the standard
+    * histogram-drift tradeoff; pick `buckets` for the resolution the
+    * alarm needs. Replay safety mirrors [[maintainMv]]: batch ids ≤
+    * the last merged id no-op, so at-least-once redelivery becomes
+    * effectively-once merging.
+    */
+  final class DriftMaintainer(spark: SparkSession, buckets: Int,
+      lo: Double, hi: Double) {
+    import org.apache.spark.sql.expressions.Window
+
+    @volatile private var hist: Option[DataFrame] = None
+    @volatile private var lastMergedBatch: Long = -1L
+
+    /** (bucket, cnt) histogram of `valueCol` in this instance's
+      * geometry: offset-scaled floor, clamped to [0, buckets). Used
+      * for both the streamed deltas and batch baselines so the two
+      * sides of [[driftVs]] always share bucket boundaries. */
+    def bucketed(df: DataFrame, valueCol: String): DataFrame =
+      df.select(least(lit(buckets - 1), greatest(lit(0),
+          floor((col(valueCol) - lit(lo)) * buckets / (hi - lo))
+            .cast("int"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+    private[graft] def merge(delta: DataFrame, batchId: Long): Unit =
+      synchronized {
+        if (batchId <= lastMergedBatch) return // replayed batch: no-op
+        val merged = hist match {
+          case None => delta
+          case Some(cur) => cur.union(delta)
+            .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+        }
+        val local = merged.collect() // bounded: <= buckets rows
+        hist = Some(spark.createDataFrame(
+          java.util.Arrays.asList(local: _*), merged.schema))
+        lastMergedBatch = batchId
+      }
+
+    /** The maintained histogram (empty before the first merge). */
+    def histogram: DataFrame = hist.getOrElse {
+      import spark.implicits._
+      Seq.empty[(Int, Long)].toDF("bucket", "cnt")
+    }
+
+    /** Exact KS distance between the live histogram and `baseline`
+      * (a (bucket, cnt) relation in the same geometry), as one row
+      * (n_live, n_base, d_ppm) with
+      * d_ppm = ⌊10⁶ · max_b |cdf_live(b) − cdf_base(b)|⌋. Integer
+      * arithmetic throughout, same CDF-sweep shape as the batch
+      * operator; the unpartitioned window is safe by construction —
+      * its input is the ≤ `buckets`-row merged histogram. */
+    def driftVs(baseline: DataFrame): DataFrame = {
+      val per = histogram
+        .select(lit(true).as("in_a"), col("bucket"), col("cnt"))
+        .unionByName(baseline
+          .select(lit(false).as("in_a"), col("bucket"), col("cnt")))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("in_a"), col("cnt")).otherwise(0L)).as("ca"),
+          sum(when(!col("in_a"), col("cnt")).otherwise(0L)).as("cb"))
+      val wCum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      per.withColumn("cum_a", sum(col("ca")).over(wCum))
+        .withColumn("cum_b", sum(col("cb")).over(wCum))
+        .withColumn("n_a", sum(col("ca")).over(wAll))
+        .withColumn("n_b", sum(col("cb")).over(wAll))
+        .withColumn("d_num", expr("abs(CAST(cum_a AS DECIMAL(38,0)) " +
+          "* n_b - CAST(cum_b AS DECIMAL(38,0)) * n_a)"))
+        .agg(max(col("n_a")).as("n_live"), max(col("n_b")).as("n_base"),
+          expr("CAST(max(d_num) * 1000000 div (CAST(max(n_a) AS " +
+            "DECIMAL(38,0)) * max(n_b)) AS BIGINT)").as("d_ppm"))
+    }
+  }
+
+  /** Start maintaining `store`'s histogram from a streaming numeric
+    * relation. */
+  def maintainDrift(values: DataFrame, valueCol: String,
+      store: DriftMaintainer, checkpoint: String) =
+    values.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          store.merge(store.bucketed(batch, valueCol), batchId)
+      }
+      .start()
 }

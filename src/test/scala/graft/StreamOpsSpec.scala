@@ -199,6 +199,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming drift maintenance: histogram == batch histogram, exact KS readout, replays no-op") {
+    val input = Files.createTempDirectory("drift-in").toString
+    val ckpt = Files.createTempDirectory("drift-ckpt").toString
+    val store = new StreamOps.DriftMaintainer(spark, buckets = 10,
+      lo = 0.0, hi = 100.0)
+    val b1 = Seq(5.0, 15.0, 15.0, 25.0, 99.0, 150.0) // 150 clamps to bucket 9
+    b1.toDF("v").coalesce(1).write.mode("append").parquet(input)
+    val stream = spark.readStream.schema("v DOUBLE").parquet(input)
+    val q = StreamOps.maintainDrift(stream, "v", store, ckpt)
+    try {
+      q.processAllAvailable()
+      val b2 = Seq(-3.0, 35.0, 45.0, 45.0) // -3 clamps to bucket 0
+      b2.toDF("v").coalesce(1).write.mode("append").parquet(input)
+      q.processAllAvailable()
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val all = (b1 ++ b2).toDF("v")
+      // micro-batch boundaries are invisible: maintained == batch
+      assert(cells(store.histogram) == cells(store.bucketed(all, "v")))
+      // KS vs a fully-shifted baseline: live mass is all <= bucket 4
+      // plus 2@9, base all in 5..8 -> max gap at bucket 4:
+      // |8*5 - 0*10| / 50 = 0.8 exactly
+      val base = Seq(55.0, 65.0, 65.0, 75.0, 85.0).toDF("v")
+      val drift = store.driftVs(store.bucketed(base, "v")).head()
+      assert((drift.getLong(0), drift.getLong(1), drift.getLong(2)) ==
+        ((10L, 5L, 800000L)))
+      // identical distributions read 0 drift
+      val self = store.driftVs(store.bucketed(all, "v")).head()
+      assert(self.getLong(2) == 0L)
+      // a replayed micro-batch id must not double-count
+      val before = cells(store.histogram)
+      store.merge(store.bucketed(b1.toDF("v"), "v"), 0L)
+      assert(cells(store.histogram) == before, "replayed batch merged twice")
+    } finally q.stop()
+  }
+
   test("streaming CMS maintenance: merged sketch == batch sketch, replays no-op") {
     val input = Files.createTempDirectory("cms-in").toString
     val ckpt = Files.createTempDirectory("cms-ckpt").toString
