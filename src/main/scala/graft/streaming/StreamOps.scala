@@ -350,4 +350,67 @@ object StreamOps {
           store.merge(store.bucketed(batch, valueCol), batchId)
       }
       .start()
+
+  /** Incrementally-maintained JOIN materialized view — the streaming
+    * enrichment shape of a training-data pipeline: an append-only
+    * fact stream joined against a dimension snapshot, with the result
+    * kept as a queryable parquet view that only ever does Δ-sized
+    * work. Append-only facts make the join delta-distributive
+    * (MV ∪ (Δ ⋈ dim) = (facts ∪ Δ) ⋈ dim), so each micro-batch joins
+    * ONLY its delta — no recompute, no touch of prior output. The
+    * aggregate-MV counterpart lives in [[maintainMv]]/
+    * [[graft.plans.MaterializedView]]; this class covers the
+    * non-aggregating enrich-then-store path those can't express.
+    *
+    * Effectively-once layout: each batch writes (overwrite) its own
+    * `batch=<id>/` partition directory, so foreachBatch's
+    * at-least-once replay rewrites the SAME directory with the same
+    * rows instead of appending duplicates, and [[view]] reads the
+    * base path with standard partition discovery (the `batch` column
+    * doubles as ingestion provenance). At 100 TB the per-batch work
+    * is |Δ| join probes — broadcast the dimension via a hint on
+    * `setDim` when it fits, or let AQE pick the strategy.
+    *
+    * Dimension semantics are AS-OF-INGEST: each delta joins the
+    * snapshot current at merge time ([[setDim]] swaps it atomically
+    * between batches), which is what enrichment wants — a later dim
+    * correction does not silently rewrite history (replay the
+    * affected batches to re-enrich, exactly like a backfill).
+    */
+  final class JoinMvMaintainer(spark: SparkSession, basePath: String,
+      joinKeys: Seq[String]) {
+    @volatile private var dim: Option[DataFrame] = None
+    @volatile private var lastMergedBatch: Long = -1L
+
+    /** Install / swap the dimension snapshot used for subsequent
+      * batches. Pass `broadcast(df)` when the dim fits an executor. */
+    def setDim(d: DataFrame): Unit = { dim = Some(d) }
+
+    private[graft] def merge(delta: DataFrame, batchId: Long): Unit =
+      synchronized {
+        if (batchId <= lastMergedBatch) return // replayed batch: no-op
+        val d = dim.getOrElse(throw new IllegalStateException(
+          "JoinMvMaintainer: setDim before starting the stream"))
+        delta.join(d, joinKeys)
+          .write.mode("overwrite")
+          .parquet(s"${basePath.stripSuffix("/")}/batch=$batchId")
+        lastMergedBatch = batchId
+      }
+
+    /** The maintained enriched view (all merged batches), with the
+      * `batch` partition column as ingestion provenance. */
+    def view: DataFrame = spark.read.parquet(basePath)
+  }
+
+  /** Start maintaining `store`'s enriched view from a streaming fact
+    * relation. */
+  def maintainJoinMv(facts: DataFrame, store: JoinMvMaintainer,
+      checkpoint: String) =
+    facts.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) store.merge(batch, batchId)
+      }
+      .start()
 }
