@@ -3924,6 +3924,54 @@ object Queries {
         "source", "n_chars", "doc_id", "is_en")
       .orderBy(col("source"), col("bucket"))
 
+  /** Rank-correlation matrix between the first four embedding
+    * dimensions, per label — the dimension-decorrelation audit of an
+    * embedding space (well-trained dims carry near-independent
+    * signal; ρ → 1 means redundant axes). Rank-based on purpose:
+    * Pearson r² from raw sufficient statistics needs A²/(B·C) with
+    * A,B,C ~ n·Σx² — past 38 digits at large SF, and staged integer
+    * division loses precision whenever the two variances sit at
+    * different scales. Ranks bound every moment by n³, so the
+    * classical Spearman closed form stays exact DECIMAL arithmetic at
+    * ANY scale factor. The rank tiebreak is `vec_id` — unique by
+    * construction (the documents/lineitem synthetic tables carry full
+    * duplicates, which make ANY rank-based statistic nondeterministic
+    * — measured, not assumed). One exchange on the label feeds all
+    * four rank windows AND the single moment aggregate computing all
+    * six Σd² at once; the pair expansion runs on the |labels|-row
+    * moment relation. */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val names = Seq("d0", "d1", "d2", "d3")
+    val src = Tables.embeddings(s, dir).select(
+      col("label").cast("long").as("flag") +: col("vec_id") +:
+        names.zipWithIndex.map { case (a, i) =>
+          expr(s"CAST(floor(CAST(element_at(embedding, ${i + 1}) " +
+            s"AS DOUBLE) * 1000) AS BIGINT)").as(a) }: _*)
+    val ranked = names.foldLeft(src) { (d, c) =>
+      d.withColumn(s"r_$c", row_number().over(
+        Window.partitionBy(col("flag")).orderBy(col(c), col("vec_id")))
+        .cast("long"))
+    }
+    val pairNames = for { i <- names.indices; j <- names.indices if i < j }
+      yield (names(i), names(j))
+    val aggs = count(lit(1)).as("n") +: pairNames.map { case (x, y) =>
+      sum(expr(s"CAST(r_$x - r_$y AS DECIMAL(38,0)) * (r_$x - r_$y)"))
+        .as(s"sd2_${x}_$y") }
+    val m = ranked.groupBy(col("flag")).agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairNames.map { case (x, y) =>
+      expr(s"named_struct('col_x', '$x', 'col_y', '$y', 'sd2', sd2_${x}_$y)")
+    }
+    m.select(col("flag"), col("n"),
+        explode(array(pairStructs: _*)).as("p"))
+      .filter(col("n") > 1)
+      .select(col("flag"), col("p.col_x").as("col_x"),
+        col("p.col_y").as("col_y"),
+        expr("1000000 - CAST(p.sd2 * 6000000 div (CAST(n AS DECIMAL(38,0))" +
+          " * n * n - n) AS BIGINT)").as("rho_ppm"))
+      .orderBy(col("flag"), col("col_x"), col("col_y"))
+  }
+
   /** Lexical diversity: overall type-token ratio plus mean segmental
     * TTR over full 10-token segments (MSTTR — the length-robust form:
     * raw TTR shrinks with doc length, segmental does not). Truncated
@@ -3982,6 +4030,7 @@ object Queries {
     "q_prf_eval" -> (qPrfEval _),
     "q_spearman_rho" -> (qSpearmanRho _),
     "q_score_calibration" -> (qScoreCalibration _),
+    "q_corr_matrix" -> (qCorrMatrix _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -4325,7 +4374,7 @@ object Queries {
         |  sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) sd2 FROM r GROUP BY source)
         |SELECT source, CAST(n AS BIGINT) n, CAST(sd2 AS BIGINT) sum_d2,
         |  1000000 - CAST(sd2 * 6000000
-        |    // (CAST(n AS HUGEINT) * (n*n - 1)) AS BIGINT) rho_ppm
+        |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) rho_ppm
         |FROM ag WHERE n > 1 ORDER BY source""".stripMargin,
 
     "q_score_calibration" ->
@@ -4342,6 +4391,38 @@ object Queries {
         |  CAST(n_pos * 1000000 // n AS BIGINT) pos_rate_ppm,
         |  CAST(score_lo AS BIGINT) score_lo, CAST(score_hi AS BIGINT) score_hi
         |FROM g ORDER BY source, bucket""".stripMargin,
+
+    "q_corr_matrix" -> {
+      val names = Seq("d0", "d1", "d2", "d3")
+      val pairs = for { i <- names.indices; j <- names.indices if i < j }
+        yield (names(i), names(j))
+      val sd2Cols = pairs.map { case (x, y) =>
+        s"sum(CAST(r_$x - r_$y AS HUGEINT) * (r_$x - r_$y)) sd2_${x}_$y"
+      }.mkString(",\n  ")
+      val rankCols = names.map(c =>
+        s"row_number() OVER (PARTITION BY flag ORDER BY $c, vec_id) r_$c"
+      ).mkString(",\n  ")
+      val dimCols = names.zipWithIndex.map { case (a, i) =>
+        s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000) AS BIGINT) $a"
+      }.mkString(",\n  ")
+      val pairUnion = pairs.map { case (x, y) =>
+        s"SELECT flag, '$x' col_x, '$y' col_y, n, sd2_${x}_$y sd2 FROM m"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT CAST(label AS BIGINT) flag, vec_id,
+         |  $dimCols
+         |  FROM embeddings),
+         |r AS (SELECT flag,
+         |  $rankCols
+         |  FROM b),
+         |m AS (SELECT flag, count(*) n,
+         |  $sd2Cols
+         |  FROM r GROUP BY flag),
+         |p AS ($pairUnion)
+         |SELECT flag, col_x, col_y,
+         |  1000000 - CAST(sd2 * 6000000
+         |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) rho_ppm
+         |FROM p WHERE n > 1 ORDER BY flag, col_x, col_y""".stripMargin
+    },
 
     "q_mrr_eval" ->
       """WITH r AS (SELECT user_id, event_type,

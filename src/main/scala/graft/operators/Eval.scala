@@ -267,8 +267,10 @@ object Eval {
       .filter(col("n") > 1)
       .select(col(groupCol), col("n"),
         col("sd2").cast("long").as("sum_d2"),
+        // n(n²−1) built entirely in DECIMAL — a LONG n*n wraps past
+        // ~3e9-row groups, inside the 100 TB envelope
         expr(s"1000000 - CAST(sd2 * 6000000 div (CAST(n AS $D38) " +
-          "* (n*n - 1)) AS BIGINT)").as("rho_ppm"))
+          "* n * n - n) AS BIGINT)").as("rho_ppm"))
   }
 
   /** Grouped score-calibration bins: rank rows by (score, tiebreak)

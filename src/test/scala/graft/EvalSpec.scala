@@ -153,7 +153,7 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     for (q <- Seq("q_score_auc", "q_ks_drift", "q_cohen_kappa", "q_mrr_eval",
         "q_gini_concentration", "q_cluster_purity", "q_lexical_diversity",
         "q_ngram_novelty", "q_prf_eval", "q_spearman_rho",
-        "q_score_calibration")) {
+        "q_score_calibration", "q_corr_matrix")) {
       val n = Queries.all(q)(spark, dir).count()
       assert(n > 0, s"$q returned no rows")
     }
