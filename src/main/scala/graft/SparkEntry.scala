@@ -3972,6 +3972,68 @@ object Queries {
       .orderBy(col("flag"), col("col_x"), col("col_y"))
   }
 
+  /** Privacy audit: k-anonymity and l-diversity over a
+    * quasi-identifier grouping — the governance gate before a corpus
+    * ships. Each (source, lang, length-bucket) equivalence class
+    * reports its size (k), distinct sensitive values (l — here the
+    * word-count tercile), and integer violation flags for k<5 / l<2.
+    * One keyed aggregate; class count is bounded by the QI domain. */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        expr("n_chars div 100").as("len_bucket"),
+        when(size(split(col("text"), " ")) < 39, 0L)
+          .when(size(split(col("text"), " ")) < 69, 1L)
+          .otherwise(2L).as("sens"))
+      .groupBy(col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("sens")).as("n_sensitive"))
+      .select(col("source"), col("lang"), col("len_bucket"), col("n"),
+        col("n_sensitive"),
+        expr("CASE WHEN n < 5 THEN 1 ELSE 0 END").cast("long")
+          .as("k_violation"),
+        expr("CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END").cast("long")
+          .as("l_violation"))
+      .orderBy(col("source"), col("lang"), col("len_bucket"))
+
+  /** RFM segmentation: per-user recency/frequency/monetary quintile
+    * scores, rolled up to the 125-cell segment distribution. The
+    * quintile boundaries come from the sort-free histogram-refinement
+    * rank elements (same machinery as [[qCurriculum]]) folded in as
+    * literals, so the only data-scaled work is two keyed aggregates —
+    * no global sort, no ntile window. Monetary goes through
+    * DECIMAL(18,2) cents; recency through epoch SECONDS so every
+    * boundary is double-exact (< 2⁵³ — epoch nanos are not). */
+  def qRfmScores(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(expr("ts div 1000000000")).as("r_s"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .as("mon"))
+      .cache()
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    def bounds(c: String): Array[Double] =
+      Quantiles.quantiles(per, c, qs).orderBy(col("q")).collect()
+        .map(_.getDouble(1))
+    def score(c: String, bs: Array[Double]) =
+      bs.foldLeft(lit(1L)) { (acc, b) =>
+        acc + when(col(c) > lit(b), 1L).otherwise(0L) }
+    val (rb, fb, mb) = (bounds("r_s"), bounds("freq"), bounds("mon"))
+    val out = per.withColumn("r_score", score("r_s", rb))
+      .withColumn("f_score", score("freq", fb))
+      .withColumn("m_score", score("mon", mb))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("mon")).as("sum_monetary_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    // eager ≤125-row result so the per-user cache (read by the
+    // quantile probes above and the final plan) releases NOW
+    val res = out.localCheckpoint(true)
+    per.unpersist()
+    res
+  }
+
   /** Lexical diversity: overall type-token ratio plus mean segmental
     * TTR over full 10-token segments (MSTTR — the length-robust form:
     * raw TTR shrinks with doc length, segmental does not). Truncated
@@ -4031,6 +4093,8 @@ object Queries {
     "q_spearman_rho" -> (qSpearmanRho _),
     "q_score_calibration" -> (qScoreCalibration _),
     "q_corr_matrix" -> (qCorrMatrix _),
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_rfm_scores" -> (qRfmScores _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -4423,6 +4487,68 @@ object Queries {
          |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) rho_ppm
          |FROM p WHERE n > 1 ORDER BY flag, col_x, col_y""".stripMargin
     },
+
+    "q_k_anonymity" ->
+      """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,
+        |  CASE WHEN len(string_split(text,' ')) < 39 THEN 0
+        |       WHEN len(string_split(text,' ')) < 69 THEN 1 ELSE 2 END sens
+        |  FROM documents),
+        |g AS (SELECT source, lang, len_bucket, count(*) n,
+        |  count(DISTINCT sens) n_sensitive FROM q GROUP BY 1, 2, 3)
+        |SELECT source, lang, CAST(len_bucket AS BIGINT) len_bucket,
+        |  CAST(n AS BIGINT) n, CAST(n_sensitive AS BIGINT) n_sensitive,
+        |  CAST(CASE WHEN n < 5 THEN 1 ELSE 0 END AS BIGINT) k_violation,
+        |  CAST(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END AS BIGINT) l_violation
+        |FROM g ORDER BY source, lang, len_bucket""".stripMargin,
+
+    "q_rfm_scores" ->
+      """WITH pu AS (SELECT user_id,
+        |  max(epoch_ns(ts) // 1000000000) r_s, count(*) freq,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) mon
+        |  FROM events GROUP BY user_id),
+        |nr AS (SELECT count(*) n FROM pu),
+        |rr AS (SELECT r_s v, row_number() OVER (ORDER BY r_s) rn FROM pu),
+        |rf AS (SELECT freq v, row_number() OVER (ORDER BY freq) rn FROM pu),
+        |rm AS (SELECT mon v, row_number() OVER (ORDER BY mon) rn FROM pu),
+        |rb AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(ceil(0.2 * n) AS BIGINT) THEN v END) b1,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.4 * n) AS BIGINT) THEN v END) b2,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.6 * n) AS BIGINT) THEN v END) b3,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.8 * n) AS BIGINT) THEN v END) b4
+        |  FROM rr, nr),
+        |fb AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(ceil(0.2 * n) AS BIGINT) THEN v END) b1,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.4 * n) AS BIGINT) THEN v END) b2,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.6 * n) AS BIGINT) THEN v END) b3,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.8 * n) AS BIGINT) THEN v END) b4
+        |  FROM rf, nr),
+        |mb AS (SELECT
+        |  MAX(CASE WHEN rn = CAST(ceil(0.2 * n) AS BIGINT) THEN v END) b1,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.4 * n) AS BIGINT) THEN v END) b2,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.6 * n) AS BIGINT) THEN v END) b3,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.8 * n) AS BIGINT) THEN v END) b4
+        |  FROM rm, nr),
+        |sc AS (SELECT user_id, mon,
+        |  1 + CASE WHEN r_s > rb.b1 THEN 1 ELSE 0 END
+        |    + CASE WHEN r_s > rb.b2 THEN 1 ELSE 0 END
+        |    + CASE WHEN r_s > rb.b3 THEN 1 ELSE 0 END
+        |    + CASE WHEN r_s > rb.b4 THEN 1 ELSE 0 END r_score,
+        |  1 + CASE WHEN freq > fb.b1 THEN 1 ELSE 0 END
+        |    + CASE WHEN freq > fb.b2 THEN 1 ELSE 0 END
+        |    + CASE WHEN freq > fb.b3 THEN 1 ELSE 0 END
+        |    + CASE WHEN freq > fb.b4 THEN 1 ELSE 0 END f_score,
+        |  1 + CASE WHEN mon > mb.b1 THEN 1 ELSE 0 END
+        |    + CASE WHEN mon > mb.b2 THEN 1 ELSE 0 END
+        |    + CASE WHEN mon > mb.b3 THEN 1 ELSE 0 END
+        |    + CASE WHEN mon > mb.b4 THEN 1 ELSE 0 END m_score
+        |  FROM pu, rb, fb, mb)
+        |SELECT CAST(r_score AS BIGINT) r_score,
+        |  CAST(f_score AS BIGINT) f_score,
+        |  CAST(m_score AS BIGINT) m_score,
+        |  CAST(count(*) AS BIGINT) n_users,
+        |  CAST(sum(mon) AS BIGINT) sum_monetary_cents
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
 
     "q_mrr_eval" ->
       """WITH r AS (SELECT user_id, event_type,

@@ -153,7 +153,8 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     for (q <- Seq("q_score_auc", "q_ks_drift", "q_cohen_kappa", "q_mrr_eval",
         "q_gini_concentration", "q_cluster_purity", "q_lexical_diversity",
         "q_ngram_novelty", "q_prf_eval", "q_spearman_rho",
-        "q_score_calibration", "q_corr_matrix")) {
+        "q_score_calibration", "q_corr_matrix", "q_k_anonymity",
+        "q_rfm_scores")) {
       val n = Queries.all(q)(spark, dir).count()
       assert(n > 0, s"$q returned no rows")
     }
