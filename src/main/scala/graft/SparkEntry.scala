@@ -3972,6 +3972,38 @@ object Queries {
       .orderBy(col("flag"), col("col_x"), col("col_y"))
   }
 
+  /** Exact join-size profiler: |A ⋈ B| per key-equality join computed
+    * as the dot product of the two DEGREE relations — the planner's
+    * "how big would this join be, and how skewed" question answered
+    * WITHOUT running the join. Per join: matching keys, exact output
+    * rows, and the largest single-key contribution (the skew hotspot
+    * a salting strategy would target). Work is two keyed aggregates
+    * plus a join of the (far smaller) degree relations — at 100 TB
+    * this costs two shuffles of key-count pairs while the profiled
+    * join itself might cost hours. DECIMAL(38,0) internal (da·db is
+    * count·count), BIGINT emit. */
+  def qJoinSizeProfile(s: SparkSession, dir: String): DataFrame = {
+    def profile(name: String, a: DataFrame, ka: String,
+                b: DataFrame, kb: String): DataFrame = {
+      val da = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("da"))
+      val db = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("db"))
+      da.join(db, "k")
+        .agg(count(lit(1)).as("matching_keys"),
+          sum(expr("CAST(da AS DECIMAL(38,0)) * db")).as("jr"),
+          max(expr("CAST(da AS DECIMAL(38,0)) * db")).as("mk"))
+        .select(lit(name).as("join_name"), col("matching_keys"),
+          col("jr").cast("long").as("join_rows"),
+          col("mk").cast("long").as("max_key_rows"))
+    }
+    profile("customer_orders", Tables.customer(s, dir), "c_custkey",
+        Tables.orders(s, dir), "o_custkey")
+      .unionByName(profile("orders_lineitem", Tables.orders(s, dir),
+        "o_orderkey", Tables.lineitem(s, dir), "l_orderkey"))
+      .unionByName(profile("part_lineitem", Tables.part(s, dir),
+        "p_partkey", Tables.lineitem(s, dir), "l_partkey"))
+      .orderBy(col("join_name"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -4095,6 +4127,7 @@ object Queries {
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_rfm_scores" -> (qRfmScores _),
+    "q_join_size_profile" -> (qJoinSizeProfile _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -4486,6 +4519,22 @@ object Queries {
          |  1000000 - CAST(sd2 * 6000000
          |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) rho_ppm
          |FROM p WHERE n > 1 ORDER BY flag, col_x, col_y""".stripMargin
+    },
+
+    "q_join_size_profile" -> {
+      def one(name: String, a: String, ka: String, b: String, kb: String) =
+        s"""SELECT '$name' join_name,
+           |  CAST(count(*) AS BIGINT) matching_keys,
+           |  CAST(sum(CAST(da AS HUGEINT) * db) AS BIGINT) join_rows,
+           |  CAST(max(CAST(da AS HUGEINT) * db) AS BIGINT) max_key_rows
+           |FROM (SELECT $ka k, count(*) da FROM $a GROUP BY 1) s_a
+           |JOIN (SELECT $kb k, count(*) db FROM $b GROUP BY 1) s_b USING (k)""".stripMargin
+      s"""${one("customer_orders", "customer", "c_custkey", "orders", "o_custkey")}
+         |UNION ALL
+         |${one("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}
+         |UNION ALL
+         |${one("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey")}
+         |ORDER BY join_name""".stripMargin
     },
 
     "q_k_anonymity" ->
