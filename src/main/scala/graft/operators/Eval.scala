@@ -251,7 +251,10 @@ object Eval {
     * one replaces the other. Two partitioned sorts + one aggregate.
     *
     * @return (group, n, sum_d2, rho_ppm); groups with n < 2 drop
-    *         (ρ undefined)
+    *         (ρ undefined). `sum_d2` is a DIAGNOSTIC column: its
+    *         BIGINT emit wraps past ~2×10⁶-row groups (Σd² is
+    *         n³-bounded); `rho_ppm` itself rides the DECIMAL path and
+    *         stays exact at any group size.
     */
   def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
                   yCol: String, tiebreakCol: String): DataFrame = {
