@@ -4004,6 +4004,74 @@ object Queries {
       .orderBy(col("join_name"))
   }
 
+  /** Group-aware (leakage-free) train/val/test split: every EVENT of
+    * a user lands in the split chosen by the user's md5 bucket, so no
+    * user straddles splits — the eval-hygiene counterpart of
+    * [[qSplitStratified]] (which splits rows; row-level splits leak
+    * user signal across train and test). Emits per-split user/event
+    * counts plus `leaked_users` — distinct users appearing in more
+    * than one split — computed from the data rather than asserted
+    * (it is 0 by construction; the column is the proof). Engine-
+    * neutral assignment: md5-of-id bucket, the catalog's standard
+    * reshuffle-stable selector. */
+  def qGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"))
+      .withColumn("b", operators.Sketches.hash32(col("user_id")) % 10)
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") < 9, "val")
+          .otherwise("test"))
+    val per = ev.groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+    val leaked = ev.select(col("user_id"), col("split")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("leaked_users"))
+    per.crossJoin(leaked)
+      .select(col("split"), col("n_users"), col("n_events"),
+        col("leaked_users"))
+      .orderBy(col("split"))
+  }
+
+  /** Forecast-quality eval in exact integers: seasonal-naive
+    * prediction (same hour yesterday) of hourly event counts, scored
+    * by MASE — the mean-absolute-error ratio against the one-step
+    * naive baseline, the standard scale-free forecast metric, and a
+    * pure ratio of integer count sums (ppm emit, no float ever).
+    * One (type, hour-index) aggregate, the [[qGapFill]] dense-grid
+    * idiom (per-type span + explode(sequence) — zero-count hours MUST
+    * exist or "24 back" is not "same hour yesterday"), two lag
+    * windows over the per-type hourly series, one rollup. */
+  def qForecastEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hidx"))
+      .groupBy(col("event_type"), col("hidx"))
+      .agg(count(lit(1)).as("n_obs"))
+    val dense = hourly.groupBy(col("event_type"))
+      .agg(min(col("hidx")).as("mn"), max(col("hidx")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("hidx"))
+      .join(hourly, Seq("event_type", "hidx"), "left")
+      .select(col("event_type"), col("hidx"),
+        coalesce(col("n_obs"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+    val scored = dense
+      .withColumn("naive", lag(col("n"), 1).over(w))
+      .withColumn("seasonal", lag(col("n"), 24).over(w))
+      .filter(col("naive").isNotNull && col("seasonal").isNotNull)
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(abs(col("n") - col("seasonal"))).as("seasonal_ae"),
+        sum(abs(col("n") - col("naive"))).as("naive_ae"))
+      .filter(col("naive_ae") > 0)
+      .select(col("event_type"), col("n_points"), col("seasonal_ae"),
+        col("naive_ae"),
+        expr("CAST(CAST(seasonal_ae AS DECIMAL(38,0)) * 1000000 " +
+          "div naive_ae AS BIGINT)").as("mase_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -4128,6 +4196,8 @@ object Queries {
     "q_k_anonymity" -> (qKAnonymity _),
     "q_rfm_scores" -> (qRfmScores _),
     "q_join_size_profile" -> (qJoinSizeProfile _),
+    "q_group_split" -> (qGroupSplit _),
+    "q_forecast_eval" -> (qForecastEval _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -4536,6 +4606,47 @@ object Queries {
          |${one("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey")}
          |ORDER BY join_name""".stripMargin
     },
+
+    "q_group_split" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |  ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT % 10 b
+        |  FROM events),
+        |sp AS (SELECT user_id, event_id,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+        |       ELSE 'test' END split FROM ev),
+        |per AS (SELECT split, count(DISTINCT user_id) n_users,
+        |  count(*) n_events FROM sp GROUP BY split),
+        |lk AS (SELECT count(*) leaked_users FROM
+        |  (SELECT user_id FROM (SELECT DISTINCT user_id, split FROM sp)
+        |   GROUP BY user_id HAVING count(*) > 1))
+        |SELECT split, CAST(n_users AS BIGINT) n_users,
+        |  CAST(n_events AS BIGINT) n_events,
+        |  CAST(leaked_users AS BIGINT) leaked_users
+        |FROM per, lk ORDER BY split""".stripMargin,
+
+    "q_forecast_eval" ->
+      """WITH h AS (SELECT event_type,
+        |  epoch_ns(ts) // 3600000000000 hidx, count(*) n_obs
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(hidx) mn, max(hidx) mx
+        |  FROM h GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) hidx FROM sp),
+        |d AS (SELECT g.event_type, g.hidx, COALESCE(n_obs, 0) n
+        |  FROM grid g LEFT JOIN h
+        |    ON g.event_type = h.event_type AND g.hidx = h.hidx),
+        |sc AS (SELECT event_type, n,
+        |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY hidx) naive,
+        |  lag(n, 24) OVER (PARTITION BY event_type ORDER BY hidx) seasonal
+        |  FROM d),
+        |ag AS (SELECT event_type, count(*) n_points,
+        |  sum(abs(n - seasonal)) seasonal_ae, sum(abs(n - naive)) naive_ae
+        |  FROM sc WHERE naive IS NOT NULL AND seasonal IS NOT NULL
+        |  GROUP BY event_type)
+        |SELECT event_type, CAST(n_points AS BIGINT) n_points,
+        |  CAST(seasonal_ae AS BIGINT) seasonal_ae,
+        |  CAST(naive_ae AS BIGINT) naive_ae,
+        |  CAST(CAST(seasonal_ae AS HUGEINT) * 1000000 // naive_ae AS BIGINT) mase_ppm
+        |FROM ag WHERE naive_ae > 0 ORDER BY event_type""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,

@@ -154,7 +154,8 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
         "q_gini_concentration", "q_cluster_purity", "q_lexical_diversity",
         "q_ngram_novelty", "q_prf_eval", "q_spearman_rho",
         "q_score_calibration", "q_corr_matrix", "q_k_anonymity",
-        "q_rfm_scores", "q_join_size_profile")) {
+        "q_rfm_scores", "q_join_size_profile", "q_group_split",
+        "q_forecast_eval")) {
       val n = Queries.all(q)(spark, dir).count()
       assert(n > 0, s"$q returned no rows")
     }
