@@ -4072,6 +4072,37 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Grid-blocked fixed-radius neighbor join over the 2-D embedding
+    * projection — the spatial "nearby" join. Radius is
+    * density-invariant ([[operators.Spatial.dynamicEps2]]: eps² =
+    * 10¹²/n), so pair output stays O(n) at any scale; candidate
+    * generation is the 3×3-cell equi-join (the only shuffle),
+    * verification an exact integer L2 test. Oracle is the naive O(n²)
+    * cross filter — recall 1 by construction. */
+  def qGridJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = operators.Spatial.scaledPoints(Tables.embeddings(s, dir))
+    val eps2 = operators.Spatial.dynamicEps2(1000000L, pts.count())
+    operators.Spatial.gridNeighborPairs(pts, eps2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DBSCAN density clustering on the grid neighbor graph:
+    * deg ≥ 12 ⇒ core, clusters = CC over core–core edges, border =
+    * min-core-neighbor assignment (see [[operators.Spatial.dbscan]]
+    * for the deterministic border rule). Emits the per-cluster
+    * role census. The oracle recomputes the whole pipeline naively,
+    * components via a recursive-CTE transitive closure. */
+  def qDbscan(s: SparkSession, dir: String): DataFrame = {
+    val pts = operators.Spatial.scaledPoints(Tables.embeddings(s, dir))
+    val eps2 = operators.Spatial.dynamicEps2(1000000L, pts.count())
+    operators.Spatial.dbscan(pts, eps2, 12L)
+      .groupBy(col("cluster_rep"))
+      .agg(sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+        sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -4198,6 +4229,8 @@ object Queries {
     "q_join_size_profile" -> (qJoinSizeProfile _),
     "q_group_split" -> (qGroupSplit _),
     "q_forecast_eval" -> (qForecastEval _),
+    "q_grid_join" -> (qGridJoin _),
+    "q_dbscan" -> (qDbscan _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -4647,6 +4680,49 @@ object Queries {
         |  CAST(naive_ae AS BIGINT) naive_ae,
         |  CAST(CAST(seasonal_ae AS HUGEINT) * 1000000 // naive_ae AS BIGINT) mase_ppm
         |FROM ag WHERE naive_ae > 0 ORDER BY event_type""".stripMargin,
+
+    "q_grid_join" ->
+      """WITH p AS (SELECT vec_id,
+        |  CAST(floor((CAST(embedding[1] AS DOUBLE)+1.0)*1048576) AS BIGINT) xi,
+        |  CAST(floor((CAST(embedding[2] AS DOUBLE)+1.0)*1048576) AS BIGINT) yi
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) n FROM p)
+        |SELECT a.vec_id id_a, b.vec_id id_b,
+        |  (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi) d2
+        |FROM p a, p b, nn WHERE a.vec_id < b.vec_id
+        |  AND (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi)
+        |      <= CAST(1000000 AS BIGINT)*1000000//nn.n
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dbscan" ->
+      """WITH RECURSIVE p AS (SELECT vec_id,
+        |  CAST(floor((CAST(embedding[1] AS DOUBLE)+1.0)*1048576) AS BIGINT) xi,
+        |  CAST(floor((CAST(embedding[2] AS DOUBLE)+1.0)*1048576) AS BIGINT) yi
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) n FROM p),
+        |pr AS (SELECT a.vec_id ia, b.vec_id ib
+        |  FROM p a, p b, nn WHERE a.vec_id < b.vec_id
+        |    AND (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi)
+        |        <= CAST(1000000 AS BIGINT)*1000000//nn.n),
+        |sym AS (SELECT ia u, ib v FROM pr UNION ALL SELECT ib, ia FROM pr),
+        |deg AS (SELECT u, count(*) deg FROM sym GROUP BY u),
+        |core AS (SELECT u cid FROM deg WHERE deg >= 12),
+        |ce AS (SELECT ia a, ib b FROM pr
+        |  WHERE ia IN (SELECT cid FROM core) AND ib IN (SELECT cid FROM core)),
+        |edges AS (SELECT a u, b v FROM ce UNION SELECT b, a FROM ce),
+        |reach AS (SELECT cid AS src, cid AS node FROM core
+        |  UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u),
+        |lab AS (SELECT src pid, MIN(node) cluster_rep FROM reach GROUP BY src),
+        |border AS (SELECT s.u pid, MIN(l.cluster_rep) cluster_rep
+        |  FROM sym s JOIN core c ON s.v = c.cid JOIN lab l ON l.pid = s.v
+        |  WHERE s.u NOT IN (SELECT cid FROM core) GROUP BY s.u),
+        |allp AS (SELECT pid, 'core' AS role, cluster_rep FROM lab
+        |  UNION ALL SELECT pid, 'border' AS role, cluster_rep FROM border)
+        |SELECT cluster_rep,
+        |  CAST(sum(CASE WHEN role='core' THEN 1 ELSE 0 END) AS BIGINT) n_core,
+        |  CAST(sum(CASE WHEN role='border' THEN 1 ELSE 0 END) AS BIGINT) n_border,
+        |  CAST(count(*) AS BIGINT) n_points
+        |FROM allp GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,
