@@ -4103,6 +4103,160 @@ object Queries {
       .orderBy(col("cluster_rep"))
   }
 
+  /** Positional phrase search — the IR primitive a doc-level inverted
+    * index ([[qInvertedIndex]]) can't answer and substring search
+    * ([[qTrigramSearch]]) answers only at the byte level: find every
+    * occurrence of a two-word phrase by intersecting per-term
+    * positional postings on (doc, pos+1 = pos). The phrase is
+    * data-derived (the corpus's most frequent bigram, ties broken
+    * lexicographically) so the query is self-contained. Scale shape:
+    * postings are a projection of the token explode; the 1-row phrase
+    * relation broadcasts onto the term equi-joins; the only real
+    * shuffle is the (doc_id, pos)-keyed intersection join, sized by
+    * the two terms' posting lists, never the corpus. */
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val top1 = tok
+      .withColumn("w2",
+        lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+      .select(col("w1"), col("w2"))
+    val t1 = tok.join(top1.select(col("w1").as("w")), Seq("w"))
+      .select(col("doc_id"), col("pos"))
+    val t2 = tok.join(top1.select(col("w2").as("w")), Seq("w"))
+      .select(col("doc_id"), col("pos").as("pos2"))
+    t1.join(t2, t1("doc_id") === t2("doc_id") && col("pos2") === col("pos") + 1)
+      .groupBy(t1("doc_id")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(top1))
+      .select(col("w1"), col("w2"), col("doc_id"), col("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal token runs between delimiter words, word score =
+    * degree/freq over phrase co-membership, phrase score = Σ member
+    * word scores — here in exact ppm integers. The delimiter list is
+    * frequency-derived (corpus top-10 words, the paper's own stoplist
+    * generation), so the operator is self-contained and the run
+    * structure is non-degenerate on any corpus. Scale shape: token
+    * explode is projection-only; the 10-row stoplist broadcasts onto
+    * an anti join; run ids come from a per-doc window (gaps-and-
+    * islands); word stats and phrase aggregates are keyed shuffles on
+    * w and (doc, run); top-20 is a TakeOrdered. */
+  def qRakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val stops = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(10).select(col("w"))
+    val ns = tok.join(stops, Seq("w"), "left_anti")
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val ph = ns.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("plen"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, w)))," +
+          " x -> x.w), ' ')").as("phrase"))
+    val member = ns.select(col("doc_id"), col("grp"), col("w"))
+      .join(ph.select(col("doc_id"), col("grp"), col("plen")),
+        Seq("doc_id", "grp"))
+    val wscore = member.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .select(col("w"), expr(
+        "CAST(CAST(degree AS DECIMAL(38,0)) * 1000000 div freq AS BIGINT)")
+        .as("score"))
+    val pscore = member.join(wscore, Seq("w"))
+      .groupBy(col("doc_id"), col("grp")).agg(sum(col("score")).as("score_ppm"))
+    ph.join(pscore, Seq("doc_id", "grp"))
+      .groupBy(col("phrase"))
+      .agg(min(col("plen")).as("n_words"), count(lit(1)).as("n_occ"),
+        min(col("score_ppm")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase")).limit(20)
+      .orderBy(col("score_ppm").desc, col("phrase"))
+  }
+
+  /** Length-3 sequential pattern mining over per-user event streams
+    * (contiguous subsequences, the PrefixSpan-lite shape): each
+    * user's events ordered by (ts, event_id) yield sliding triples via
+    * two lead windows; support = occurrence count + distinct users.
+    * Top-25 by (occurrences desc, pattern asc). One per-user window
+    * shuffle + one pattern-keyed aggregate — no candidate generation
+    * blow-up because contiguity bounds fan-out at one triple per
+    * event. */
+  def qSeqPatterns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occ").desc, col("t1"), col("t2"), col("t3")).limit(25)
+      .orderBy(col("n_occ").desc, col("t1"), col("t2"), col("t3"))
+  }
+
+  /** Exact autocorrelation of the hourly event-count series at lags
+    * 1, 2, and 24 — the seasonality diagnostic behind
+    * [[qForecastEval]]'s model choice. Pearson r over (x_t, x_{t−ℓ})
+    * pairs on the dense per-type hourly grid, kept exact by emitting
+    * sign(N) and r² in ppm where N = nΣxy − ΣxΣy and r² =
+    * N²/(D₁D₂) — pure integer arithmetic in DECIMAL(38,0), BIGINT on
+    * emit. One grid build, three lag columns over one per-type
+    * window, one stacked aggregate. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hidx"))
+      .groupBy(col("event_type"), col("hidx"))
+      .agg(count(lit(1)).as("n_obs"))
+    val dense = hourly.groupBy(col("event_type"))
+      .agg(min(col("hidx")).as("mn"), max(col("hidx")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("hidx"))
+      .join(hourly, Seq("event_type", "hidx"), "left")
+      .select(col("event_type"), col("hidx"),
+        coalesce(col("n_obs"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+    val lagged = dense
+      .withColumn("y1", lag(col("x"), 1).over(w))
+      .withColumn("y2", lag(col("x"), 2).over(w))
+      .withColumn("y24", lag(col("x"), 24).over(w))
+      .select(col("event_type"), col("x"),
+        expr("stack(3, 1L, y1, 2L, y2, 24L, y24) AS (lag_h, y)"))
+      .filter(col("y").isNotNull)
+    lagged.groupBy(col("event_type"), col("lag_h"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag_h"), col("n_pairs"),
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * sxy " +
+          "- CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * sxx " +
+          "- CAST(sx AS DECIMAL(38,0)) * sx").as("d1"),
+        expr("CAST(n_pairs AS DECIMAL(38,0)) * syy " +
+          "- CAST(sy AS DECIMAL(38,0)) * sy").as("d2"))
+      .filter(col("d1") > 0 && col("d2") > 0)
+      .select(col("event_type"), col("lag_h"), col("n_pairs"),
+        when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L)
+          .as("r_sign"),
+        expr("CAST(num * num * 1000000 div (d1 * d2) AS BIGINT)")
+          .as("r2_ppm"))
+      .orderBy(col("event_type"), col("lag_h"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -4231,6 +4385,10 @@ object Queries {
     "q_forecast_eval" -> (qForecastEval _),
     "q_grid_join" -> (qGridJoin _),
     "q_dbscan" -> (qDbscan _),
+    "q_phrase_search" -> (qPhraseSearch _),
+    "q_rake_keywords" -> (qRakeKeywords _),
+    "q_seq_patterns" -> (qSeqPatterns _),
+    "q_autocorr" -> (qAutocorr _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -4723,6 +4881,95 @@ object Queries {
         |  CAST(sum(CASE WHEN role='border' THEN 1 ELSE 0 END) AS BIGINT) n_border,
         |  CAST(count(*) AS BIGINT) n_points
         |FROM allp GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(text,' ')) w,
+        |  unnest(range(1, len(string_split(text,' '))+1)) pos
+        |  FROM documents),
+        |bg AS (SELECT doc_id, w w1,
+        |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) w2 FROM tok),
+        |top1 AS (SELECT w1, w2, count(*) cnt FROM bg WHERE w2 IS NOT NULL
+        |  GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+        |t1 AS (SELECT t.doc_id, t.pos FROM tok t JOIN top1 ON t.w = top1.w1),
+        |t2 AS (SELECT t.doc_id, t.pos FROM tok t JOIN top1 ON t.w = top1.w2),
+        |occ AS (SELECT t1.doc_id, count(*) n_occ FROM t1
+        |  JOIN t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        |  GROUP BY t1.doc_id)
+        |SELECT top1.w1, top1.w2, occ.doc_id, CAST(n_occ AS BIGINT) n_occ
+        |FROM occ, top1 ORDER BY doc_id""".stripMargin,
+
+    "q_rake_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(text,' ')) w,
+        |  unnest(range(1, len(string_split(text,' '))+1)) pos
+        |  FROM documents),
+        |stops AS (SELECT w FROM (SELECT w, count(*) c FROM tok GROUP BY w
+        |  ORDER BY c DESC, w LIMIT 10)),
+        |ns AS (SELECT doc_id, w, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) grp
+        |  FROM tok WHERE w NOT IN (SELECT w FROM stops)),
+        |ph AS (SELECT doc_id, grp, count(*) plen,
+        |  string_agg(w, ' ' ORDER BY pos) phrase
+        |  FROM ns GROUP BY doc_id, grp),
+        |member AS (SELECT ns.doc_id, ns.grp, ns.w, ph.plen
+        |  FROM ns JOIN ph USING (doc_id, grp)),
+        |ws AS (SELECT w, count(*) freq, sum(plen) degree FROM member
+        |  GROUP BY w),
+        |wscore AS (SELECT w,
+        |  CAST(CAST(degree AS HUGEINT) * 1000000 // freq AS BIGINT) score
+        |  FROM ws),
+        |pscore AS (SELECT m.doc_id, m.grp, CAST(sum(s.score) AS BIGINT)
+        |    score_ppm
+        |  FROM member m JOIN wscore s USING (w) GROUP BY m.doc_id, m.grp),
+        |agg AS (SELECT ph.phrase, CAST(min(ph.plen) AS BIGINT) n_words,
+        |  CAST(count(*) AS BIGINT) n_occ,
+        |  CAST(min(p.score_ppm) AS BIGINT) score_ppm
+        |  FROM ph JOIN pscore p USING (doc_id, grp) GROUP BY ph.phrase)
+        |SELECT phrase, n_words, n_occ, score_ppm FROM agg
+        |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin,
+
+    "q_seq_patterns" ->
+      """WITH e AS (SELECT user_id, event_type t1,
+        |  lead(event_type,1) OVER w t2, lead(event_type,2) OVER w t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) n_occ,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) n_users
+        |FROM e WHERE t3 IS NOT NULL GROUP BY t1, t2, t3
+        |ORDER BY n_occ DESC, t1, t2, t3 LIMIT 25""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH h AS (SELECT event_type,
+        |  epoch_ns(ts) // 3600000000000 hidx, count(*) n_obs
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(hidx) mn, max(hidx) mx
+        |  FROM h GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) hidx FROM sp),
+        |d AS (SELECT g.event_type, g.hidx, COALESCE(n_obs, 0) x
+        |  FROM grid g LEFT JOIN h
+        |    ON g.event_type = h.event_type AND g.hidx = h.hidx),
+        |l AS (SELECT event_type, hidx, x,
+        |  lag(x,1) OVER w y1, lag(x,2) OVER w y2, lag(x,24) OVER w y24
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hidx)),
+        |st AS (SELECT event_type, 1 lag_h, x, y1 y FROM l WHERE y1 IS NOT NULL
+        |  UNION ALL SELECT event_type, 2, x, y2 FROM l WHERE y2 IS NOT NULL
+        |  UNION ALL SELECT event_type, 24, x, y24 FROM l WHERE y24 IS NOT NULL),
+        |ag AS (SELECT event_type, lag_h, count(*) n_pairs, sum(x) sx,
+        |  sum(y) sy, sum(x*y) sxy, sum(x*x) sxx, sum(y*y) syy
+        |  FROM st GROUP BY 1, 2),
+        |fin AS (SELECT event_type, CAST(lag_h AS BIGINT) lag_h,
+        |  CAST(n_pairs AS BIGINT) n_pairs,
+        |  CAST(n_pairs AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy num,
+        |  CAST(n_pairs AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx d1,
+        |  CAST(n_pairs AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy d2
+        |  FROM ag)
+        |SELECT event_type, lag_h, n_pairs,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) r_sign,
+        |  CAST(num*num*1000000 // (d1*d2) AS BIGINT) r2_ppm
+        |FROM fin WHERE d1 > 0 AND d2 > 0
+        |ORDER BY event_type, lag_h""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,

@@ -45,6 +45,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "crossed with the 1-row totals aggregate"),
     "q_group_split" -> ("1-row leaked-user-count aggregate crossed " +
       "onto the 3-row per-split census"),
+    "q_phrase_search" -> ("1-row top-bigram relation crossed onto the " +
+      "per-doc occurrence counts for labeling"),
     "q_bm25_topk" -> "1-row corpus totals broadcast (tl, nd)",
     "q_chisq_domain" -> "1-row contingency total broadcast (t)",
     "q_skipgram_pmi" -> "1-row pair-total broadcast (t)",

@@ -557,6 +557,35 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     rows.groupBy(_.getString(0)).foreach { case (_, rs) => assert(rs.length <= 2) }
   }
 
+  test("round-13 additions return rows and respect their own invariants") {
+    // phrase search: every doc reported must actually contain the phrase
+    val ph = Queries.qPhraseSearch(spark, sf).collect()
+    assert(ph.nonEmpty)
+    val phrase = ph.head.getString(0) + " " + ph.head.getString(1)
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        .isin(ph.map(_.getLong(2)).toSeq: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    ph.foreach { r =>
+      val t = " " + docs(r.getLong(2)) + " "
+      assert(t.contains(" " + phrase + " "), s"doc ${r.getLong(2)} lacks '$phrase'")
+    }
+    // rake: top-20, scores positive, n_words >= 1
+    val rk = Queries.qRakeKeywords(spark, sf).collect()
+    assert(rk.length == 20 && rk.forall(r => r.getLong(3) > 0 && r.getLong(1) >= 1))
+    // seq patterns: support ordering holds, n_users <= n_occ
+    val sq = Queries.qSeqPatterns(spark, sf).collect()
+    assert(sq.nonEmpty)
+    assert(sq.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(sq.forall(r => r.getLong(4) <= r.getLong(3)))
+    // autocorr: r2 in [0, 1e6], lag-1 rows exist for every type with data
+    val ac = Queries.qAutocorr(spark, sf).collect()
+    assert(ac.nonEmpty)
+    assert(ac.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 1000000L))
+    assert(ac.forall(r => math.abs(r.getLong(3)) <= 1L))
+  }
+
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
     val df = Queries.qTopkGrouped(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
