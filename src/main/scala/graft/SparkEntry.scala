@@ -4257,6 +4257,175 @@ object Queries {
       .orderBy(col("event_type"), col("lag_h"))
   }
 
+  /** CUSUM change-point detection over the per-type hourly series —
+    * the level-shift counterpart of [[qAnomalyMad]]'s spike detector.
+    * The scaled CUSUM n·S_t = n·P_t − t·T (P = prefix sum, T = series
+    * total) is exact in integers; the change point is the position
+    * maximizing |n·S_t| (ties → earliest). Emits the split position
+    * plus exact pre/post mean levels in ppm. One dense-grid build,
+    * one prefix-sum window per type, one bounded per-type argmax. */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hidx"))
+      .groupBy(col("event_type"), col("hidx"))
+      .agg(count(lit(1)).as("n_obs"))
+    val dense = hourly.groupBy(col("event_type"))
+      .agg(min(col("hidx")).as("mn"), max(col("hidx")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("hidx"))
+      .join(hourly, Seq("event_type", "hidx"), "left")
+      .select(col("event_type"), col("hidx"),
+        coalesce(col("n_obs"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+    val pre = dense
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = pre.groupBy(col("event_type"))
+      .agg(max(col("p")).as("tt"), max(col("t")).as("n"))
+    val scored = pre.join(tot, Seq("event_type"))
+      .filter(col("t") < col("n")) // S_n = 0 by construction; exclude
+      .withColumn("ns", col("n") * col("p") - col("t") * col("tt"))
+      .withColumn("abs_ns", abs(col("ns")))
+    val best = scored.groupBy(col("event_type"))
+      .agg(max(col("abs_ns")).as("m"))
+    scored.join(best, Seq("event_type"))
+      .filter(col("abs_ns") === col("m"))
+      .groupBy(col("event_type"))
+      .agg(min(col("t")).as("cp_t"), max(col("abs_ns")).as("abs_ns"),
+        max(col("n")).as("n_hours"), max(col("tt")).as("total"))
+      .join(pre.select(col("event_type"), col("t").as("cp_t"), col("p")),
+        Seq("event_type", "cp_t"))
+      .select(col("event_type"), col("cp_t"), col("n_hours"), col("abs_ns"),
+        expr("CAST(p * 1000000 div cp_t AS BIGINT)").as("pre_mean_ppm"),
+        expr("CAST((total - p) * 1000000 div (n_hours - cp_t) AS BIGINT)")
+          .as("post_mean_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Benford first-digit audit of the lineitem price column — the
+    * classic fraud/data-quality screen. Observed first-significant-
+    * digit shares (of exact integer cents) against the Benford
+    * expectation log₁₀(1+1/d), embedded as fixed ppm literals that
+    * sum to exactly 10⁶. Pure projection + 9-group aggregate. */
+  def qBenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.lineitem(s, dir)
+      .select(floor(col("l_extendedprice").cast("double") * 100)
+        .cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("total"))
+    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val bexpr = benford.map { case (d, p) => s"WHEN digit = $d THEN ${p}L" }
+      .mkString("CASE ", " ", " END")
+    obs.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("CAST(n_obs * 1000000 div total AS BIGINT)").as("obs_ppm"),
+        expr(bexpr).as("benford_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("benford_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** Trailing-24h rolling regression slope of the hourly event count
+    * — trend detection as a windowed integer least-squares fit. Over
+    * each full 24-row window the denominator n²(n²−1)/12 is constant;
+    * the numerator nΣty−ΣtΣy is windowed integer sums (t = absolute
+    * hour index — slope is shift-invariant). Emits each type's
+    * steepest rise and fall with positions (ties → earliest). Scale:
+    * one dense grid, one 24-row sliding window per type, bounded
+    * per-type argmax — no global pass. */
+  def qRollingSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hidx"))
+      .groupBy(col("event_type"), col("hidx"))
+      .agg(count(lit(1)).as("n_obs"))
+    val dense = hourly.groupBy(col("event_type"))
+      .agg(min(col("hidx")).as("mn"), max(col("hidx")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("hidx"))
+      .join(hourly, Seq("event_type", "hidx"), "left")
+      .select(col("event_type"), col("hidx"),
+        coalesce(col("n_obs"), lit(0L)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+      .rowsBetween(-23, Window.currentRow)
+    val sl = dense
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sty", sum(col("hidx") * col("y")).over(w))
+      .withColumn("st", sum(col("hidx")).over(w))
+      .filter(col("nw") === 24)
+      // denominator 24²·(24²−1)/12 = 27600; slope in ppm counts/hour
+      .withColumn("slope_ppm", expr(
+        "CAST(CAST(24 * sty - st * sy AS DECIMAL(38,0)) * 1000000 " +
+          "div 27600 AS BIGINT)"))
+    val agg = sl.groupBy(col("event_type"))
+      .agg(max(col("slope_ppm")).as("max_slope_ppm"),
+        min(col("slope_ppm")).as("min_slope_ppm"))
+    val up = sl.join(agg, Seq("event_type"))
+      .filter(col("slope_ppm") === col("max_slope_ppm"))
+      .groupBy(col("event_type")).agg(min(col("hidx")).as("max_slope_hidx"))
+    val dn = sl.join(agg, Seq("event_type"))
+      .filter(col("slope_ppm") === col("min_slope_ppm"))
+      .groupBy(col("event_type")).agg(min(col("hidx")).as("min_slope_hidx"))
+    agg.join(up, Seq("event_type")).join(dn, Seq("event_type"))
+      .select(col("event_type"), col("max_slope_ppm"), col("max_slope_hidx"),
+        col("min_slope_ppm"), col("min_slope_hidx"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hybrid retrieval fusion — the RAG-stack join of lexical and
+    * vector search: BM25 top-50 (terms table/spark/merge, the
+    * [[qBm25Topk]] integer scoring) fused with embedding top-50
+    * (query = vec 0, the [[qAnnBruteforce]] quantized cosine) by
+    * truncated Reciprocal Rank Fusion: rrf = Σ 10⁶ div (60+rank) —
+    * per-term truncation makes the fusion score exact on any engine.
+    * Both rankings are bounded top-k relations, so the fusion join
+    * and final top-20 are driver-light and broadcast-sized; the heavy
+    * lifting stays in the two underlying rankers. */
+  def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // lexical leg: BM25 scores over the fixed term set, ranked
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("tl"), count(lit(1)).as("nd"))
+    val tf = toks.filter(col("w").isin("table", "spark", "merge"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val bm = tf.join(dl, "doc_id").join(broadcast(dfq), "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_part", expr(
+        """CAST((CAST(((2*(nd - df) + 1) * 1000) div (2*df + 1) AS DECIMAL(38,0))
+          |  * 44 * tf * tl) div (20*tf*tl + 6*tl + 18*dl*nd) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_part")).as("bm25_milli"))
+      // top-50 via TakeOrdered FIRST; the global rank window then runs
+      // on the bounded 50-row relation (PlanGuard-whitelisted)
+      .orderBy(col("bm25_milli").desc, col("doc_id")).limit(50)
+      .withColumn("r_bm25", row_number().over(
+        Window.orderBy(col("bm25_milli").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_bm25"))
+    // vector leg: brute-force cosine top-50 for query vector 0
+    val vectors = Tables.embeddings(s, dir)
+    val emb = operators.Similarity.bruteForceTopK(
+        vectors, vectors.filter(col("vec_id") === 0), 50)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").as("r_embed"))
+    bm.join(emb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 div (60 + r_bm25)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_embed)"), lit(0L)))
+      .select(col("doc_id"), col("rrf_ppm"), col("r_bm25"), col("r_embed"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(20)
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -4389,6 +4558,10 @@ object Queries {
     "q_rake_keywords" -> (qRakeKeywords _),
     "q_seq_patterns" -> (qSeqPatterns _),
     "q_autocorr" -> (qAutocorr _),
+    "q_changepoint" -> (qChangepoint _),
+    "q_benford_audit" -> (qBenfordAudit _),
+    "q_rolling_slope" -> (qRollingSlope _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -4970,6 +5143,123 @@ object Queries {
         |  CAST(num*num*1000000 // (d1*d2) AS BIGINT) r2_ppm
         |FROM fin WHERE d1 > 0 AND d2 > 0
         |ORDER BY event_type, lag_h""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH h AS (SELECT event_type,
+        |  epoch_ns(ts) // 3600000000000 hidx, count(*) n_obs
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(hidx) mn, max(hidx) mx
+        |  FROM h GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) hidx FROM sp),
+        |d AS (SELECT g.event_type, g.hidx, COALESCE(n_obs, 0) x
+        |  FROM grid g LEFT JOIN h
+        |    ON g.event_type = h.event_type AND g.hidx = h.hidx),
+        |pre AS (SELECT event_type, hidx, x,
+        |  CAST(row_number() OVER w AS BIGINT) t,
+        |  CAST(sum(x) OVER (PARTITION BY event_type ORDER BY hidx
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) p
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hidx)),
+        |tot AS (SELECT event_type, max(p) tt, max(t) n FROM pre GROUP BY 1),
+        |sc AS (SELECT pre.event_type, t, p, tt, n,
+        |  abs(n * p - t * tt) abs_ns
+        |  FROM pre JOIN tot USING (event_type) WHERE t < n),
+        |best AS (SELECT event_type, max(abs_ns) m FROM sc GROUP BY 1),
+        |cp AS (SELECT sc.event_type, min(t) cp_t, max(abs_ns) abs_ns,
+        |  max(n) n_hours, max(tt) total
+        |  FROM sc JOIN best USING (event_type) WHERE abs_ns = m
+        |  GROUP BY sc.event_type)
+        |SELECT cp.event_type, cp_t, n_hours, abs_ns,
+        |  CAST(p * 1000000 // cp_t AS BIGINT) pre_mean_ppm,
+        |  CAST((total - p) * 1000000 // (n_hours - cp_t) AS BIGINT)
+        |    post_mean_ppm
+        |FROM cp JOIN pre ON pre.event_type = cp.event_type AND pre.t = cp.cp_t
+        |ORDER BY cp.event_type""".stripMargin,
+
+    "q_benford_audit" ->
+      """WITH c AS (SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100)
+        |    AS BIGINT) cents FROM lineitem),
+        |o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |    digit, count(*) n_obs
+        |  FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) total FROM o),
+        |b(digit, benford_ppm) AS (VALUES (1, 301030), (2, 176091),
+        |  (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+        |  (8, 51153), (9, 45757))
+        |SELECT o.digit, CAST(n_obs AS BIGINT) n_obs,
+        |  CAST(n_obs * 1000000 // total AS BIGINT) obs_ppm,
+        |  CAST(benford_ppm AS BIGINT) benford_ppm,
+        |  CAST(n_obs * 1000000 // total - benford_ppm AS BIGINT) dev_ppm
+        |FROM o JOIN b ON o.digit = b.digit CROSS JOIN t
+        |ORDER BY o.digit""".stripMargin,
+
+    "q_rolling_slope" ->
+      """WITH h AS (SELECT event_type,
+        |  epoch_ns(ts) // 3600000000000 hidx, count(*) n_obs
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(hidx) mn, max(hidx) mx
+        |  FROM h GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) hidx FROM sp),
+        |d AS (SELECT g.event_type, g.hidx, COALESCE(n_obs, 0) y
+        |  FROM grid g LEFT JOIN h
+        |    ON g.event_type = h.event_type AND g.hidx = h.hidx),
+        |sl AS (SELECT event_type, hidx,
+        |  count(*) OVER w nw, sum(y) OVER w sy, sum(hidx * y) OVER w sty,
+        |  sum(hidx) OVER w st
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hidx
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT event_type, hidx,
+        |  CAST(CAST(24 * sty - st * sy AS HUGEINT) * 1000000 // 27600
+        |    AS BIGINT) slope_ppm
+        |  FROM sl WHERE nw = 24),
+        |agg AS (SELECT event_type, max(slope_ppm) max_slope_ppm,
+        |  min(slope_ppm) min_slope_ppm FROM s2 GROUP BY 1),
+        |up AS (SELECT s2.event_type, min(hidx) max_slope_hidx
+        |  FROM s2 JOIN agg USING (event_type)
+        |  WHERE slope_ppm = max_slope_ppm GROUP BY s2.event_type),
+        |dn AS (SELECT s2.event_type, min(hidx) min_slope_hidx
+        |  FROM s2 JOIN agg USING (event_type)
+        |  WHERE slope_ppm = min_slope_ppm GROUP BY s2.event_type)
+        |SELECT agg.event_type, max_slope_ppm, max_slope_hidx,
+        |  min_slope_ppm, min_slope_hidx
+        |FROM agg JOIN up USING (event_type) JOIN dn USING (event_type)
+        |ORDER BY agg.event_type""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE w <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM f GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tl, count(*) AS nd FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM f
+        |  WHERE w IN ('table', 'spark', 'merge') GROUP BY doc_id, w),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT t2.doc_id,
+        |    CAST((CAST(((2*(nd - df) + 1) * 1000) // (2*df + 1) AS HUGEINT)
+        |      * 44 * tf * tl) // (20*tf*tl + 6*tl + 18*dl*nd) AS BIGINT)
+        |      AS score_part
+        |  FROM tf t2 JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN tot),
+        |bmx AS (SELECT doc_id, CAST(sum(score_part) AS BIGINT) bm25_milli
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY bm25_milli DESC, doc_id LIMIT 50),
+        |bm AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY bm25_milli DESC, doc_id) AS BIGINT) r_bm25 FROM bmx),
+        |q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
+        |s AS (SELECT b.vec_id doc_id,
+        |    list_dot_product(a.qv, b.qv)/(sqrt(a.norm2)*sqrt(b.norm2)) cos_sim
+        |  FROM n a JOIN n b ON a.vec_id = 0 AND b.vec_id <> 0),
+        |em AS (SELECT doc_id, r_embed FROM (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+        |      AS BIGINT) r_embed FROM s) WHERE r_embed <= 50)
+        |SELECT COALESCE(bm.doc_id, em.doc_id) doc_id,
+        |  COALESCE(1000000 // (60 + r_bm25), 0)
+        |    + COALESCE(1000000 // (60 + r_embed), 0) rrf_ppm,
+        |  r_bm25, r_embed
+        |FROM bm FULL JOIN em ON bm.doc_id = em.doc_id
+        |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,

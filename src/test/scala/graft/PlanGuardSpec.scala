@@ -47,6 +47,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "onto the 3-row per-split census"),
     "q_phrase_search" -> ("1-row top-bigram relation crossed onto the " +
       "per-doc occurrence counts for labeling"),
+    "q_benford_audit" -> "1-row observed-total aggregate broadcast",
+    "q_hybrid_rrf" -> ("1-row corpus totals broadcast into the BM25 " +
+      "leg (the qBm25Topk shape)"),
     "q_bm25_topk" -> "1-row corpus totals broadcast (tl, nd)",
     "q_chisq_domain" -> "1-row contingency total broadcast (t)",
     "q_skipgram_pmi" -> "1-row pair-total broadcast (t)",
@@ -70,6 +73,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_cluster_purity" -> ("same k-means seed ranking via the shared " +
       "assignment relation; the purity windows themselves partition " +
       "by cluster"),
+    "q_hybrid_rrf" -> ("rank window over the 50-row TakeOrdered BM25 " +
+      "top-k relation; both fusion legs are bounded top-k"),
     "q_domain_mix" -> ("largest-remainder allocation windows on the " +
       "one-row-per-domain aggregate (|domains| rows)"),
     "q_mix_materialize" -> ("same allocation windows, one row per " +

@@ -584,6 +584,24 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(ac.nonEmpty)
     assert(ac.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 1000000L))
     assert(ac.forall(r => math.abs(r.getLong(3)) <= 1L))
+    // changepoint: split strictly inside the series; means nonnegative
+    val cp = Queries.qChangepoint(spark, sf).collect()
+    assert(cp.nonEmpty)
+    assert(cp.forall(r => r.getLong(1) >= 1 && r.getLong(1) < r.getLong(2)))
+    // benford: 9 digits, observed shares sum to ~1e6 (truncation slack)
+    val bf = Queries.qBenfordAudit(spark, sf).collect()
+    assert(bf.map(_.getLong(0)).toSeq == (1L to 9L))
+    val share = bf.map(_.getLong(2)).sum
+    assert(share > 999990L && share <= 1000000L)
+    assert(bf.map(_.getLong(3)).sum == 1000000L)
+    // rolling slope: max >= min per type
+    val rs = Queries.qRollingSlope(spark, sf).collect()
+    assert(rs.nonEmpty && rs.forall(r => r.getLong(1) >= r.getLong(3)))
+    // hybrid rrf: 20 rows, scores descending, every row in >= 1 leg
+    val hy = Queries.qHybridRrf(spark, sf).collect()
+    assert(hy.length == 20)
+    assert(hy.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(hy.forall(r => !(r.isNullAt(2) && r.isNullAt(3))))
   }
 
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
