@@ -4181,23 +4181,33 @@ object Queries {
       .orderBy(col("score_ppm").desc, col("phrase"))
   }
 
-  /** Length-3 sequential pattern mining over per-user event streams
-    * (contiguous subsequences, the PrefixSpan-lite shape): each
-    * user's events ordered by (ts, event_id) yield sliding triples via
-    * two lead windows; support = occurrence count + distinct users.
-    * Top-25 by (occurrences desc, pattern asc). One per-user window
-    * shuffle + one pattern-keyed aggregate — no candidate generation
-    * blow-up because contiguity bounds fan-out at one triple per
-    * event. */
+  /** GAPPED length-3 sequential pattern mining over per-user event
+    * streams — the PrefixSpan shape proper, in contrast to
+    * [[qEventPaths]]' contiguous paths: a pattern t1→t2→t3 matches
+    * positions i<j<k within a lookahead window of 4 (so events may be
+    * skipped), which is what real behavioral patterns need — noise
+    * events between the meaningful steps must not break the match.
+    * Fan-out is bounded by construction: C(4,2)=6 position pairs per
+    * anchor event, enumerated as six (lead a, lead b) column pairs
+    * stacked map-side — no self-join, no candidate explosion. Support
+    * = occurrence count + distinct users; top-25 by (occurrences
+    * desc, pattern asc). One per-user window shuffle + one
+    * pattern-keyed aggregate. */
   def qSeqPatterns(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
+    val led = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("t1"))
-      .withColumn("t2", lead(col("t1"), 1).over(w))
-      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .withColumn("l1", lead(col("t1"), 1).over(w))
+      .withColumn("l2", lead(col("t1"), 2).over(w))
+      .withColumn("l3", lead(col("t1"), 3).over(w))
+      .withColumn("l4", lead(col("t1"), 4).over(w))
+    led
+      .select(col("user_id"), col("t1"), expr(
+        "stack(6, l1, l2, l1, l3, l1, l4, l2, l3, l2, l4, l3, l4) " +
+          "AS (t2, t3)"))
       .filter(col("t3").isNotNull)
       .groupBy(col("t1"), col("t2"), col("t3"))
       .agg(count(lit(1)).as("n_occ"),
@@ -4426,6 +4436,180 @@ object Queries {
       .orderBy(col("rrf_ppm").desc, col("doc_id"))
   }
 
+  /** Time-weighted average (TWAP) per event type — the financial/ops
+    * metric where each observation holds until the next one, so its
+    * weight is its duration: twap = Σ(value·Δt)/ΣΔt. Exact: values in
+    * integer cents, durations from one lead window (the per-type ΣΔt
+    * telescopes to the series span), products in DECIMAL(38,0), ppm
+    * emit. One per-type window + one per-type aggregate. */
+  def qTwap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value").cast("double") * 100).cast("long").as("cents"))
+      .withColumn("dt", lead(col("ts"), 1).over(w) - col("ts"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("span_ns"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * dt")).as("wsum"))
+      .select(col("event_type"), col("n_intervals"), col("span_ns"),
+        expr("CAST(wsum div span_ns AS BIGINT)").as("twap_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Quantile normalization — map every group's value distribution
+    * onto the pooled global distribution (the cross-batch feature-
+    * alignment op): a row at within-group rank r of n maps to the
+    * global element at position ceil(r·N/n). Global positions come
+    * from the [[qDenseIds]] range-partition + offset idiom (a
+    * distributed sort, never a single-partition window); within-group
+    * ranks from per-type windows; the position lookup is one
+    * equi-join. Emits the per-type census of normalized cents (sum
+    * exact in DECIMAL→BIGINT) — invariant to tie order because tied
+    * rows share a value. */
+  def qQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value").cast("double") * 100).cast("long").as("cents"))
+    // global sorted positions, 1-based, without a global window
+    val ranged = ev.select(col("cents"), col("event_id"))
+      .repartitionByRange(col("cents"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pid"), col("offset"))
+    val globalPos = ranged.join(broadcast(offsets), "pid")
+      .withColumn("gpos", col("offset") + row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("cents"), col("event_id"))))
+      .select(col("gpos"), col("cents").as("gval"))
+    val wg = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = ev
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val bign = ev.agg(count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(bign))
+      // ceil(r·N/n) = (r·N + n − 1) div n, exact in integers (the
+      // product in DECIMAL(38,0): r·N overflows Long at ~10⁹ rows)
+      .withColumn("gpos",
+        expr("CAST((CAST(r AS DECIMAL(38,0)) * nn + n - 1) div n AS BIGINT)"))
+      .join(globalPos, Seq("gpos"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("gval")).as("min_norm"), max(col("gval")).as("max_norm"),
+        expr("CAST(sum(CAST(gval AS DECIMAL(38,0))) AS BIGINT)")
+          .as("sum_norm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Leakage-safe fit/transform standardization — the ML-pipeline
+    * discipline [[qGroupSplit]] enables: per-type robust-scaling
+    * stats (median, IQR as exact rank elements of integer cents) are
+    * FIT on the train split only, then APPLIED to train/val/test
+    * alike; fitting on the full data would leak val/test signal into
+    * the transform. Emits per (split, type) standardized aggregates
+    * in exact ppm. Rank elements via per-type windows (partitioned,
+    * never global); the 5-row stats relation broadcasts back onto the
+    * full table. */
+  def qFitTransform(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value").cast("double") * 100).cast("long").as("cents"))
+      .withColumn("b", operators.Sketches.hash32(col("event_id")) % 10)
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") < 9, "val")
+          .otherwise("test"))
+    val wg = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val train = ev.filter(col("split") === "train")
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val stats = train
+      .filter(col("r") === expr("(n + 1) div 2") ||
+        col("r") === expr("(n + 3) div 4") ||
+        col("r") === expr("(3 * n + 4) div 4"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        max(when(col("r") === expr("(n + 1) div 2"), col("cents"))).as("med"),
+        max(when(col("r") === expr("(n + 3) div 4"), col("cents"))).as("q1"),
+        max(when(col("r") === expr("(3 * n + 4) div 4"), col("cents"))).as("q3"))
+      .select(col("event_type"), col("med"),
+        greatest(col("q3") - col("q1"), lit(1L)).as("iqr"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z_ppm", expr(
+        "CAST(CAST(cents - med AS DECIMAL(38,0)) * 1000000 div iqr AS BIGINT)"))
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(z_ppm AS DECIMAL(38,0))) AS BIGINT)")
+          .as("sum_z_ppm"),
+        min(col("z_ppm")).as("min_z_ppm"), max(col("z_ppm")).as("max_z_ppm"))
+      .orderBy(col("split"), col("event_type"))
+  }
+
+  /** Personalized PageRank — [[qPagerank]]'s teleport redirected to a
+    * source set (customers 0–9), the "related to THESE" ranking that
+    * drives recommendations: r₀ = mass on sources only, each of 3
+    * iterations damps 85% through the edge walk and returns 15% to
+    * the sources. Same scale shape as PageRank: the degree-attached
+    * edge relation is partitioned and cached once; each round
+    * shuffles only the node-sized rank relation. Emits the top-30
+    * non-source nodes (rank desc, node asc). */
+  def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("sup"))
+      .distinct()
+    val sym = e0.select(explode(array(
+        struct(col("c").as("src"), col("sup").as("dst")),
+        struct(col("sup").as("src"), col("c").as("dst")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"))
+      .repartition(col("src"))
+      .cache()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
+    val edges = sym.join(deg, "src").cache()
+    val nodes = deg.select(col("src").as("node"))
+    // source set: customer nodes 0–9 (ids 2k, k<10) present in the graph
+    val sources = nodes.filter(col("node") % 2 === 0 && col("node") < 20)
+    val ns = sources.count() // bounded scalar (≤10)
+    var r = nodes.join(sources.withColumnRenamed("node", "node"),
+        Seq("node"), "left_semi")
+      .select(col("node"), lit(1000000000L / ns).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div d").as("cb"))
+        .groupBy(col("dst")).agg(sum(col("cb")).as("contrib"))
+        .select(col("dst").as("node"),
+          expr("(85 * contrib) div 100").as("walk"))
+      // teleport mass returns ONLY to sources; walked mass goes anywhere
+      r = nodes
+        .join(contrib, Seq("node"), "left")
+        .join(sources.withColumn("is_src", lit(1L)), Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("walk"), lit(0L)) +
+            when(col("is_src") === 1L, lit(150000000L / ns))
+              .otherwise(lit(0L))).as("r"))
+        .filter(col("r") > 0) // sparse: untouched nodes carry no mass
+    }
+    r.join(sources.withColumn("is_src", lit(1L)), Seq("node"), "left")
+      .filter(col("is_src").isNull)
+      .select(col("node"), col("r").as("ppr_ppb"))
+      .orderBy(col("ppr_ppb").desc, col("node")).limit(30)
+      .orderBy(col("ppr_ppb").desc, col("node"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -4562,6 +4746,10 @@ object Queries {
     "q_benford_audit" -> (qBenfordAudit _),
     "q_rolling_slope" -> (qRollingSlope _),
     "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_twap" -> (qTwap _),
+    "q_quantile_normalize" -> (qQuantileNormalize _),
+    "q_fit_transform" -> (qFitTransform _),
+    "q_ppr" -> (qPpr _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -5104,12 +5292,20 @@ object Queries {
 
     "q_seq_patterns" ->
       """WITH e AS (SELECT user_id, event_type t1,
-        |  lead(event_type,1) OVER w t2, lead(event_type,2) OVER w t3
+        |  lead(event_type,1) OVER w l1, lead(event_type,2) OVER w l2,
+        |  lead(event_type,3) OVER w l3, lead(event_type,4) OVER w l4
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (
+        |  SELECT user_id, t1, l1 t2, l2 t3 FROM e
+        |  UNION ALL SELECT user_id, t1, l1, l3 FROM e
+        |  UNION ALL SELECT user_id, t1, l1, l4 FROM e
+        |  UNION ALL SELECT user_id, t1, l2, l3 FROM e
+        |  UNION ALL SELECT user_id, t1, l2, l4 FROM e
+        |  UNION ALL SELECT user_id, t1, l3, l4 FROM e)
         |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) n_occ,
         |  CAST(count(DISTINCT user_id) AS BIGINT) n_users
-        |FROM e WHERE t3 IS NOT NULL GROUP BY t1, t2, t3
+        |FROM st WHERE t3 IS NOT NULL GROUP BY t1, t2, t3
         |ORDER BY n_occ DESC, t1, t2, t3 LIMIT 25""".stripMargin,
 
     "q_autocorr" ->
@@ -5260,6 +5456,107 @@ object Queries {
         |  r_bm25, r_embed
         |FROM bm FULL JOIN em ON bm.doc_id = em.doc_id
         |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) tsn, event_id,
+        |  CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) cents
+        |  FROM events),
+        |l AS (SELECT event_type, cents,
+        |  lead(tsn) OVER (PARTITION BY event_type ORDER BY tsn, event_id)
+        |    - tsn dt
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) n_intervals,
+        |  CAST(sum(dt) AS BIGINT) span_ns,
+        |  CAST(sum(CAST(cents AS HUGEINT) * dt) // sum(dt) AS BIGINT)
+        |    twap_cents
+        |FROM l WHERE dt IS NOT NULL GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_quantile_normalize" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) cents
+        |  FROM events),
+        |g AS (SELECT cents gval,
+        |  CAST(row_number() OVER (ORDER BY cents, event_id) AS BIGINT) gpos
+        |  FROM e),
+        |r AS (SELECT event_type, event_id, cents,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents, event_id) AS BIGINT) r,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) n FROM e),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) nn FROM e),
+        |j AS (SELECT event_type,
+        |  CAST((CAST(r AS HUGEINT) * nt.nn + n - 1) // n AS BIGINT) gpos
+        |  FROM r, nt)
+        |SELECT j.event_type, CAST(count(*) AS BIGINT) n_rows,
+        |  CAST(min(gval) AS BIGINT) min_norm,
+        |  CAST(max(gval) AS BIGINT) max_norm,
+        |  CAST(sum(CAST(gval AS HUGEINT)) AS BIGINT) sum_norm
+        |FROM j JOIN g ON j.gpos = g.gpos GROUP BY j.event_type
+        |ORDER BY j.event_type""".stripMargin,
+
+    "q_fit_transform" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) cents,
+        |  ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT % 10 b
+        |  FROM events),
+        |s AS (SELECT event_type, event_id, cents,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+        |       ELSE 'test' END split FROM e),
+        |tr AS (SELECT event_type, event_id, cents,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents, event_id) AS BIGINT) r,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) n
+        |  FROM s WHERE split = 'train'),
+        |st AS (SELECT event_type,
+        |  max(CASE WHEN r = (n+1)//2 THEN cents END) med,
+        |  greatest(max(CASE WHEN r = (3*n+4)//4 THEN cents END)
+        |         - max(CASE WHEN r = (n+3)//4 THEN cents END), 1) iqr
+        |  FROM tr GROUP BY event_type),
+        |z AS (SELECT s.split, s.event_type,
+        |  CAST(CAST(s.cents - st.med AS HUGEINT) * 1000000 // st.iqr
+        |    AS BIGINT) z_ppm
+        |  FROM s JOIN st USING (event_type))
+        |SELECT split, event_type, CAST(count(*) AS BIGINT) n_rows,
+        |  CAST(sum(CAST(z_ppm AS HUGEINT)) AS BIGINT) sum_z_ppm,
+        |  CAST(min(z_ppm) AS BIGINT) min_z_ppm,
+        |  CAST(max(z_ppm) AS BIGINT) max_z_ppm
+        |FROM z GROUP BY split, event_type
+        |ORDER BY split, event_type""".stripMargin,
+
+    "q_ppr" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 c, l_suppkey * 2 + 1 sup
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c src, sup dst FROM e0
+        |  UNION ALL SELECT sup, c FROM e0),
+        |deg AS (SELECT src, count(*) d FROM edges GROUP BY src),
+        |nodes AS (SELECT src node FROM deg),
+        |srcs AS (SELECT node FROM nodes WHERE node % 2 = 0 AND node < 20),
+        |nsrc AS (SELECT count(*) ns FROM srcs),
+        |r0 AS (SELECT node, 1000000000 // (SELECT ns FROM nsrc) r FROM srcs),
+        |c1 AS (SELECT e.dst, CAST(sum(r0.r // deg.d) AS BIGINT) contrib
+        |  FROM edges e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, (85 * COALESCE(c1.contrib, 0)) // 100
+        |  + CASE WHEN nodes.node IN (SELECT node FROM srcs)
+        |      THEN 150000000 // (SELECT ns FROM nsrc) ELSE 0 END r
+        |  FROM nodes LEFT JOIN c1 ON nodes.node = c1.dst),
+        |c2 AS (SELECT e.dst, CAST(sum(r1.r // deg.d) AS BIGINT) contrib
+        |  FROM edges e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, (85 * COALESCE(c2.contrib, 0)) // 100
+        |  + CASE WHEN nodes.node IN (SELECT node FROM srcs)
+        |      THEN 150000000 // (SELECT ns FROM nsrc) ELSE 0 END r
+        |  FROM nodes LEFT JOIN c2 ON nodes.node = c2.dst),
+        |c3 AS (SELECT e.dst, CAST(sum(r2.r // deg.d) AS BIGINT) contrib
+        |  FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, (85 * COALESCE(c3.contrib, 0)) // 100
+        |  + CASE WHEN nodes.node IN (SELECT node FROM srcs)
+        |      THEN 150000000 // (SELECT ns FROM nsrc) ELSE 0 END r
+        |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.dst)
+        |SELECT node, CAST(r AS BIGINT) ppr_ppb FROM r3
+        |WHERE node NOT IN (SELECT node FROM srcs) AND r > 0
+        |ORDER BY ppr_ppb DESC, node LIMIT 30""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,

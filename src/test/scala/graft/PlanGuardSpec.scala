@@ -48,6 +48,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_phrase_search" -> ("1-row top-bigram relation crossed onto the " +
       "per-doc occurrence counts for labeling"),
     "q_benford_audit" -> "1-row observed-total aggregate broadcast",
+    "q_quantile_normalize" -> ("1-row global-count aggregate broadcast " +
+      "onto the ranked relation for the target-position formula"),
     "q_hybrid_rrf" -> ("1-row corpus totals broadcast into the BM25 " +
       "leg (the qBm25Topk shape)"),
     "q_bm25_topk" -> "1-row corpus totals broadcast (tl, nd)",
@@ -79,6 +81,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "one-row-per-domain aggregate (|domains| rows)"),
     "q_mix_materialize" -> ("same allocation windows, one row per " +
       "domain, feeding the per-domain quota join"),
+    "q_quantile_normalize" -> ("the q_dense_ids partition-offset " +
+      "prefix sum (shuffle-partition-count rows) for global positions; " +
+      "per-row ranks are partitioned by pid/type"),
     "q_dense_ids" -> ("partition-offset prefix sum over the pid-count " +
       "relation (shuffle-partition-count rows), broadcast back; the " +
       "per-row ranking itself is partitioned"),

@@ -602,6 +602,29 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(hy.length == 20)
     assert(hy.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     assert(hy.forall(r => !(r.isNullAt(2) && r.isNullAt(3))))
+    // twap: spans positive, twap within the observed cents range
+    val tw = Queries.qTwap(spark, sf).collect()
+    assert(tw.nonEmpty && tw.forall(r => r.getLong(2) > 0 &&
+      r.getLong(3) >= 1 && r.getLong(3) <= 49002))
+    // quantile normalization: per-type counts preserved; sums of
+    // normalized values are comparable across types (same target dist)
+    val qn = Queries.qQuantileNormalize(spark, sf).collect()
+    assert(qn.nonEmpty)
+    val evCounts = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    qn.foreach(r => assert(r.getLong(1) == evCounts(r.getString(0))))
+    // fit/transform: 15 (split,type) cells; train medians center train
+    // (train sum-of-z magnitude stays well inside one IQR per row)
+    val ft = Queries.qFitTransform(spark, sf).collect()
+    assert(ft.length == 15)
+    ft.filter(_.getString(0) == "train").foreach { r =>
+      assert(math.abs(r.getLong(3)) <= r.getLong(2) * 1000000L)
+    }
+    // ppr: 30 non-source nodes, descending, all mass positive
+    val pp = Queries.qPpr(spark, sf).collect()
+    assert(pp.length == 30 && pp.forall(_.getLong(1) > 0))
+    assert(pp.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(pp.forall(r => !(r.getLong(0) % 2 == 0 && r.getLong(0) < 20)))
   }
 
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
