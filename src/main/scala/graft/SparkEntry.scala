@@ -4262,7 +4262,9 @@ object Queries {
       .select(col("event_type"), col("lag_h"), col("n_pairs"),
         when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L)
           .as("r_sign"),
-        expr("CAST(num * num * 1000000 div (d1 * d2) AS BIGINT)")
+        // split-scale (num·10³/d1)·(num·10³/d2) like q_assortativity:
+        // keeps every intermediate under DECIMAL(38,0) at any count scale
+        expr("CAST((num * 1000 div d1) * (num * 1000 div d2) AS BIGINT)")
           .as("r2_ppm"))
       .orderBy(col("event_type"), col("lag_h"))
   }
@@ -4610,6 +4612,155 @@ object Queries {
       .orderBy(col("ppr_ppb").desc, col("node"))
   }
 
+  /** Inclusion-dependency discovery (the Binder/SPIDER profiling
+    * primitive behind FK inference) — the cross-table counterpart of
+    * [[qFdDiscovery]]: for each candidate column pair, count distinct
+    * LHS values missing from the RHS; zero missing ⇒ the inclusion
+    * holds (an FK candidate). Candidates cover the star schema's true
+    * FKs plus the reverse directions (true negatives — a key column
+    * is rarely exhausted by its referencing table). Each pair is one
+    * distinct + one anti join, both keyed shuffles; the result is one
+    * row per candidate. */
+  def qIndDiscovery(s: SparkSession, dir: String): DataFrame = {
+    def side(df: DataFrame, c: String): DataFrame =
+      df.select(col(c).as("v")).distinct()
+    val cand: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("orders.o_custkey<customer.c_custkey",
+        side(Tables.orders(s, dir), "o_custkey"),
+        side(Tables.customer(s, dir), "c_custkey")),
+      ("lineitem.l_orderkey<orders.o_orderkey",
+        side(Tables.lineitem(s, dir), "l_orderkey"),
+        side(Tables.orders(s, dir), "o_orderkey")),
+      ("lineitem.l_suppkey<supplier.s_suppkey",
+        side(Tables.lineitem(s, dir), "l_suppkey"),
+        side(Tables.supplier(s, dir), "s_suppkey")),
+      ("lineitem.l_partkey<part.p_partkey",
+        side(Tables.lineitem(s, dir), "l_partkey"),
+        side(Tables.part(s, dir), "p_partkey")),
+      ("customer.c_custkey<orders.o_custkey",
+        side(Tables.customer(s, dir), "c_custkey"),
+        side(Tables.orders(s, dir), "o_custkey")),
+      ("part.p_partkey<lineitem.l_partkey",
+        side(Tables.part(s, dir), "p_partkey"),
+        side(Tables.lineitem(s, dir), "l_partkey")),
+      ("supplier.s_suppkey<lineitem.l_suppkey",
+        side(Tables.supplier(s, dir), "s_suppkey"),
+        side(Tables.lineitem(s, dir), "l_suppkey")))
+    cand.map { case (name, lhs, rhs) =>
+      lhs.join(rhs, Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+        .crossJoin(broadcast(lhs.agg(count(lit(1)).as("n_lhs"))))
+        .select(lit(name).as("candidate"), col("n_lhs"), col("n_missing"),
+          (col("n_missing") === 0L).cast("long").as("is_ind"))
+    }.reduce(_ unionByName _).orderBy(col("candidate"))
+  }
+
+  /** Degree assortativity of the customer–supplier graph — do
+    * high-degree nodes attach to high-degree nodes? Pearson r over
+    * the (deg(u), deg(v)) pairs of every directed edge, exact via the
+    * [[qAutocorr]] sign + r²-ppm integer emit. One degree aggregate,
+    * two keyed joins to attach endpoint degrees, one global
+    * 1-row reduce. */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("y")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select(col("m"),
+        expr("CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+          .as("num"),
+        expr("CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("d1"),
+        expr("CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy")
+          .as("d2"))
+      .select(col("m"),
+        when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L)
+          .as("r_sign"),
+        // split-scale form: d1·d2 (and num² ≤ d1·d2, Cauchy–Schwarz)
+        // overflow DECIMAL(38,0) once per-side sums pass ~10¹⁹ — the
+        // sf1 sweep caught it. (num·10³/d1)·(num·10³/d2) ≈ 10⁶·r² keeps
+        // every intermediate ≤ ~10²² and the product ≤ 10⁶
+        when(col("d1") > 0 && col("d2") > 0,
+          expr("CAST((num * 1000 div d1) * (num * 1000 div d2) AS BIGINT)"))
+          .otherwise(lit(null)).as("r2_ppm"))
+  }
+
+  /** Mutual nearest-neighbor matching over the spatial grid pairs —
+    * the embedding-alignment / record-matching primitive: keep (a, b)
+    * only when b is a's single nearest neighbor AND a is b's (ties →
+    * smaller id, so the match is deterministic). Built entirely on
+    * [[operators.Spatial.gridNeighborPairs]]' O(n) candidate relation:
+    * one per-id min-struct aggregate + one self-join on the candidate
+    * ids. */
+  def qMutualNn(s: SparkSession, dir: String): DataFrame = {
+    val pts = operators.Spatial.scaledPoints(Tables.embeddings(s, dir))
+    val eps2 = operators.Spatial.dynamicEps2(1000000L, pts.count())
+    val pairs = operators.Spatial.gridNeighborPairs(pts, eps2)
+    val sym = pairs.select(col("id_a").as("pid"), col("id_b").as("nb"),
+        col("d2"))
+      .unionByName(pairs.select(col("id_b").as("pid"), col("id_a").as("nb"),
+        col("d2")))
+    // nearest per id: min over (d2, nb) — struct min is lexicographic,
+    // deterministic under ties
+    val nn = sym.groupBy(col("pid"))
+      .agg(min(struct(col("d2"), col("nb"))).as("m"))
+      .select(col("pid"), col("m.nb").as("nn"), col("m.d2").as("d2"))
+    nn.alias("a")
+      .join(nn.alias("b"),
+        col("a.nn") === col("b.pid") && col("b.nn") === col("a.pid") &&
+          col("a.pid") < col("b.pid"))
+      .select(col("a.pid").as("id_a"), col("b.pid").as("id_b"),
+        col("a.d2").as("d2"))
+      .orderBy(col("id_a"))
+  }
+
+  /** Multiplicative seasonal decomposition of the hourly event series:
+    * per (type, hour-of-day) the seasonal index mean_h/mean_all in
+    * exact ppm — the profile [[qForecastEval]]'s seasonal-naive model
+    * assumes and [[qHourlyActivity]]'s raw counts don't normalize.
+    * Built on the dense grid (zero-count hours are observations!);
+    * one grid build, one (type, h) aggregate against a broadcast
+    * per-type total. */
+  def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hidx"))
+      .groupBy(col("event_type"), col("hidx"))
+      .agg(count(lit(1)).as("n_obs"))
+    val dense = hourly.groupBy(col("event_type"))
+      .agg(min(col("hidx")).as("mn"), max(col("hidx")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("hidx"))
+      .join(hourly, Seq("event_type", "hidx"), "left")
+      .select(col("event_type"), col("hidx"),
+        coalesce(col("n_obs"), lit(0L)).as("x"))
+    val byHour = dense
+      .withColumn("h", expr("hidx % 24"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("sum_n"))
+    val tot = dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nt"), sum(col("x")).as("st"))
+    byHour.join(broadcast(tot), Seq("event_type"))
+      .filter(col("st") > 0)
+      .select(col("event_type"), col("h"), col("n_hours"), col("sum_n"),
+        expr("CAST(CAST(sum_n AS DECIMAL(38,0)) * nt * 1000000 " +
+          "div (CAST(n_hours AS DECIMAL(38,0)) * st) AS BIGINT)")
+          .as("seasonal_ppm"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -4750,6 +4901,10 @@ object Queries {
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_fit_transform" -> (qFitTransform _),
     "q_ppr" -> (qPpr _),
+    "q_ind_discovery" -> (qIndDiscovery _),
+    "q_assortativity" -> (qAssortativity _),
+    "q_mutual_nn" -> (qMutualNn _),
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -5336,7 +5491,7 @@ object Queries {
         |SELECT event_type, lag_h, n_pairs,
         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
         |    AS BIGINT) r_sign,
-        |  CAST(num*num*1000000 // (d1*d2) AS BIGINT) r2_ppm
+        |  CAST((num * 1000 // d1) * (num * 1000 // d2) AS BIGINT) r2_ppm
         |FROM fin WHERE d1 > 0 AND d2 > 0
         |ORDER BY event_type, lag_h""".stripMargin,
 
@@ -5557,6 +5712,107 @@ object Queries {
         |SELECT node, CAST(r AS BIGINT) ppr_ppb FROM r3
         |WHERE node NOT IN (SELECT node FROM srcs) AND r > 0
         |ORDER BY ppr_ppb DESC, node LIMIT 30""".stripMargin,
+
+    "q_ind_discovery" ->
+      """WITH c1 AS (SELECT 'orders.o_custkey<customer.c_custkey' candidate,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) n_lhs,
+        |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey v FROM orders)
+        |   WHERE v NOT IN (SELECT c_custkey FROM customer)) n_missing),
+        |c2 AS (SELECT 'lineitem.l_orderkey<orders.o_orderkey',
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_orderkey v FROM lineitem)
+        |   WHERE v NOT IN (SELECT o_orderkey FROM orders))),
+        |c3 AS (SELECT 'lineitem.l_suppkey<supplier.s_suppkey',
+        |  (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_suppkey v FROM lineitem)
+        |   WHERE v NOT IN (SELECT s_suppkey FROM supplier))),
+        |c4 AS (SELECT 'lineitem.l_partkey<part.p_partkey',
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey v FROM lineitem)
+        |   WHERE v NOT IN (SELECT p_partkey FROM part))),
+        |c5 AS (SELECT 'customer.c_custkey<orders.o_custkey',
+        |  (SELECT count(DISTINCT c_custkey) FROM customer),
+        |  (SELECT count(*) FROM (SELECT DISTINCT c_custkey v FROM customer)
+        |   WHERE v NOT IN (SELECT o_custkey FROM orders))),
+        |c6 AS (SELECT 'part.p_partkey<lineitem.l_partkey',
+        |  (SELECT count(DISTINCT p_partkey) FROM part),
+        |  (SELECT count(*) FROM (SELECT DISTINCT p_partkey v FROM part)
+        |   WHERE v NOT IN (SELECT l_partkey FROM lineitem))),
+        |c7 AS (SELECT 'supplier.s_suppkey<lineitem.l_suppkey',
+        |  (SELECT count(DISTINCT s_suppkey) FROM supplier),
+        |  (SELECT count(*) FROM (SELECT DISTINCT s_suppkey v FROM supplier)
+        |   WHERE v NOT IN (SELECT l_suppkey FROM lineitem))),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+        |  UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6
+        |  UNION ALL SELECT * FROM c7)
+        |SELECT candidate, CAST(n_lhs AS BIGINT) n_lhs,
+        |  CAST(n_missing AS BIGINT) n_missing,
+        |  CAST(CASE WHEN n_missing = 0 THEN 1 ELSE 0 END AS BIGINT) is_ind
+        |FROM u ORDER BY candidate""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 src, l_suppkey * 2 + 1 dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) d FROM sym GROUP BY src),
+        |j AS (SELECT dx.d x, dy.d y FROM sym
+        |  JOIN deg dx ON sym.src = dx.src JOIN deg dy ON sym.dst = dy.src),
+        |ag AS (SELECT count(*) m, sum(x) sx, sum(y) sy,
+        |  sum(CAST(x AS HUGEINT) * y) sxy, sum(CAST(x AS HUGEINT) * x) sxx,
+        |  sum(CAST(y AS HUGEINT) * y) syy FROM j),
+        |fin AS (SELECT CAST(m AS BIGINT) m,
+        |  CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy num,
+        |  CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx d1,
+        |  CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy d2 FROM ag)
+        |SELECT m,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) r_sign,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |    THEN CAST((num * 1000 // d1) * (num * 1000 // d2) AS BIGINT)
+        |    ELSE NULL END r2_ppm
+        |FROM fin""".stripMargin,
+
+    "q_mutual_nn" ->
+      """WITH p AS (SELECT vec_id,
+        |  CAST(floor((CAST(embedding[1] AS DOUBLE)+1.0)*1048576) AS BIGINT) xi,
+        |  CAST(floor((CAST(embedding[2] AS DOUBLE)+1.0)*1048576) AS BIGINT) yi
+        |  FROM embeddings),
+        |nn0 AS (SELECT count(*) n FROM p),
+        |pr AS (SELECT a.vec_id ia, b.vec_id ib,
+        |  (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi) d2
+        |  FROM p a, p b, nn0 WHERE a.vec_id < b.vec_id
+        |    AND (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi)
+        |        <= CAST(1000000 AS BIGINT)*1000000//nn0.n),
+        |sym AS (SELECT ia pid, ib nb, d2 FROM pr
+        |  UNION ALL SELECT ib, ia, d2 FROM pr),
+        |nn AS (SELECT pid, nb, d2 FROM (SELECT pid, nb, d2,
+        |  row_number() OVER (PARTITION BY pid ORDER BY d2, nb) rn FROM sym)
+        |  WHERE rn = 1)
+        |SELECT a.pid id_a, b.pid id_b, a.d2 d2
+        |FROM nn a JOIN nn b
+        |  ON a.nb = b.pid AND b.nb = a.pid AND a.pid < b.pid
+        |ORDER BY id_a""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH h AS (SELECT event_type,
+        |  epoch_ns(ts) // 3600000000000 hidx, count(*) n_obs
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(hidx) mn, max(hidx) mx
+        |  FROM h GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) hidx FROM sp),
+        |d AS (SELECT g.event_type, g.hidx, COALESCE(n_obs, 0) x
+        |  FROM grid g LEFT JOIN h
+        |    ON g.event_type = h.event_type AND g.hidx = h.hidx),
+        |bh AS (SELECT event_type, hidx % 24 h, count(*) n_hours,
+        |  sum(x) sum_n FROM d GROUP BY 1, 2),
+        |tt AS (SELECT event_type, count(*) nt, sum(x) st FROM d GROUP BY 1)
+        |SELECT bh.event_type, CAST(h AS BIGINT) h,
+        |  CAST(n_hours AS BIGINT) n_hours, CAST(sum_n AS BIGINT) sum_n,
+        |  CAST(CAST(sum_n AS HUGEINT) * nt * 1000000
+        |    // (CAST(n_hours AS HUGEINT) * st) AS BIGINT) seasonal_ppm
+        |FROM bh JOIN tt USING (event_type) WHERE st > 0
+        |ORDER BY bh.event_type, h""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,

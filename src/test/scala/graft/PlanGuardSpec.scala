@@ -48,6 +48,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_phrase_search" -> ("1-row top-bigram relation crossed onto the " +
       "per-doc occurrence counts for labeling"),
     "q_benford_audit" -> "1-row observed-total aggregate broadcast",
+    "q_ind_discovery" -> ("1-row distinct-count aggregate crossed onto " +
+      "each candidate's 1-row missing-count aggregate (7 pairs)"),
     "q_quantile_normalize" -> ("1-row global-count aggregate broadcast " +
       "onto the ranked relation for the target-position formula"),
     "q_hybrid_rrf" -> ("1-row corpus totals broadcast into the BM25 " +

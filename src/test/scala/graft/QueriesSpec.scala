@@ -625,6 +625,33 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(pp.length == 30 && pp.forall(_.getLong(1) > 0))
     assert(pp.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     assert(pp.forall(r => !(r.getLong(0) % 2 == 0 && r.getLong(0) < 20)))
+    // IND discovery: the star schema's true FK directions all hold
+    val ind = Queries.qIndDiscovery(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ind("orders.o_custkey<customer.c_custkey") == 1L)
+    assert(ind("lineitem.l_orderkey<orders.o_orderkey") == 1L)
+    assert(ind("lineitem.l_suppkey<supplier.s_suppkey") == 1L)
+    assert(ind("lineitem.l_partkey<part.p_partkey") == 1L)
+    assert(ind.size == 7)
+    // assortativity: one row, r2 in [0, 1e6] when defined
+    val as = Queries.qAssortativity(spark, sf).collect()
+    assert(as.length == 1 && as.head.getLong(0) > 0)
+    assert(as.head.isNullAt(2) ||
+      (as.head.getLong(2) >= 0 && as.head.getLong(2) <= 1000000L))
+    // mutual NN: matches are disjoint (each id in at most one pair)
+    val mn = Queries.qMutualNn(spark, sf).collect()
+    assert(mn.nonEmpty)
+    val ids = mn.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length)
+    // seasonal: 24 hours per type; indices average to ~1e6 per type
+    val sd = Queries.qSeasonalDecompose(spark, sf).collect()
+    val byType = sd.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      assert(rows.length == 24)
+      val wavg = rows.map(r => r.getLong(4) * r.getLong(2)).sum /
+        rows.map(_.getLong(2)).sum
+      assert(math.abs(wavg - 1000000L) < 30L) // truncation slack only
+    }
   }
 
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
