@@ -4761,6 +4761,131 @@ object Queries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** Referential cascade-delete audit — the GDPR-erasure planning
+    * query: given a victim set of customers (a deterministic 2% via
+    * the md5 selector), report how far the delete cascades through
+    * the FK chain customer→orders→lineitem BEFORE anything is
+    * touched. Each hop is one semi join on the FK; the report is
+    * three 1-row aggregates. The governance twin of [[qKAnonymity]]
+    * (which audits what remains, this audits what leaves). */
+  def qCascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    val victims = Tables.customer(s, dir)
+      .filter(operators.Sketches.hash32(col("c_custkey")) % 50 === 0)
+      .select(col("c_custkey"))
+    val orders = Tables.orders(s, dir)
+    val remOrders = orders.join(victims, col("o_custkey") === col("c_custkey"),
+      "left_semi").select(col("o_orderkey"))
+    val li = Tables.lineitem(s, dir)
+    val remLi = li.join(remOrders, col("l_orderkey") === col("o_orderkey"),
+      "left_semi")
+    def row(name: String, total: DataFrame, removed: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("rows_total"))
+        .crossJoin(broadcast(removed.agg(count(lit(1)).as("rows_removed"))))
+        .select(lit(name).as("table_name"), col("rows_total"),
+          col("rows_removed"),
+          expr("rows_removed * 1000000 div rows_total").as("removed_ppm"))
+    row("customer", Tables.customer(s, dir), victims)
+      .unionByName(row("orders", orders, remOrders))
+      .unionByName(row("lineitem", li, remLi))
+      .orderBy(col("table_name"))
+  }
+
+  /** Column-encoding advisor — the storage-layout profiling behind
+    * parquet/ORC writer tuning: for each candidate lineitem column,
+    * measure cardinality and run structure in the table's sort order
+    * (orderkey, linenumber — the deterministic "as stored" order a
+    * clustered write produces) and recommend RLE (mean run ≥ 4),
+    * DICT (cardinality ≤ 1% of rows) or PLAIN. One stacked
+    * projection (5 columns → rows, map-side), one per-column window
+    * for run boundaries, one per-column aggregate. */
+  def qEncodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"),
+        expr("unix_micros(l_shipdate) div 86400000000").cast("string")
+          .as("shipday"),
+        floor(col("l_quantity").cast("double")).cast("long").cast("string")
+          .as("qty"),
+        col("l_partkey").cast("string").as("pk"))
+    val stacked = li.select(col("l_orderkey"), col("l_linenumber"), expr(
+      "stack(5, 'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus," +
+        " 'l_shipdate_day', shipday, 'l_quantity', qty, 'l_partkey', pk) " +
+        "AS (col_name, v)"))
+    // Run counting must NOT window per column — that is 5 partitions
+    // regardless of data size (the sf1 sweep measured 120 s where the
+    // catalog median is <10). Instead: range-partition on the full
+    // sort key so parallelism follows shuffle partitions, count
+    // run-starts per partition, then repair the ≤(#partitions) seam
+    // continuations on a bounded per-partition bounds relation — the
+    // q_dense_ids pattern. n_runs is invariant to where the sampled
+    // range boundaries fall. (orderkey, linenumber) is NOT unique in
+    // the synthetic lineitem (FIXTURES r12 uniqueness audit) — v in
+    // the sort key makes any residual ties carry equal values.
+    val ranged = stacked.repartitionByRange(col("col_name"),
+        col("l_orderkey"), col("l_linenumber"), col("v"))
+      .withColumn("pid", spark_partition_id())
+      .cache() // both consumers must observe identical boundaries
+    val wp = Window.partitionBy(col("pid"))
+      .orderBy(col("col_name"), col("l_orderkey"), col("l_linenumber"),
+        col("v"))
+    val starts = ranged
+      .withColumn("pcn", lag(col("col_name"), 1).over(wp))
+      .withColumn("pv", lag(col("v"), 1).over(wp))
+      .withColumn("chg", when(col("pcn").isNull ||
+        col("pcn") =!= col("col_name") || col("pv") =!= col("v"), 1L)
+        .otherwise(0L))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("n_distinct"),
+        sum(col("chg")).as("n_runs0"))
+    val k = struct(col("col_name"), col("l_orderkey"), col("l_linenumber"),
+      col("v"))
+    val bounds = ranged.groupBy(col("pid"))
+      .agg(min(k).as("first"), max(k).as("last"))
+    val wb = Window.orderBy(col("pid")) // bounded: one row per partition
+    val seams = bounds
+      .withColumn("pl", lag(col("last"), 1).over(wb))
+      .filter(col("pl").isNotNull &&
+        col("pl.col_name") === col("first.col_name") &&
+        col("pl.v") === col("first.v"))
+      .groupBy(col("first.col_name").as("col_name"))
+      .agg(count(lit(1)).as("cont"))
+    starts.join(seams, Seq("col_name"), "left")
+      .select(col("col_name"), col("n"), col("n_distinct"),
+        (col("n_runs0") - coalesce(col("cont"), lit(0L))).as("n_runs"))
+      .select(col("col_name"), col("n"), col("n_distinct"), col("n_runs"),
+        when(col("n_runs") * 4 <= col("n"), "rle")
+          .when(col("n_distinct") * 100 <= col("n"), "dict")
+          .otherwise("plain").as("recommended"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Post-stratified estimation — correct a skewed sample with known
+    * population strata: the 10% md5 sample's per-type sums are
+    * reweighted by N_t/n_t so the estimate matches the stratum
+    * frame, the survey/eval-reweighting op. Emits per type the
+    * population/sample sizes, the exact stratum weight in ppm, the
+    * reweighted estimate, and the true total it chases — all integer
+    * cents. Two keyed aggregates + one 5-row join. */
+  def qPostStratify(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value").cast("double") * 100).cast("long").as("cents"))
+    val pop = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pop"), sum(col("cents")).as("true_cents"))
+    val samp = ev.filter(operators.Sketches.hash32(col("event_id")) % 10 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_samp"), sum(col("cents")).as("samp_cents"))
+    pop.join(samp, Seq("event_type"))
+      .select(col("event_type"), col("n_pop"), col("n_samp"),
+        expr("CAST(CAST(n_pop AS DECIMAL(38,0)) * 1000000 div n_samp " +
+          "AS BIGINT)").as("weight_ppm"),
+        expr("CAST(CAST(samp_cents AS DECIMAL(38,0)) * n_pop div n_samp " +
+          "AS BIGINT)").as("est_cents"),
+        col("true_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -4905,6 +5030,9 @@ object Queries {
     "q_assortativity" -> (qAssortativity _),
     "q_mutual_nn" -> (qMutualNn _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q_cascade_delete" -> (qCascadeDelete _),
+    "q_encoding_advisor" -> (qEncodingAdvisor _),
+    "q_post_stratify" -> (qPostStratify _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -5813,6 +5941,80 @@ object Queries {
         |    // (CAST(n_hours AS HUGEINT) * st) AS BIGINT) seasonal_ppm
         |FROM bh JOIN tt USING (event_type) WHERE st > 0
         |ORDER BY bh.event_type, h""".stripMargin,
+
+    "q_cascade_delete" ->
+      """WITH v AS (SELECT c_custkey FROM customer
+        |  WHERE ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,8))::BIGINT
+        |    % 50 = 0),
+        |ro AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM v)),
+        |rl AS (SELECT count(*) n FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM ro)),
+        |u AS (
+        |  SELECT 'customer' table_name,
+        |    (SELECT count(*) FROM customer) rows_total,
+        |    (SELECT count(*) FROM v) rows_removed
+        |  UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM ro)
+        |  UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+        |    (SELECT n FROM rl))
+        |SELECT table_name, CAST(rows_total AS BIGINT) rows_total,
+        |  CAST(rows_removed AS BIGINT) rows_removed,
+        |  CAST(rows_removed * 1000000 // rows_total AS BIGINT) removed_ppm
+        |FROM u ORDER BY table_name""".stripMargin,
+
+    "q_encoding_advisor" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  l_returnflag, l_linestatus,
+        |  CAST(epoch_us(l_shipdate) // 86400000000 AS VARCHAR) shipday,
+        |  CAST(CAST(floor(CAST(l_quantity AS DOUBLE)) AS BIGINT)
+        |    AS VARCHAR) qty,
+        |  CAST(l_partkey AS VARCHAR) pk FROM lineitem),
+        |st AS (
+        |  SELECT l_orderkey, l_linenumber, 'l_returnflag' col_name,
+        |    l_returnflag v FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_linestatus',
+        |    l_linestatus FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_shipdate_day',
+        |    shipday FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_quantity',
+        |    qty FROM li
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_partkey',
+        |    pk FROM li),
+        |ch AS (SELECT col_name, v,
+        |  CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v
+        |    THEN 1 ELSE 0 END chg
+        |  FROM st WINDOW w AS (PARTITION BY col_name
+        |    ORDER BY l_orderkey, l_linenumber, v)),
+        |ag AS (SELECT col_name, count(*) n, count(DISTINCT v) n_distinct,
+        |  sum(chg) n_runs FROM ch GROUP BY col_name)
+        |SELECT col_name, CAST(n AS BIGINT) n,
+        |  CAST(n_distinct AS BIGINT) n_distinct,
+        |  CAST(n_runs AS BIGINT) n_runs,
+        |  CASE WHEN n_runs * 4 <= n THEN 'rle'
+        |       WHEN n_distinct * 100 <= n THEN 'dict'
+        |       ELSE 'plain' END recommended
+        |FROM ag ORDER BY col_name""".stripMargin,
+
+    "q_post_stratify" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) cents
+        |  FROM events),
+        |pop AS (SELECT event_type, count(*) n_pop,
+        |  CAST(sum(cents) AS BIGINT) true_cents FROM e GROUP BY 1),
+        |sa AS (SELECT event_type, count(*) n_samp,
+        |  CAST(sum(cents) AS BIGINT) samp_cents FROM e
+        |  WHERE ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT
+        |    % 10 = 0
+        |  GROUP BY 1)
+        |SELECT pop.event_type, CAST(n_pop AS BIGINT) n_pop,
+        |  CAST(n_samp AS BIGINT) n_samp,
+        |  CAST(CAST(n_pop AS HUGEINT) * 1000000 // n_samp AS BIGINT)
+        |    weight_ppm,
+        |  CAST(CAST(samp_cents AS HUGEINT) * n_pop // n_samp AS BIGINT)
+        |    est_cents,
+        |  true_cents
+        |FROM pop JOIN sa USING (event_type) ORDER BY pop.event_type""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,

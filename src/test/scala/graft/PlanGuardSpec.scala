@@ -48,6 +48,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_phrase_search" -> ("1-row top-bigram relation crossed onto the " +
       "per-doc occurrence counts for labeling"),
     "q_benford_audit" -> "1-row observed-total aggregate broadcast",
+    "q_cascade_delete" -> ("1-row removed-count aggregate crossed onto " +
+      "each table's 1-row total (3 report rows)"),
     "q_ind_discovery" -> ("1-row distinct-count aggregate crossed onto " +
       "each candidate's 1-row missing-count aggregate (7 pairs)"),
     "q_quantile_normalize" -> ("1-row global-count aggregate broadcast " +
@@ -86,6 +88,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_quantile_normalize" -> ("the q_dense_ids partition-offset " +
       "prefix sum (shuffle-partition-count rows) for global positions; " +
       "per-row ranks are partitioned by pid/type"),
+    "q_encoding_advisor" -> ("seam-repair lag over the per-partition " +
+      "bounds relation (one row per shuffle partition); the run " +
+      "counting itself windows per pid"),
     "q_dense_ids" -> ("partition-offset prefix sum over the pid-count " +
       "relation (shuffle-partition-count rows), broadcast back; the " +
       "per-row ranking itself is partitioned"),

@@ -652,6 +652,23 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
         rows.map(_.getLong(2)).sum
       assert(math.abs(wavg - 1000000L) < 30L) // truncation slack only
     }
+    // cascade delete: monotone FK fan-out, removal strictly partial
+    val cd = Queries.qCascadeDelete(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cd.size == 3)
+    cd.values.foreach { case (t, rm) => assert(rm > 0 && rm < t) }
+    // encoding advisor: low-cardinality flags get dict/rle, keys plain
+    val ea = Queries.qEncodingAdvisor(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(ea("l_returnflag") != "plain" && ea("l_linestatus") != "plain")
+    assert(ea("l_partkey") == "plain")
+    // post-stratify: estimate within 20% of truth on every stratum
+    val ps = Queries.qPostStratify(spark, sf).collect()
+    assert(ps.nonEmpty)
+    ps.foreach { r =>
+      val (est, tru) = (r.getLong(4), r.getLong(5))
+      assert(math.abs(est - tru) * 5 <= tru, s"estimate $est vs $tru")
+    }
   }
 
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
