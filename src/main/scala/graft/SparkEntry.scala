@@ -4886,6 +4886,157 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Per-node local clustering coefficient — the graph-feature next
+    * to the global [[qTriangleCount]]: cc(n) = 2·T(n)/(d(n)·(d(n)−1))
+    * as an exact truncated-ppm rational. The graph is user
+    * co-activity (two users active in the same 10-minute slot with
+    * the same event type), built with the grouped-array pair pattern
+    * (one shuffle, pairs explode map-side, one dedup shuffle — no
+    * self-join of the slot relation). Per-node triangle counts come
+    * from [[operators.Graph.triangleCounts]], so the cc inherits the
+    * dense/oriented dispatch and its scale gates: each triangle is
+    * counted once via the degree orientation, wedge work bounded by
+    * the arboricity-friendly Σd² of the LOW-degree endpoints. One
+    * degree aggregate + one broadcast-sized join closes it out. */
+  def qLocalClustering(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(expr("ts div 600000000000").as("slot"), col("event_type"),
+        col("user_id"))
+      .distinct()
+    val e = g.groupBy(col("slot"), col("event_type"))
+      .agg(sort_array(collect_set(col("user_id"))).as("us"))
+      .select(explode(col("us")).as("u"), col("us"))
+      .select(col("u"), explode(expr("filter(us, y -> y > u)")).as("v"))
+      .distinct()
+    val tri = operators.Graph.triangleCounts(e)
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    deg.join(tri, col("n") === col("node"), "left")
+      .filter(col("degree") >= 2)
+      .select(col("n").as("user_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("coalesce(n_triangles, 0L) * 2000000 div (degree * (degree - 1))")
+          .as("cc_ppm"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact rolling median over a trailing 15-row frame per user — the
+    * robust-statistics window the rolling mean family
+    * ([[qRollingWindow]]) can't express with distributive aggregates.
+    * Emitted as med2 = (sum of the two middle order statistics; 2×
+    * the middle for odd frames) so the value stays a BIGINT on every
+    * engine — no half-cent double ever enters the hash compare. The
+    * frame is collected per row (collect_list over a ROWS window),
+    * sorted, and indexed: O(frame log frame) per row with frame
+    * pinned at 15, partitioned by user_id — per-user state, zero
+    * global coordination, the same plan shape a 1000-executor run
+    * wants. */
+  def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("ts div 1000000000").as("t"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(-14, Window.currentRow)
+    e.withColumn("win", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("user_id"), col("event_id"), col("t"),
+        size(col("win")).cast("long").as("n_win"),
+        (element_at(col("win"), expr("CAST((size(win) + 1) div 2 AS INT)")) +
+          element_at(col("win"), expr("CAST(size(win) div 2 + 1 AS INT)")))
+          .as("med2_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Per-document character collision diversity (Rényi-2) — the
+    * entropy-family quality signal that stays an EXACT rational:
+    * collision probability Σc²/n² (the chance two random character
+    * draws collide) is low for natural text and spikes for
+    * repetitive/binary junk — the same separation Shannon entropy
+    * gives, without a transcendental log ever entering the compare.
+    * Chars explode map-side; two keyed aggregates with map-side
+    * combine ((doc, char) then doc) — the count relation is bounded
+    * by docs × alphabet, so the second shuffle is tiny. DECIMAL(38,0)
+    * routing keeps Σc²·10⁶ exact far beyond any document size. */
+  def qCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+    ch.groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_ch"), count(lit(1)).as("n_distinct_ch"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("doc_id"), col("n_ch"), col("n_distinct_ch"),
+        expr("CAST(CAST(s2 AS DECIMAL(38,0)) * 1000000 div " +
+          "(CAST(n_ch AS DECIMAL(38,0)) * n_ch) AS BIGINT)")
+          .as("collision_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Zone-map pruning effectiveness: 1-D range layout vs z-order,
+    * judged by a 3-predicate workload — THE data-layout decision at
+    * 100 TB, quantified before any rewrite: the same rows are
+    * assigned to 64 "files" under (a) a range layout on px and (b)
+    * the Morton z-order of [[qZorderLayout]]; each file keeps its
+    * (min,max) zone maps, and each predicate scans a file iff its
+    * box overlaps the maps. The report shows the structural
+    * trade-off: the range layout is maximally tight on its sort
+    * dimension and USELESS off it (every file scanned), z-order is
+    * moderately tight on both — the reason multi-dimension-filtered
+    * tables cluster on z/Hilbert curves. All heavy work is two
+    * map-side projections + one (layout, fid)-keyed aggregate; the
+    * predicate sweep runs over the 128-row file inventory, and the
+    * per-predicate match totals attach via a 3-row broadcast join
+    * (never a nested-loop). */
+  def qZonemapCompare(s: SparkSession, dir: String): DataFrame = {
+    val preds = Seq(("cell_2d", 40L, 71L, 40L, 71L),
+      ("px_band", 40L, 71L, 0L, 255L), ("sx_band", 0L, 255L, 40L, 71L))
+    val pts = Tables.lineitem(s, dir)
+      .select((col("l_partkey") % ZorderSql.DimMod).as("px"),
+        ((col("l_suppkey") * 37) % ZorderSql.DimMod).as("sx"))
+      .withColumn("z", expr(ZorderSql.zExpr("px", "sx", spark = true)))
+    val st = pts.select(explode(array(
+        struct(lit("range").as("layout"), expr("px div 4").as("fid"),
+          col("px"), col("sx")),
+        struct(lit("zorder").as("layout"),
+          expr(s"z div ${ZorderSql.FileZRange}").as("fid"),
+          col("px"), col("sx")))).as("d"))
+      .select(col("d.layout"), col("d.fid"), col("d.px"), col("d.sx"))
+    val files = st.groupBy(col("layout"), col("fid"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("px")).as("min_p"), max(col("px")).as("max_p"),
+        min(col("sx")).as("min_s"), max(col("sx")).as("max_s"))
+    def hit(plo: Long, phi: Long, slo: Long, shi: Long) =
+      col("min_p") <= phi && col("max_p") >= plo &&
+        col("min_s") <= shi && col("max_s") >= slo
+    val aggCols = preds.flatMap { case (nm, plo, phi, slo, shi) =>
+      Seq(sum(when(hit(plo, phi, slo, shi), 1L).otherwise(0L)).as(s"fs_$nm"),
+        sum(when(hit(plo, phi, slo, shi), col("n_rows")).otherwise(0L))
+          .as(s"rs_$nm"))
+    }
+    val perLayout = files.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        aggCols: _*)
+    val perPred = perLayout.select(col("layout"), col("n_files"), expr(
+      "stack(3, " + preds.map { case (nm, _, _, _, _) =>
+        s"'$nm', fs_$nm, rs_$nm" }.mkString(", ") +
+        ") AS (pred, files_scanned, rows_scanned)"))
+    val matched = pts.agg(
+        preds.map { case (nm, plo, phi, slo, shi) =>
+          sum(when(col("px").between(plo, phi) && col("sx").between(slo, shi),
+            1L).otherwise(0L)).as(s"nm_$nm")
+        }.head,
+        preds.map { case (nm, plo, phi, slo, shi) =>
+          sum(when(col("px").between(plo, phi) && col("sx").between(slo, shi),
+            1L).otherwise(0L)).as(s"nm_$nm")
+        }.tail: _*)
+      .select(expr("stack(3, " + preds.map { case (nm, _, _, _, _) =>
+        s"'$nm', nm_$nm" }.mkString(", ") + ") AS (pred, rows_matched)"))
+    perPred.join(broadcast(matched), Seq("pred"))
+      .select(col("layout"), col("pred"), col("n_files"),
+        col("files_scanned"), col("rows_scanned"), col("rows_matched"))
+      .orderBy(col("layout"), col("pred"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -5033,6 +5184,10 @@ object Queries {
     "q_cascade_delete" -> (qCascadeDelete _),
     "q_encoding_advisor" -> (qEncodingAdvisor _),
     "q_post_stratify" -> (qPostStratify _),
+    "q_local_clustering" -> (qLocalClustering _),
+    "q_rolling_median" -> (qRollingMedian _),
+    "q_char_entropy" -> (qCharEntropy _),
+    "q_zonemap_compare" -> (qZonemapCompare _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -6015,6 +6170,78 @@ object Queries {
         |    est_cents,
         |  true_cents
         |FROM pop JOIN sa USING (event_type) ORDER BY pop.event_type""".stripMargin,
+
+    "q_local_clustering" ->
+      """WITH g AS (SELECT DISTINCT epoch_ns(ts)//600000000000 slot,
+        |  event_type et, user_id u FROM events),
+        |e AS (SELECT DISTINCT x.u u, y.u v FROM g x
+        |  JOIN g y ON x.slot=y.slot AND x.et=y.et AND x.u<y.u),
+        |deg AS (SELECT n, count(*) d FROM
+        |  (SELECT u n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        |t AS (SELECT e1.u a, e1.v b, e2.v c FROM e e1
+        |  JOIN e e2 ON e2.u=e1.v
+        |  JOIN e e3 ON e3.u=e1.u AND e3.v=e2.v),
+        |tn AS (SELECT n, count(*) tri FROM (SELECT a n FROM t
+        |  UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t) GROUP BY n)
+        |SELECT deg.n user_id, CAST(d AS BIGINT) degree,
+        |  CAST(COALESCE(tri,0) AS BIGINT) n_triangles,
+        |  CAST(COALESCE(tri,0)*2000000//(d*(d-1)) AS BIGINT) cc_ppm
+        |FROM deg LEFT JOIN tn ON deg.n=tn.n WHERE d>=2
+        |ORDER BY user_id""".stripMargin,
+
+    // med2 = sum of the two middle order statistics: DuckDB's even-n
+    // median is (a+b)/2 in double — a dyadic rational, so 2× is the
+    // exact integer a+b on any engine
+    "q_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 t,
+        |  CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) cents FROM events)
+        |SELECT user_id, event_id, t,
+        |  CAST(COUNT(*) OVER w AS BIGINT) n_win,
+        |  CAST(2*median(cents) OVER w AS BIGINT) med2_cents
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text,'')) c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) n FROM ch WHERE c<>''
+        |  GROUP BY 1,2),
+        |ag AS (SELECT doc_id, CAST(sum(n) AS BIGINT) n_ch,
+        |  count(*) n_distinct_ch, sum(n*n) s2 FROM cc GROUP BY 1)
+        |SELECT doc_id, n_ch, CAST(n_distinct_ch AS BIGINT) n_distinct_ch,
+        |  CAST(CAST(s2 AS HUGEINT)*1000000 //
+        |    (CAST(n_ch AS HUGEINT)*n_ch) AS BIGINT) collision_ppm
+        |FROM ag ORDER BY doc_id""".stripMargin,
+
+    // the identical generated Morton formula as q_zorder_layout;
+    // zone-map overlap tested per (layout, file, predicate)
+    "q_zonemap_compare" ->
+      s"""WITH pts AS (SELECT l_partkey % ${ZorderSql.DimMod} px,
+         |    (l_suppkey*37) % ${ZorderSql.DimMod} sx FROM lineitem),
+         |pz AS (SELECT px, sx,
+         |    ${ZorderSql.zExpr("px", "sx", spark = false)} AS z FROM pts),
+         |st AS (SELECT 'range' layout, px//4 fid, px, sx FROM pz
+         |  UNION ALL SELECT 'zorder', z//${ZorderSql.FileZRange}, px, sx
+         |  FROM pz),
+         |f AS (SELECT layout, fid, count(*) n_rows,
+         |   min(px) min_p, max(px) max_p, min(sx) min_s, max(sx) max_s
+         | FROM st GROUP BY 1,2),
+         |pr AS (SELECT 'cell_2d' pred, 40 plo, 71 phi, 40 slo, 71 shi
+         |  UNION ALL SELECT 'px_band', 40, 71, 0, 255
+         |  UNION ALL SELECT 'sx_band', 0, 255, 40, 71),
+         |m AS (SELECT pred, count(*) FILTER (WHERE px BETWEEN plo AND phi
+         |    AND sx BETWEEN slo AND shi) nm
+         |  FROM pts, pr GROUP BY pred)
+         |SELECT layout, pred, CAST(count(*) AS BIGINT) n_files,
+         |  CAST(sum(CASE WHEN min_p<=phi AND max_p>=plo AND min_s<=shi
+         |    AND max_s>=slo THEN 1 ELSE 0 END) AS BIGINT) files_scanned,
+         |  CAST(sum(CASE WHEN min_p<=phi AND max_p>=plo AND min_s<=shi
+         |    AND max_s>=slo THEN n_rows ELSE 0 END) AS BIGINT) rows_scanned,
+         |  (SELECT CAST(nm AS BIGINT) FROM m WHERE m.pred=pr.pred)
+         |    rows_matched
+         |FROM f, pr GROUP BY layout, pred
+         |ORDER BY layout, pred""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,

@@ -669,6 +669,49 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       val (est, tru) = (r.getLong(4), r.getLong(5))
       assert(math.abs(est - tru) * 5 <= tru, s"estimate $est vs $tru")
     }
+    // local clustering: cc in [0,1]; triangles bounded by C(d,2)
+    val lc = Queries.qLocalClustering(spark, sf).collect()
+    assert(lc.nonEmpty)
+    lc.foreach { r =>
+      val (d, tri, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d >= 2 && tri * 2 <= d * (d - 1))
+      assert(ppm >= 0 && ppm <= 1000000L)
+      assert(ppm == tri * 2000000L / (d * (d - 1)))
+    }
+    // rolling median: frame size in [1,15]; med2 inside 2x value range
+    val rm = Queries.qRollingMedian(spark, sf).collect()
+    assert(rm.length == Tables.events(spark, sf).count())
+    rm.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 15)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 2 * 49002)
+    }
+    // char entropy: n_ch == document length; collision >= uniform
+    // floor 1e6/k (Cauchy-Schwarz), <= 1e6
+    val ce = Queries.qCharEntropy(spark, sf).collect()
+    val dlen = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "length(text) AS l").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(ce.length == dlen.size)
+    ce.foreach { r =>
+      val (id, n, k, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(n == dlen(id), s"doc $id: n_ch $n != length ${dlen(id)}")
+      assert(ppm <= 1000000L && ppm >= 1000000L / k - 1)
+    }
+    // zonemap compare: the structural trade-off — range layout is
+    // tighter than zorder on its sort dim, scans EVERYTHING off it;
+    // zorder prunes on both dims and wins the 2d cell on rows read
+    val zc = Queries.qZonemapCompare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(zc.size == 6)
+    assert(zc(("range", "sx_band"))._2 == zc(("range", "sx_band"))._1)
+    assert(zc(("zorder", "sx_band"))._2 < zc(("zorder", "sx_band"))._1)
+    assert(zc(("range", "px_band"))._2 < zc(("zorder", "px_band"))._2)
+    assert(zc(("zorder", "cell_2d"))._3 < zc(("range", "cell_2d"))._3)
+    zc.foreach { case ((_, _), (_, _, scanned, matched)) =>
+      assert(matched <= scanned) // zone maps never miss a match
+    }
   }
 
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
