@@ -4888,25 +4888,38 @@ object Queries {
 
   /** Per-node local clustering coefficient — the graph-feature next
     * to the global [[qTriangleCount]]: cc(n) = 2·T(n)/(d(n)·(d(n)−1))
-    * as an exact truncated-ppm rational. The graph is user
-    * co-activity (two users active in the same 10-minute slot with
-    * the same event type), built with the grouped-array pair pattern
-    * (one shuffle, pairs explode map-side, one dedup shuffle — no
-    * self-join of the slot relation). Per-node triangle counts come
-    * from [[operators.Graph.triangleCounts]], so the cc inherits the
+    * as an exact truncated-ppm rational. The graph is temporal user
+    * proximity: u–v iff their events are within 3 positions of each
+    * other in a (10-minute slot, event_type) group's time order — the
+    * [[qSortedNeighborhood]] blocking idiom as a graph builder.
+    * Pairing ALL users in a slot group makes edge volume quadratic in
+    * group size, and group size grows linearly with the corpus (the
+    * sf1 sweep measured 107 s where the catalog median is <10);
+    * lead-window pairing bounds fan-out at 3 per event, so the edge
+    * relation is ≤3n at every SF — one window shuffle + one dedup
+    * shuffle. Per-node triangle counts come from
+    * [[operators.Graph.triangleCounts]], so the cc inherits the
     * dense/oriented dispatch and its scale gates: each triangle is
     * counted once via the degree orientation, wedge work bounded by
     * the arboricity-friendly Σd² of the LOW-degree endpoints. One
     * degree aggregate + one broadcast-sized join closes it out. */
   def qLocalClustering(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = Tables.events(s, dir)
       .select(expr("ts div 600000000000").as("slot"), col("event_type"),
-        col("user_id"))
-      .distinct()
-    val e = g.groupBy(col("slot"), col("event_type"))
-      .agg(sort_array(collect_set(col("user_id"))).as("us"))
-      .select(explode(col("us")).as("u"), col("us"))
-      .select(col("u"), explode(expr("filter(us, y -> y > u)")).as("v"))
+        col("user_id"), col("ts"), col("event_id"))
+    val wp = Window.partitionBy(col("slot"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val led = g.select(col("user_id").as("a"),
+      lead(col("user_id"), 1).over(wp).as("n1"),
+      lead(col("user_id"), 2).over(wp).as("n2"),
+      lead(col("user_id"), 3).over(wp).as("n3"))
+    val e = led
+      .select(col("a"), explode(array(col("n1"), col("n2"), col("n3")))
+        .as("b"))
+      .filter(col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
       .distinct()
     val tri = operators.Graph.triangleCounts(e)
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
@@ -6172,10 +6185,13 @@ object Queries {
         |FROM pop JOIN sa USING (event_type) ORDER BY pop.event_type""".stripMargin,
 
     "q_local_clustering" ->
-      """WITH g AS (SELECT DISTINCT epoch_ns(ts)//600000000000 slot,
-        |  event_type et, user_id u FROM events),
-        |e AS (SELECT DISTINCT x.u u, y.u v FROM g x
-        |  JOIN g y ON x.slot=y.slot AND x.et=y.et AND x.u<y.u),
+      """WITH g AS (SELECT epoch_ns(ts)//600000000000 slot, event_type et,
+        |  user_id u, row_number() OVER (PARTITION BY
+        |    epoch_ns(ts)//600000000000, event_type
+        |    ORDER BY epoch_ns(ts), event_id) rn FROM events),
+        |e AS (SELECT DISTINCT least(x.u, y.u) u, greatest(x.u, y.u) v
+        |  FROM g x JOIN g y ON x.slot=y.slot AND x.et=y.et
+        |    AND y.rn BETWEEN x.rn+1 AND x.rn+3 AND x.u<>y.u),
         |deg AS (SELECT n, count(*) d FROM
         |  (SELECT u n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
         |t AS (SELECT e1.u a, e1.v b, e2.v c FROM e e1
