@@ -5050,6 +5050,150 @@ object Queries {
       .orderBy(col("layout"), col("pred"))
   }
 
+  /** HITS hubs-and-authorities — the second classic link-analysis
+    * ranking next to [[qPagerank]], on the directed customer→supplier
+    * purchase graph: hub score rewards customers who buy from
+    * authoritative suppliers, authority score rewards suppliers
+    * bought by strong hubs. Two exact mutual-reinforcement rounds
+    * from h₀ = 1 (a₁ = indegree, h₁ = Σ a₁, a₂ = Σ h₁, h₂ = Σ a₂),
+    * every sum in DECIMAL(38,0) — the unnormalized scores grow like
+    * deg³·n² and overflow int64 at corpus scale — then ONE truncating
+    * division by the per-role max emits ppm BIGINTs. Scale shape:
+    * each half-round is one keyed join + one keyed aggregate of the
+    * edge relation (alternating on the two endpoints); the max is a
+    * 1-row broadcast; top-15 per role via TakeOrdered. */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+      .cache()
+    val a1 = e.groupBy(col("sup"))
+      .agg(expr("CAST(count(1) AS DECIMAL(38,0))").as("a1"))
+    val h1 = e.join(a1, "sup").groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, "c").groupBy(col("sup")).agg(sum(col("h1")).as("a2"))
+    val h2 = e.join(a2, "sup").groupBy(col("c")).agg(sum(col("a2")).as("h2"))
+    def topPpm(df: DataFrame, node: String, sc: String, role: String) = {
+      val m = df.agg(max(col(sc)).as("m"))
+      df.crossJoin(broadcast(m))
+        .select(lit(role).as("role"), col(node).as("node"),
+          expr(s"CAST($sc * 1000000 div m AS BIGINT)").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("node")).limit(15)
+    }
+    topPpm(h2, "c", "h2", "hub")
+      .unionAll(topPpm(a2, "sup", "a2", "authority"))
+      .orderBy(col("role"), col("score_ppm").desc, col("node"))
+  }
+
+  /** Hop-bounded multi-source weighted shortest path — Bellman-Ford
+    * with 4 relaxation rounds over the undirected customer–supplier
+    * graph (edge weight = cheapest shared lineitem in cents), sources
+    * = customers 0–9: the "distance to nearest facility" shape, and
+    * the weighted counterpart of [[qBfsHops]]' unit-hop labeling.
+    * dist_{k+1}(v) = min(dist_k(v), min_u dist_k(u)+w(u,v)) runs as
+    * union + min-aggregate (no outer-join fixup); ≤4-hop cost is
+    * exactly what 4 rounds compute, so the result is well-defined on
+    * any graph, cycles included. Each round shuffles the node-sized
+    * dist relation against the cached edge partitioning; weights and
+    * distances stay integer cents end-to-end. */
+  def qSsspBounded(s: SparkSession, dir: String): DataFrame = {
+    val ol = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sup"),
+        floor(col("l_extendedprice").cast("double") * 100).cast("long")
+          .as("cents"))
+    val ew = ol.groupBy(col("c"), col("sup")).agg(min(col("cents")).as("w"))
+    val e = ew.select(explode(array(
+        struct(col("c").as("src"), col("sup").as("dst"), col("w")),
+        struct(col("sup").as("src"), col("c").as("dst"), col("w")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"), col("d.w").as("w"))
+      .repartition(col("src"))
+      .cache()
+    var dist = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 0 && col("node") < 20)
+      .select(col("node"), lit(0L).as("d"))
+    for (_ <- 1 to 4) {
+      val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    }
+    dist.select(col("node"), col("d").as("dist_cents")).orderBy(col("node"))
+  }
+
+  /** Exact exponentially-weighted moving average — the trend smoother
+    * between [[qRollingWindow]]'s flat mean and [[qRollingMedian]]'s
+    * robust middle: dyadic weights 2¹⁵, 2¹⁴, … over the trailing 16
+    * rows make the classic α=½ EWMA an exact integer (num = Σ lag_j ·
+    * 2^(15−j), den = 2¹⁶ − 2^(16−n_win) telescopes the present
+    * weights) — no float power ever enters the compare. The 16
+    * coalesced lag columns ride ONE per-type window (codegen-
+    * friendly, zero extra shuffles); state per row is bounded at 16
+    * regardless of history length. */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+      expr("ts div 1000000000").as("t"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    val num = (0 to 15).map { j =>
+      val v = if (j == 0) col("cents") else
+        coalesce(lag(col("cents"), j).over(w), lit(0L))
+      v * lit(1L << (15 - j))
+    }.reduce(_ + _)
+    val nwin = count(lit(1))
+      .over(w.rowsBetween(-15, Window.currentRow))
+    ev.select(col("event_type"), col("event_id"), col("t"),
+        nwin.as("n_win"), num.as("num"))
+      .select(col("event_type"), col("event_id"), col("t"), col("n_win"),
+        expr("num div (65536 - (65536 div CAST(pow(2, n_win) AS BIGINT)))")
+          .as("ewma_cents"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** Synchronous min-label propagation, 3 bounded rounds — the
+    * community-detection primitive between [[qBfsHops]]' single-source
+    * frontier and [[qDedupClusters]]' full connected components: after
+    * k rounds every node carries the minimum node id within k hops,
+    * so the label census shows how fast the graph collapses toward
+    * its components (the mixing diagnostic). Runs on the spatial
+    * grid-neighbor graph over the embedding projection (the
+    * [[qGridJoin]] O(n) candidate relation — real cluster structure,
+    * many components; every EVENT-derived user graph tried collapses
+    * to ONE label in 3 rounds because the 150-user universe is an
+    * expander — measured, degenerate); same
+    * union + min-aggregate round shape as
+    * [[qSsspBounded]] — one keyed join + one keyed aggregate per
+    * round against the cached symmetric edge relation; the emitted
+    * census aggregates the node-sized label relation. */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pts = operators.Spatial.scaledPoints(Tables.embeddings(s, dir))
+    val eps2 = operators.Spatial.dynamicEps2(1000000L, pts.count())
+    val ew = operators.Spatial.gridNeighborPairs(pts, eps2)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val e = ew.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"))
+      .repartition(col("src"))
+      .cache()
+    var lab = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to 3) {
+      val prop = e.join(lab.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lab"))
+      lab = lab.unionAll(prop)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+    }
+    lab.groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
+      .select(col("lab").as("label"), col("n_members"))
+      .orderBy(col("label"))
+  }
+
   /** Privacy audit: k-anonymity and l-diversity over a
     * quasi-identifier grouping — the governance gate before a corpus
     * ships. Each (source, lang, length-bucket) equivalence class
@@ -5201,6 +5345,10 @@ object Queries {
     "q_rolling_median" -> (qRollingMedian _),
     "q_char_entropy" -> (qCharEntropy _),
     "q_zonemap_compare" -> (qZonemapCompare _),
+    "q_hits" -> (qHits _),
+    "q_sssp_bounded" -> (qSsspBounded _),
+    "q_ewma" -> (qEwma _),
+    "q_label_prop" -> (qLabelProp _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -6258,6 +6406,98 @@ object Queries {
          |    rows_matched
          |FROM f, pr GROUP BY layout, pred
          |ORDER BY layout, pred""".stripMargin,
+
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey c, l_suppkey sup
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1 AS (SELECT sup, CAST(count(*) AS HUGEINT) a1 FROM e GROUP BY sup),
+        |h1 AS (SELECT c, sum(a1) h1 FROM e JOIN a1 USING (sup) GROUP BY c),
+        |a2 AS (SELECT sup, sum(h1) a2 FROM e JOIN h1 USING (c) GROUP BY sup),
+        |h2 AS (SELECT c, sum(a2) h2 FROM e JOIN a2 USING (sup) GROUP BY c),
+        |hub AS (SELECT 'hub' AS "role", c node,
+        |    CAST(h2 * 1000000 // (SELECT max(h2) FROM h2) AS BIGINT) score_ppm
+        |  FROM h2 ORDER BY score_ppm DESC, node LIMIT 15),
+        |auth AS (SELECT 'authority' AS "role", sup node,
+        |    CAST(a2 * 1000000 // (SELECT max(a2) FROM a2) AS BIGINT) score_ppm
+        |  FROM a2 ORDER BY score_ppm DESC, node LIMIT 15)
+        |SELECT * FROM (SELECT * FROM hub UNION ALL SELECT * FROM auth)
+        |ORDER BY "role", score_ppm DESC, node""".stripMargin,
+
+    "q_sssp_bounded" ->
+      """WITH ol AS (SELECT o_custkey*2 c, l_suppkey*2+1 sup,
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) cents
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ew AS (SELECT c, sup, min(cents) w FROM ol GROUP BY 1, 2),
+        |e AS (SELECT c src, sup dst, w FROM ew
+        |  UNION ALL SELECT sup, c, w FROM ew),
+        |d0 AS (SELECT DISTINCT src node, CAST(0 AS BIGINT) d FROM e
+        |  WHERE src % 2 = 0 AND src < 20),
+        |d1 AS (SELECT node, min(d) d FROM (SELECT node, d FROM d0
+        |  UNION ALL SELECT e.dst, d0.d + e.w FROM d0
+        |  JOIN e ON e.src = d0.node) GROUP BY node),
+        |d2 AS (SELECT node, min(d) d FROM (SELECT node, d FROM d1
+        |  UNION ALL SELECT e.dst, d1.d + e.w FROM d1
+        |  JOIN e ON e.src = d1.node) GROUP BY node),
+        |d3 AS (SELECT node, min(d) d FROM (SELECT node, d FROM d2
+        |  UNION ALL SELECT e.dst, d2.d + e.w FROM d2
+        |  JOIN e ON e.src = d2.node) GROUP BY node),
+        |d4 AS (SELECT node, min(d) d FROM (SELECT node, d FROM d3
+        |  UNION ALL SELECT e.dst, d3.d + e.w FROM d3
+        |  JOIN e ON e.src = d3.node) GROUP BY node)
+        |SELECT node, d dist_cents FROM d4 ORDER BY node""".stripMargin,
+
+    // dyadic alpha=1/2 EWMA: num = sum of lag_j * 2^(15-j), den
+    // telescopes to 2^16 - 2^(16-n); exact integers on both engines
+    "q_ewma" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_ns(ts)//1000000000 t,
+        |  CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) cents FROM events),
+        |l AS (SELECT event_type, event_id, t,
+        |  CAST(COUNT(*) OVER w AS BIGINT) n_win,
+        |  cents*32768
+        |  + COALESCE(lag(cents, 1) OVER w, 0)*16384
+        |  + COALESCE(lag(cents, 2) OVER w, 0)*8192
+        |  + COALESCE(lag(cents, 3) OVER w, 0)*4096
+        |  + COALESCE(lag(cents, 4) OVER w, 0)*2048
+        |  + COALESCE(lag(cents, 5) OVER w, 0)*1024
+        |  + COALESCE(lag(cents, 6) OVER w, 0)*512
+        |  + COALESCE(lag(cents, 7) OVER w, 0)*256
+        |  + COALESCE(lag(cents, 8) OVER w, 0)*128
+        |  + COALESCE(lag(cents, 9) OVER w, 0)*64
+        |  + COALESCE(lag(cents, 10) OVER w, 0)*32
+        |  + COALESCE(lag(cents, 11) OVER w, 0)*16
+        |  + COALESCE(lag(cents, 12) OVER w, 0)*8
+        |  + COALESCE(lag(cents, 13) OVER w, 0)*4
+        |  + COALESCE(lag(cents, 14) OVER w, 0)*2
+        |  + COALESCE(lag(cents, 15) OVER w, 0) num
+        |FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id
+        |  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, t, n_win,
+        |  num // (65536 - (65536 // CAST(2**n_win AS BIGINT))) ewma_cents
+        |FROM l ORDER BY event_type, event_id""".stripMargin,
+
+    "q_label_prop" ->
+      """WITH p AS (SELECT vec_id,
+        |  CAST(floor((CAST(embedding[1] AS DOUBLE)+1.0)*1048576) AS BIGINT) xi,
+        |  CAST(floor((CAST(embedding[2] AS DOUBLE)+1.0)*1048576) AS BIGINT) yi
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) n FROM p),
+        |ew AS (SELECT a.vec_id u, b.vec_id v FROM p a, p b, nn
+        |  WHERE a.vec_id < b.vec_id
+        |  AND (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi)
+        |      <= CAST(1000000 AS BIGINT)*1000000//nn.n),
+        |e AS (SELECT u src, v dst FROM ew UNION ALL SELECT v, u FROM ew),
+        |l0 AS (SELECT DISTINCT src node, src lab FROM e),
+        |l1 AS (SELECT node, min(lab) lab FROM (SELECT node, lab FROM l0
+        |  UNION ALL SELECT e.dst, l0.lab FROM l0
+        |  JOIN e ON e.src = l0.node) GROUP BY node),
+        |l2 AS (SELECT node, min(lab) lab FROM (SELECT node, lab FROM l1
+        |  UNION ALL SELECT e.dst, l1.lab FROM l1
+        |  JOIN e ON e.src = l1.node) GROUP BY node),
+        |l3 AS (SELECT node, min(lab) lab FROM (SELECT node, lab FROM l2
+        |  UNION ALL SELECT e.dst, l2.lab FROM l2
+        |  JOIN e ON e.src = l2.node) GROUP BY node)
+        |SELECT lab AS "label", CAST(count(*) AS BIGINT) n_members FROM l3
+        |GROUP BY lab ORDER BY "label"""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH q AS (SELECT source, lang, n_chars // 100 len_bucket,

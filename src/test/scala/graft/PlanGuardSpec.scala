@@ -61,7 +61,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_skipgram_pmi" -> "1-row pair-total broadcast (t)",
     "q_decay_popularity" -> "1-row max-timestamp broadcast (tmax)",
     "q_ann_recall" -> ("inherits q_ann_bruteforce/q_ann_lsh's bounded " +
-      "query-vector broadcasts (both independently whitelisted)")
+      "query-vector broadcasts (both independently whitelisted)"),
+    "q_hits" -> ("1-row per-role max-score aggregates broadcast for " +
+      "the ppm normalization (one per role)")
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
@@ -73,6 +75,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
   private val globalWindowWhitelist: Map[String, String] = Map(
     "q_triangle_count" -> ("dense-path id ranking: input is the node " +
       "set, gated to n <= denseMaxNodes (16384) by the dispatch"),
+    "q_local_clustering" -> ("inherits q_triangle_count's dense-path " +
+      "id ranking (same gated triangleCounts dispatch on the " +
+      "proximity graph)"),
     "q_kmeans_embed" -> ("seed ranking over vec ids: runs once on the " +
       "bounded candidate-seed relation (k-scaled, not data-scaled)"),
     "q_semdedup" -> "same k-means seed ranking (bounded seed relation)",

