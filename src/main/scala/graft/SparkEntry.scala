@@ -5305,6 +5305,188 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Transposition-aware near-duplicate detection: sorted-neighborhood
+    * blocking on (lang, length bucket), each doc compared against the
+    * next two docs in its block's doc_id order, distance = unrestricted
+    * Damerau–Levenshtein over the fixed 40-char prefix (the custom
+    * codegen'd [[graft.functions.DamerauLevenshteinExpr]] — Spark has
+    * `levenshtein` but nothing transposition-aware). Pair volume is
+    * ≤ 2n at every SF by the rank-window construction; the O(40²)
+    * DP runs on the bounded prefix, never the whole document. */
+  def qDedupDamerau(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      expr("n_chars div 50").as("bkt"), substring(col("text"), 1, 40).as("pre"))
+    val r = d.withColumn("rk", row_number().over(
+      Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))))
+    val probes = r.select(col("lang"), col("bkt"), col("doc_id").as("id_a"),
+        col("pre").as("pre_a"),
+        explode(array(lit(1), lit(2))).as("delta"),
+        col("rk"))
+      .withColumn("rk_b", col("rk") + col("delta"))
+    probes.join(r.select(col("lang"), col("bkt"), col("rk").as("rk_b"),
+        col("doc_id").as("id_b"), col("pre").as("pre_b")),
+        Seq("lang", "bkt", "rk_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.EditDistances.damerauLevenshtein(
+          col("pre_a"), col("pre_b")).cast("long").as("dl"))
+      .filter(col("dl") <= 22)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Link prediction by the resource-allocation index: two suppliers
+    * that co-occur on many LOW-DEGREE parts are likely substitutes —
+    * RA(s1,s2) = Σ_{shared part p} 1/deg(p), here in exact ppm integer
+    * form (Σ 10⁶ div deg). The Adamic–Adar family's 1/log weighting is
+    * transcendental; RA is its rational sibling with the same hub
+    * discount, which keeps the score hash-exact across engines.
+    * Scale shape: part degree is bounded by the catalog's fan-out
+    * (~30 suppliers/part at EVERY SF — measured at sf0.01 and sf0.1),
+    * and the deg ≤ 64 hub cap turns Σdeg² into O(64·|E|) worst case,
+    * so the wedge join is linear in the edge relation. One exchange
+    * on the part key serves the degree join and the self-join. */
+  def qLinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sv"))
+      .distinct()
+    val deg = e.groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .filter(col("d").between(2, 64))
+    val ed = e.join(deg, "p")
+    ed.select(col("p"), col("sv").as("sa"), col("d"))
+      .join(ed.select(col("p"), col("sv").as("sb")), "p")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(expr("1000000 div d")).as("ra_ppm"),
+        count(lit(1)).as("n_shared"))
+      .orderBy(col("ra_ppm").desc, col("sa"), col("sb"))
+      .limit(25)
+  }
+
+  /** Decision stump (1-rule classifier) per source: the best single
+    * threshold on n_chars predicting lang=='en', chosen by exact
+    * integer weighted Gini impurity over 32 fixed-width candidate
+    * bins. The candidate set is BOUNDED (32 per group) regardless of
+    * row count — per-bin class counts come off one hash aggregate,
+    * the cumulative left-side counts off one window over ≤32 rows per
+    * group, so the whole search is one shuffle on the group key. Gini
+    * arithmetic runs in DECIMAL(38,0) (n² ·10⁶ passes 2⁶³ past
+    * sf100) and lands as ppm BIGINT. Tie → smallest bin. */
+  def qDecisionStump(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("source"), col("n_chars"),
+      (col("lang") === "en").cast("long").as("pos"))
+    val ext = d.groupBy(col("source")).agg(
+      min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+      count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val perBin = d.join(ext, "source")
+      .select(col("source"), col("n"), col("p"),
+        expr("least(31, (n_chars - mn) * 32 div (mx - mn + 1))").as("b"),
+        col("pos"))
+      .groupBy(col("source"), col("n"), col("p"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("pos")).as("cp"))
+    val w = Window.partitionBy(col("source")).orderBy(col("b"))
+    val gini = "CAST(1000000 AS DECIMAL(38,0))"
+    val cand = perBin
+      .withColumn("nl", sum(col("cn")).over(w))
+      .withColumn("pl", sum(col("cp")).over(w))
+      .filter(col("nl") < col("n"))
+      .select(col("source"), col("b"), col("nl"), col("pl"),
+        (col("n") - col("nl")).as("nr"), (col("p") - col("pl")).as("pr"),
+        col("n"))
+      .select(col("source"), col("b"), col("nl"), col("nr"),
+        expr(s"""CAST(
+          (CAST(nl AS DECIMAL(38,0)) * nl - CAST(pl AS DECIMAL(38,0)) * pl
+            - CAST(nl - pl AS DECIMAL(38,0)) * (nl - pl)) * $gini
+            div (CAST(nl AS DECIMAL(38,0)) * n)
+          + (CAST(nr AS DECIMAL(38,0)) * nr - CAST(pr AS DECIMAL(38,0)) * pr
+            - CAST(nr - pr AS DECIMAL(38,0)) * (nr - pr)) * $gini
+            div (CAST(nr AS DECIMAL(38,0)) * n)
+          AS BIGINT)""").as("gini_ppm"))
+    cand.groupBy(col("source"))
+      .agg(min(struct(col("gini_ppm"), col("b"), col("nl"), col("nr")))
+        .as("m"))
+      .select(col("source"), col("m.b").as("split_bin"),
+        col("m.nl").as("n_left"), col("m.nr").as("n_right"),
+        col("m.gini_ppm").as("gini_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Nearest-centroid (Rocchio) classifier resubstitution audit:
+    * per-language centroids in (n_chars, word count) space as exact
+    * milli-unit integers, every doc assigned to the nearest centroid
+    * by integer squared distance (tie → lexicographically smaller
+    * language), emitted as the actual × predicted confusion matrix.
+    * The centroid relation is one row per language — broadcast to
+    * every doc row (the ONE legitimate bounded-side nested-loop in
+    * this query; whitelisted in PlanGuardSpec), so the scan is a
+    * single pass with no shuffle beyond the confusion aggregate. */
+  def qRocchioClassify(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      col("n_chars").cast("long").as("x"),
+      size(split(col("text"), " ")).cast("long").as("y"))
+    val cent = d.groupBy(col("lang")).agg(
+        expr("CAST(sum(x) * 1000 div count(1) AS BIGINT)").as("cx"),
+        expr("CAST(sum(y) * 1000 div count(1) AS BIGINT)").as("cy"))
+      .select(col("lang").as("clang"), col("cx"), col("cy"))
+    d.crossJoin(broadcast(cent))
+      .select(col("doc_id"), col("lang"),
+        struct(((col("x") * 1000 - col("cx")) * (col("x") * 1000 - col("cx"))
+          + (col("y") * 1000 - col("cy")) * (col("y") * 1000 - col("cy")))
+          .as("d2"), col("clang")).as("sc"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("sc")).as("m"))
+      .groupBy(col("lang").as("actual"), col("m.clang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  /** Leave-one-out 3-NN label audit over the embedding table: grid-
+    * blocked fixed-radius neighbor pairs (the [[operators.Spatial]]
+    * O(n)-output machinery, radius 2×wider than q_mutual_nn's for
+    * ≥3-neighbor coverage), each point classified by the majority
+    * label of its 3 nearest in-radius neighbors (distance then id
+    * tiebreak; label-count tie → smaller label), scored against its
+    * own label per class. Points with <3 in-radius neighbors are
+    * excluded and counted — the coverage column keeps the radius
+    * honest. Everything downstream of the pair join is keyed on
+    * point id: two window ranks, one label join, two aggregates. */
+  def qKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val pts = operators.Spatial.scaledPoints(emb)
+    val eps2 = operators.Spatial.dynamicEps2(2000000L, pts.count())
+    val pairs = operators.Spatial.gridNeighborPairs(pts, eps2)
+    val sym = pairs.select(col("id_a").as("pid"), col("id_b").as("nb"),
+        col("d2"))
+      .unionByName(pairs.select(col("id_b").as("pid"),
+        col("id_a").as("nb"), col("d2")))
+    val top3 = sym.withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("d2"), col("nb"))))
+      .filter(col("rn") <= 3)
+      .withColumn("k", count(lit(1)).over(
+        Window.partitionBy(col("pid"))))
+      .filter(col("k") === 3)
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+    val votes = top3
+      .join(labels.withColumnRenamed("vec_id", "nb")
+        .withColumnRenamed("label", "nb_label"), "nb")
+      .groupBy(col("pid"), col("nb_label"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("pid"))
+      .agg(min(struct((-col("v")).as("nv"), col("nb_label"))).as("m"))
+      .select(col("pid").as("vec_id"), col("m.nb_label").as("pred"))
+    labels.join(votes, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_total"),
+        count(col("pred")).as("n_eval"),
+        sum((col("pred") === col("label")).cast("long")).as("n_correct"))
+      .select(col("label"), col("n_total"), col("n_eval"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        expr("CASE WHEN n_eval > 0 THEN n_correct * 1000000 div n_eval " +
+          "ELSE 0 END").as("acc_ppm"))
+      .orderBy(col("label"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -5522,7 +5704,9 @@ object Queries {
     "q_cube" -> (qCube _),
     "q_setops_all" -> (qSetopsAll _),
     "q_date_fns" -> (qDateFns _),
-    "q_avro_decode" -> (qAvroDecode _)
+    "q_avro_decode" -> (qAvroDecode _),
+    "q_dedup_damerau" -> (qDedupDamerau _),
+    "q_link_prediction" -> (qLinkPrediction _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -9097,7 +9281,30 @@ object Queries {
         |  COUNT(DISTINCT o_custkey) AS n_customers
         |FROM orders
         |GROUP BY o_year, o_month
-        |ORDER BY o_year, o_month""".stripMargin
+        |ORDER BY o_year, o_month""".stripMargin,
+
+    "q_dedup_damerau" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS bkt,
+        |    substr(text, 1, 40) AS pre FROM documents),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY lang, bkt ORDER BY doc_id) rk FROM d)
+        |SELECT a.doc_id id_a, b.doc_id id_b,
+        |  CAST(damerau_levenshtein(a.pre, b.pre) AS BIGINT) dl
+        |FROM r a JOIN r b
+        |  ON a.lang = b.lang AND a.bkt = b.bkt AND b.rk - a.rk IN (1, 2)
+        |WHERE damerau_levenshtein(a.pre, b.pre) <= 22
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_link_prediction" ->
+      """WITH e AS (SELECT DISTINCT l_partkey p, l_suppkey sv FROM lineitem),
+        |deg AS (SELECT p, count(*) d FROM e GROUP BY p
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |pr AS (SELECT a.sv sa, b.sv sb, deg.d
+        |  FROM e a JOIN deg USING (p) JOIN e b USING (p) WHERE a.sv < b.sv)
+        |SELECT sa, sb, CAST(sum(1000000 // d) AS BIGINT) ra_ppm,
+        |  count(*) n_shared
+        |FROM pr GROUP BY sa, sb
+        |ORDER BY ra_ppm DESC, sa, sb LIMIT 25""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the
