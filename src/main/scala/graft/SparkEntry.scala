@@ -5706,7 +5706,10 @@ object Queries {
     "q_date_fns" -> (qDateFns _),
     "q_avro_decode" -> (qAvroDecode _),
     "q_dedup_damerau" -> (qDedupDamerau _),
-    "q_link_prediction" -> (qLinkPrediction _)
+    "q_link_prediction" -> (qLinkPrediction _),
+    "q_decision_stump" -> (qDecisionStump _),
+    "q_rocchio_classify" -> (qRocchioClassify _),
+    "q_knn_label" -> (qKnnLabel _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -9304,7 +9307,85 @@ object Queries {
         |SELECT sa, sb, CAST(sum(1000000 // d) AS BIGINT) ra_ppm,
         |  count(*) n_shared
         |FROM pr GROUP BY sa, sb
-        |ORDER BY ra_ppm DESC, sa, sb LIMIT 25""".stripMargin
+        |ORDER BY ra_ppm DESC, sa, sb LIMIT 25""".stripMargin,
+
+    "q_decision_stump" ->
+      """WITH d AS (SELECT source, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END pos FROM documents),
+        |ext AS (SELECT source, min(n_chars) mn, max(n_chars) mx,
+        |    count(*) n, sum(pos) p FROM d GROUP BY source),
+        |pb AS (SELECT d.source, n, p,
+        |    least(31, (n_chars - mn) * 32 // (mx - mn + 1)) b,
+        |    count(*) cn, sum(pos) cp
+        |  FROM d JOIN ext USING (source) GROUP BY d.source, n, p, b),
+        |cum AS (SELECT source, b, n, p,
+        |    sum(cn) OVER (PARTITION BY source ORDER BY b) nl,
+        |    sum(cp) OVER (PARTITION BY source ORDER BY b) pl FROM pb),
+        |cand AS (SELECT source, b, nl, pl, n - nl nr, p - pl pr
+        |  FROM cum WHERE nl < n),
+        |sc AS (SELECT source, b, nl, nr,
+        |  CAST((CAST(nl AS HUGEINT) * nl - CAST(pl AS HUGEINT) * pl
+        |      - CAST(nl - pl AS HUGEINT) * (nl - pl)) * 1000000
+        |      // (CAST(nl AS HUGEINT) * (nl + nr))
+        |    + (CAST(nr AS HUGEINT) * nr - CAST(pr AS HUGEINT) * pr
+        |      - CAST(nr - pr AS HUGEINT) * (nr - pr)) * 1000000
+        |      // (CAST(nr AS HUGEINT) * (nl + nr)) AS BIGINT) gini_ppm
+        |  FROM cand),
+        |pick AS (SELECT source, b split_bin, CAST(nl AS BIGINT) n_left,
+        |    CAST(nr AS BIGINT) n_right, gini_ppm,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY gini_ppm, b) rn FROM sc)
+        |SELECT source, split_bin, n_left, n_right, gini_ppm
+        |FROM pick WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    "q_rocchio_classify" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) y FROM documents),
+        |cent AS (SELECT lang clang,
+        |    CAST(CAST(sum(x) AS HUGEINT) * 1000 // count(*) AS BIGINT) cx,
+        |    CAST(CAST(sum(y) AS HUGEINT) * 1000 // count(*) AS BIGINT) cy
+        |  FROM d GROUP BY lang),
+        |sc AS (SELECT doc_id, lang, clang,
+        |    (x * 1000 - cx) * (x * 1000 - cx)
+        |      + (y * 1000 - cy) * (y * 1000 - cy) d2
+        |  FROM d CROSS JOIN cent),
+        |pick AS (SELECT doc_id, lang, clang, row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY d2, clang) rn FROM sc)
+        |SELECT lang actual, clang predicted, count(*) n
+        |FROM pick WHERE rn = 1
+        |GROUP BY actual, predicted ORDER BY actual, predicted""".stripMargin,
+
+    "q_knn_label" ->
+      """WITH p AS (SELECT vec_id, CAST(label AS BIGINT) AS "label",
+        |  CAST(floor((CAST(embedding[1] AS DOUBLE)+1.0)*1048576) AS BIGINT) xi,
+        |  CAST(floor((CAST(embedding[2] AS DOUBLE)+1.0)*1048576) AS BIGINT) yi
+        |  FROM embeddings),
+        |n0 AS (SELECT count(*) n FROM p),
+        |pr AS (SELECT a.vec_id ia, b.vec_id ib,
+        |    (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi) d2
+        |  FROM p a, p b, n0 WHERE a.vec_id < b.vec_id
+        |    AND (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi)
+        |        <= CAST(2000000 AS BIGINT) * 2000000 // n0.n),
+        |sym AS (SELECT ia pid, ib nb, d2 FROM pr
+        |  UNION ALL SELECT ib, ia, d2 FROM pr),
+        |r AS (SELECT pid, nb,
+        |    row_number() OVER (PARTITION BY pid ORDER BY d2, nb) rn,
+        |    count(*) OVER (PARTITION BY pid) k FROM sym),
+        |t3 AS (SELECT pid, nb FROM r WHERE rn <= 3 AND k >= 3),
+        |votes AS (SELECT t3.pid, p2."label" nb_label, count(*) v
+        |  FROM t3 JOIN p p2 ON t3.nb = p2.vec_id GROUP BY t3.pid, p2.label),
+        |pick AS (SELECT pid, nb_label pred, row_number()
+        |    OVER (PARTITION BY pid ORDER BY v DESC, nb_label) rn FROM votes),
+        |pd AS (SELECT pid, pred FROM pick WHERE rn = 1)
+        |SELECT p."label", count(*) n_total, count(pd.pred) n_eval,
+        |  CAST(coalesce(sum(CASE WHEN pd.pred = p."label" THEN 1 END), 0)
+        |    AS BIGINT) n_correct,
+        |  CAST(CASE WHEN count(pd.pred) > 0
+        |    THEN coalesce(sum(CASE WHEN pd.pred = p."label" THEN 1 END), 0)
+        |      * 1000000 // count(pd.pred)
+        |    ELSE 0 END AS BIGINT) acc_ppm
+        |FROM p LEFT JOIN pd ON p.vec_id = pd.pid
+        |GROUP BY p."label" ORDER BY p."label"""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -63,7 +63,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_ann_recall" -> ("inherits q_ann_bruteforce/q_ann_lsh's bounded " +
       "query-vector broadcasts (both independently whitelisted)"),
     "q_hits" -> ("1-row per-role max-score aggregates broadcast for " +
-      "the ppm normalization (one per role)")
+      "the ppm normalization (one per role)"),
+    "q_rocchio_classify" -> ("bounded per-language centroid relation " +
+      "(one row per lang) broadcast to the doc scan")
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
