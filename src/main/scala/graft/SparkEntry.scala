@@ -5487,6 +5487,194 @@ object Queries {
       .orderBy(col("label"))
   }
 
+  /** Lagged cross-correlation between the hourly click and purchase
+    * series — does click volume LEAD purchase volume, and by how many
+    * hours? Zero-filled dense hour grid (the events window is a fixed
+    * 30 days at every SF — measured sf0.001–0.1 — so the grid is ≤720
+    * rows while the COUNTS per hour grow with SF), Pearson r per lag
+    * 0..6 in the exact split-scale integer form q_assortativity
+    * established (sign + r²·ppm from DECIMAL(38,0) moments; one
+    * hash aggregate per lag, the lag join keyed on the hour). */
+  def qCrossCorr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("ts div 3600000000000").as("h"), col("event_type"))
+    val cnt = ev.groupBy(col("h")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val grid = cnt.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .select(explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val full = grid.join(cnt, Seq("h"), "left")
+      .na.fill(0L, Seq("x", "y"))
+    val shifted = full.select(col("h"), col("x"),
+        explode(sequence(lit(0L), lit(6L))).as("lag_h"))
+      .withColumn("h2", col("h") + col("lag_h"))
+      .join(full.select(col("h").as("h2"), col("y")), Seq("h2"))
+    val dec38 = "CAST(%s AS DECIMAL(38,0))"
+    val m = shifted.groupBy(col("lag_h")).agg(
+      count(lit(1)).as("n"),
+      sum(expr(dec38.format("x"))).as("sx"),
+      sum(expr(dec38.format("y"))).as("sy"),
+      sum(expr(dec38.format("x") + " * y")).as("sxy"),
+      sum(expr(dec38.format("x") + " * x")).as("sxx"),
+      sum(expr(dec38.format("y") + " * y")).as("syy"))
+    m.select(col("lag_h"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+      .select(col("lag_h"), col("n"),
+        expr("CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 " +
+          "ELSE 0 END AS BIGINT)").as("r_sign"),
+        expr("CASE WHEN d1 > 0 AND d2 > 0 THEN " +
+          "CAST((num * 1000 div d1) * (num * 1000 div d2) AS BIGINT) " +
+          "ELSE NULL END").as("r2_ppm"))
+      .orderBy(col("lag_h"))
+  }
+
+  /** Peak detection on the hourly event series, per event type: an
+    * hour is a peak when its count STRICTLY exceeds both neighbors on
+    * each side AND rises ≥20% above the centered 5-hour window mean
+    * (10·c ≥ 3·Σ₅ in exact integer form). Runs on the zero-filled
+    * dense grid so "neighbor" means adjacent HOUR, not adjacent
+    * observation — on a gappy series the undensified form would call
+    * isolated stragglers peaks. The grid × type cross is bounded
+    * (≤720 hours × the 5-value event-type domain; whitelisted);
+    * counting stays one hash aggregate at any SF. */
+  def qPeakDetect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(expr("ts div 3600000000000").as("h"), col("event_type"))
+    val cnt = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val grid = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .select(explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val dense = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(cnt, Seq("event_type", "h"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    dense
+      .withColumn("p1", lag(col("c"), 1).over(w))
+      .withColumn("p2", lag(col("c"), 2).over(w))
+      .withColumn("f1", lead(col("c"), 1).over(w))
+      .withColumn("f2", lead(col("c"), 2).over(w))
+      .filter(col("p2").isNotNull && col("f2").isNotNull)
+      .withColumn("sum5",
+        col("p2") + col("p1") + col("c") + col("f1") + col("f2"))
+      .filter(col("c") > col("p1") && col("c") > col("p2") &&
+        col("c") > col("f1") && col("c") > col("f2") &&
+        col("c") * 10 >= col("sum5") * 3)
+      .select(col("event_type"), col("h"), col("c"), col("sum5"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  /** Flesch reading-ease profile per source, in the exact milli-point
+    * integer form: syllables ≈ vowel-group runs ([aeiouy]+), sentences
+    * = terminal-punctuation runs (min 1), words = non-space runs, all
+    * via one codegen'd regexp_count pass per doc; flesch_milli =
+    * 206835 − 1015·w div s − 84600·sy div w (the classic constants
+    * ×1000, staged integer division — deterministic across engines
+    * where the float formula is not). One narrow aggregate per
+    * source. */
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr("greatest(1L, regexp_count(text, '\\\\S+'))").as("w"),
+        expr("greatest(1L, regexp_count(text, '[.!?]+'))").as("sent"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").as("sy"))
+      .select(col("doc_id"), col("source"),
+        expr("206835 - 1015 * w div sent - 84600 * sy div w")
+          .as("flesch_milli"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(flesch_milli) div count(1)").as("avg_flesch_milli"),
+        min(col("flesch_milli")).as("min_flesch_milli"),
+        max(col("flesch_milli")).as("max_flesch_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** Welch's unequal-variance t² between the BUILDING and MACHINERY
+    * segments' account balances, per nation — the A/B-test statistic
+    * in exact integer form. Balances quantize to whole currency units
+    * (floor; negatives exist, so the mean difference is emitted as
+    * sign + magnitude and every integer division runs on non-negative
+    * operands — trunc-vs-floor never bites). md_milli = |Δmean|·10³,
+    * se2_micro = (v₁/n₁ + v₂/n₂)·10⁶ from DECIMAL(38,0) moments,
+    * t2_milli = md_milli²·10³ div se2_micro. One aggregate over the
+    * filtered customer scan; nothing joins. */
+  def qWelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        (col("c_mktsegment") === "BUILDING").as("is_b"),
+        expr("CAST(floor(c_acctbal) AS BIGINT)").as("x"))
+    val dec = (e: String) => s"CAST($e AS DECIMAL(38,0))"
+    val g = c.groupBy(col("nation")).agg(
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("is_b"), col("x")).otherwise(0L)).as("s1"),
+        sum(when(col("is_b"), expr(dec("x") + " * x")).otherwise(lit(0)))
+          .as("q1"),
+        sum(when(!col("is_b"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("is_b"), col("x")).otherwise(0L)).as("s2"),
+        sum(when(!col("is_b"), expr(dec("x") + " * x")).otherwise(lit(0)))
+          .as("q2"))
+      .filter(col("n1") >= 2 && col("n2") >= 2)
+    g.select(col("nation"), col("n1"), col("n2"),
+        expr(s"${dec("s1")} * n2 - ${dec("s2")} * n1").as("dd"),
+        expr(s"${dec("n1")} * q1 - ${dec("s1")} * s1").as("v1n"),
+        expr(s"${dec("n2")} * q2 - ${dec("s2")} * s2").as("v2n"))
+      .select(col("nation"), col("n1"), col("n2"),
+        expr("CAST(CASE WHEN dd > 0 THEN 1 WHEN dd < 0 THEN -1 ELSE 0 END " +
+          "AS BIGINT)").as("d_sign"),
+        expr(s"CAST(abs(dd) * 1000 div (${dec("n1")} * n2) AS BIGINT)")
+          .as("md_milli"),
+        expr(s"""CAST(v1n * 1000000 div (${dec("n1")} * n1 * (n1 - 1))
+          + v2n * 1000000 div (${dec("n2")} * n2 * (n2 - 1)) AS BIGINT)""")
+          .as("se2_micro"))
+      .select(col("nation"), col("n1"), col("n2"), col("d_sign"),
+        col("md_milli"),
+        expr("CASE WHEN se2_micro > 0 THEN " +
+          s"CAST(${dec("md_milli")} * md_milli * 1000 div se2_micro " +
+          "AS BIGINT) ELSE NULL END").as("t2_milli"))
+      .orderBy(col("nation"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard table for time-to-first-purchase:
+    * per user, duration = days from first event to first purchase
+    * (event) or to last observed event (censored); at each event day
+    * d, hazard = d_events·10⁶ div n_risk with n_risk the users still
+    * under observation, H = running sum — the survival-analysis
+    * estimator that stays EXACT in integer arithmetic (Kaplan–Meier's
+    * product does not). The per-user reduction is one aggregate; the
+    * day table is bounded by the fixed 30-day observation window
+    * (≤31 rows — the global windows run there, whitelisted). */
+  def qHazardKm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(
+        min(col("ts")).as("t0"), max(col("ts")).as("tlast"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+    val dur = per.select(
+      when(col("tp").isNotNull,
+        expr("(tp - t0) div 86400000000000"))
+        .otherwise(expr("(tlast - t0) div 86400000000000")).as("d"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("e"))
+    val byDay = dur.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_at"), sum(col("e")).as("d_ev"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDay
+      .withColumn("n_risk",
+        sum(col("n_at")).over(wAll) - sum(col("n_at")).over(wCum)
+          + col("n_at"))
+      .withColumn("h_ppm", expr("d_ev * 1000000 div n_risk"))
+      .withColumn("ch_ppm", sum(col("h_ppm")).over(wCum))
+      .filter(col("d_ev") > 0)
+      .select(col("d"), col("n_risk"), col("d_ev"), col("h_ppm"),
+        col("ch_ppm"))
+      .orderBy(col("d"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -5709,7 +5897,12 @@ object Queries {
     "q_link_prediction" -> (qLinkPrediction _),
     "q_decision_stump" -> (qDecisionStump _),
     "q_rocchio_classify" -> (qRocchioClassify _),
-    "q_knn_label" -> (qKnnLabel _)
+    "q_knn_label" -> (qKnnLabel _),
+    "q_crosscorr" -> (qCrossCorr _),
+    "q_peak_detect" -> (qPeakDetect _),
+    "q_readability" -> (qReadability _),
+    "q_welch_ttest" -> (qWelchTtest _),
+    "q_hazard_km" -> (qHazardKm _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -9385,7 +9578,136 @@ object Queries {
         |      * 1000000 // count(pd.pred)
         |    ELSE 0 END AS BIGINT) acc_ppm
         |FROM p LEFT JOIN pd ON p.vec_id = pd.pid
-        |GROUP BY p."label" ORDER BY p."label"""".stripMargin
+        |GROUP BY p."label" ORDER BY p."label"""".stripMargin,
+
+    "q_crosscorr" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 3600000000000 h, event_type
+        |  FROM events),
+        |cnt AS (SELECT h,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) y
+        |  FROM ev GROUP BY h),
+        |ext AS (SELECT min(h) hmin, max(h) hmax FROM cnt),
+        |grid AS (SELECT unnest(generate_series(hmin, hmax)) h FROM ext),
+        |f0 AS (SELECT grid.h, coalesce(x, 0) x, coalesce(y, 0) y
+        |  FROM grid LEFT JOIN cnt ON grid.h = cnt.h),
+        |lg AS (SELECT l.lag_h, a.x, b.y
+        |  FROM f0 a
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) lag_h) l
+        |  JOIN f0 b ON b.h = a.h + l.lag_h),
+        |m AS (SELECT lag_h, count(*) n,
+        |    sum(CAST(x AS HUGEINT)) sx, sum(CAST(y AS HUGEINT)) sy,
+        |    sum(CAST(x AS HUGEINT) * y) sxy,
+        |    sum(CAST(x AS HUGEINT) * x) sxx,
+        |    sum(CAST(y AS HUGEINT) * y) syy
+        |  FROM lg GROUP BY lag_h),
+        |fin AS (SELECT lag_h, CAST(n AS BIGINT) n,
+        |    CAST(n AS HUGEINT) * sxy - sx * sy num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx d1,
+        |    CAST(n AS HUGEINT) * syy - sy * sy d2 FROM m)
+        |SELECT CAST(lag_h AS BIGINT) lag_h, n,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) r_sign,
+        |  CASE WHEN d1 > 0 AND d2 > 0
+        |    THEN CAST((num * 1000 // d1) * (num * 1000 // d2) AS BIGINT)
+        |    ELSE NULL END r2_ppm
+        |FROM fin ORDER BY lag_h""".stripMargin,
+
+    "q_peak_detect" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 3600000000000 h, event_type
+        |  FROM events),
+        |cnt AS (SELECT event_type, h, count(*) c FROM ev GROUP BY 1, 2),
+        |ext AS (SELECT min(h) hmin, max(h) hmax FROM ev),
+        |grid AS (SELECT unnest(generate_series(hmin, hmax)) h FROM ext),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |dense AS (SELECT ty.event_type, grid.h, coalesce(c, 0) c
+        |  FROM ty CROSS JOIN grid LEFT JOIN cnt
+        |    ON cnt.event_type = ty.event_type AND cnt.h = grid.h),
+        |wnd AS (SELECT event_type, h, c,
+        |    lag(c, 1) OVER w p1, lag(c, 2) OVER w p2,
+        |    lead(c, 1) OVER w f1, lead(c, 2) OVER w f2
+        |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        |SELECT event_type, h, CAST(c AS BIGINT) c,
+        |  CAST(p2 + p1 + c + f1 + f2 AS BIGINT) sum5
+        |FROM wnd
+        |WHERE p2 IS NOT NULL AND f2 IS NOT NULL
+        |  AND c > p1 AND c > p2 AND c > f1 AND c > f2
+        |  AND c * 10 >= (p2 + p1 + c + f1 + f2) * 3
+        |ORDER BY event_type, h""".stripMargin,
+
+    "q_readability" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '\S+'))
+        |      AS BIGINT)) w,
+        |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) sy
+        |  FROM documents),
+        |f AS (SELECT source,
+        |    206835 - 1015 * w // sent - 84600 * sy // w fm FROM d)
+        |SELECT source, count(*) n_docs,
+        |  CAST(sum(fm) // count(*) AS BIGINT) avg_flesch_milli,
+        |  CAST(min(fm) AS BIGINT) min_flesch_milli,
+        |  CAST(max(fm) AS BIGINT) max_flesch_milli
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_welch_ttest" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) nation,
+        |    c_mktsegment = 'BUILDING' is_b,
+        |    CAST(floor(c_acctbal) AS BIGINT) x
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |g AS (SELECT nation,
+        |    sum(CASE WHEN is_b THEN 1 ELSE 0 END) n1,
+        |    sum(CASE WHEN is_b THEN x ELSE 0 END) s1,
+        |    sum(CASE WHEN is_b THEN CAST(x AS HUGEINT) * x ELSE 0 END) q1,
+        |    sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) n2,
+        |    sum(CASE WHEN NOT is_b THEN x ELSE 0 END) s2,
+        |    sum(CASE WHEN NOT is_b THEN CAST(x AS HUGEINT) * x ELSE 0 END) q2
+        |  FROM c GROUP BY nation HAVING n1 >= 2 AND n2 >= 2),
+        |t AS (SELECT nation, CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
+        |    CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 dd,
+        |    CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 v1n,
+        |    CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 v2n
+        |  FROM g),
+        |u AS (SELECT nation, n1, n2,
+        |    CAST(CASE WHEN dd > 0 THEN 1 WHEN dd < 0 THEN -1 ELSE 0 END
+        |      AS BIGINT) d_sign,
+        |    CAST(abs(dd) * 1000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+        |      md_milli,
+        |    CAST(v1n * 1000000 // (CAST(n1 AS HUGEINT) * n1 * (n1 - 1))
+        |      + v2n * 1000000 // (CAST(n2 AS HUGEINT) * n2 * (n2 - 1))
+        |      AS BIGINT) se2_micro
+        |  FROM t)
+        |SELECT nation, n1, n2, d_sign, md_milli,
+        |  CASE WHEN se2_micro > 0
+        |    THEN CAST(CAST(md_milli AS HUGEINT) * md_milli * 1000
+        |      // se2_micro AS BIGINT)
+        |    ELSE NULL END t2_milli
+        |FROM u ORDER BY nation""".stripMargin,
+
+    "q_hazard_km" ->
+      """WITH per AS (SELECT user_id, min(epoch_ns(ts)) t0,
+        |    max(epoch_ns(ts)) tlast,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) tp
+        |  FROM events GROUP BY user_id),
+        |dur AS (SELECT CASE WHEN tp IS NOT NULL
+        |      THEN (tp - t0) // 86400000000000
+        |      ELSE (tlast - t0) // 86400000000000 END d,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END e FROM per),
+        |byd AS (SELECT d, count(*) n_at, sum(e) d_ev FROM dur GROUP BY d),
+        |st AS (SELECT d, CAST(n_at AS BIGINT) n_at, CAST(d_ev AS BIGINT) d_ev,
+        |    sum(n_at) OVER () tot,
+        |    sum(n_at) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) cum
+        |  FROM byd),
+        |hz AS (SELECT d, CAST(tot - cum + n_at AS BIGINT) n_risk, d_ev,
+        |    CAST(d_ev * 1000000 // CAST(tot - cum + n_at AS BIGINT)
+        |      AS BIGINT) h_ppm FROM st),
+        |fin AS (SELECT d, n_risk, d_ev, h_ppm,
+        |    CAST(sum(h_ppm) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) ch_ppm FROM hz)
+        |SELECT d, n_risk, d_ev, h_ppm, ch_ppm
+        |FROM fin WHERE d_ev > 0 ORDER BY d""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -65,7 +65,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_hits" -> ("1-row per-role max-score aggregates broadcast for " +
       "the ppm normalization (one per role)"),
     "q_rocchio_classify" -> ("bounded per-language centroid relation " +
-      "(one row per lang) broadcast to the doc scan")
+      "(one row per lang) broadcast to the doc scan"),
+    "q_peak_detect" -> ("bounded hour-grid broadcast (<=720 rows, fixed " +
+      "30-day window) crossed with the <=5-row event-type domain")
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
@@ -105,7 +107,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "local skyline sliver; its size is the query's own output " +
       "(the exact frontier), not the input"),
     "q_sample_weighted" -> ("systematic-sampler shard-offset prefix " +
-      "sum, one row per shard")
+      "sum, one row per shard"),
+    "q_hazard_km" -> ("risk-set and cumulative-hazard windows on the " +
+      "duration-day relation, bounded by the fixed 30-day events " +
+      "observation window (<=31 rows at every SF)")
   )
 
   /** True iff the PHYSICAL plan contains an empty-partition window
