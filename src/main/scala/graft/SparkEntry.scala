@@ -5688,6 +5688,145 @@ object Queries {
       .orderBy(col("d"))
   }
 
+  /** Two-sample permutation test (distribution-free inference, the
+    * resampling sibling of q_welch_ttest): is the BUILDING/MACHINERY
+    * account-balance gap explainable by chance? 64 permuted group
+    * assignments derive from md5 parity of (custkey, permutation id) —
+    * deterministic on BOTH engines, which is what makes a resampling
+    * procedure oracle-checkable at all — plus b=0 carrying the real
+    * assignment. One explode to 65× the (filtered, two-column) scan,
+    * one aggregate keyed on b, and a 1-row × 64-row comparison (the
+    * whitelisted bounded cross). Statistic is the exact integer
+    * |Δmean|·10³; p = (1 + #{b: stat_b ≥ stat_obs}) / 65 in ppm. */
+  def qPermTest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").as("is_b"),
+        expr("CAST(floor(c_acctbal) AS BIGINT)").as("x"))
+    val dec = (e: String) => s"CAST($e AS DECIMAL(38,0))"
+    val stats = base
+      .select(col("c_custkey"), col("is_b"), col("x"),
+        explode(sequence(lit(0L), lit(64L))).as("b"))
+      .withColumn("g", when(col("b") === 0L, col("is_b"))
+        .otherwise(Sketches.hash32(
+          concat(col("c_custkey").cast("string"), lit("|"),
+            col("b").cast("string"))) % 2 === 0))
+      .groupBy(col("b")).agg(
+        sum(when(col("g"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g"), col("x")).otherwise(0L)).as("s1"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("g"), col("x")).otherwise(0L)).as("s2"))
+      .select(col("b"),
+        col("n1"), col("n2"),
+        expr(s"CAST(abs(${dec("s1")} * n2 - ${dec("s2")} * n1) * 1000 " +
+          s"div (${dec("n1")} * n2) AS BIGINT)").as("md_milli"))
+      // 65 rows; materialized eagerly so the obs/perm split below does
+      // not re-run the 65x explode-aggregate (same discipline as the
+      // other bounded intermediates)
+      .localCheckpoint(true)
+    val obs = stats.filter(col("b") === 0L)
+      .select(col("n1"), col("n2"), col("md_milli").as("obs_md_milli"))
+    val perm = stats.filter(col("b") > 0L).select(col("md_milli"))
+    obs.crossJoin(perm)
+      .groupBy(col("n1"), col("n2"), col("obs_md_milli"))
+      .agg(sum(when(col("md_milli") >= col("obs_md_milli"), 1L)
+        .otherwise(0L)).as("n_ge"))
+      .select(col("n1"), col("n2"), col("obs_md_milli"), col("n_ge"),
+        expr("(1 + n_ge) * 1000000 div 65").as("p_ppm"))
+      .orderBy(col("n1"))
+  }
+
+  /** Item-item lift recommendations: parts co-purchased within an
+    * order, scored by lift = P(a,b)/(P(a)·P(b)) in exact ppm integer
+    * form (c_ab·N·10⁶ div (c_a·c_b)), top-3 recommendations per item
+    * with support ≥ 2. Pair volume is bounded by the per-order item
+    * count (≤7 in the TPC-H shape — the same basket bound
+    * q_itemset_pairs leans on), built by the collect_set + array
+    * pair-explode idiom: one shuffle to baskets, one to pair counts,
+    * two key joins for the margins, one bounded 1-row N broadcast
+    * (whitelisted), one partitioned rank window. */
+  def qItemLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("pks"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairs = baskets.filter(size(col("pks")) >= 2)
+      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(pks, i + 2, 10000)")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 2)
+    val margin = baskets
+      .select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val directed = pairs.select(col("a"), col("b"), col("c_ab"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b"),
+        col("c_ab")))
+    val scored = directed
+      .join(margin.select(col("pk").as("a"), col("c").as("c_a")), "a")
+      .join(margin.select(col("pk").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("c_ab"),
+        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * n_orders * 1000000 " +
+          "div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)")
+          .as("lift_ppm"))
+    scored.withColumn("rk", row_number().over(Window.partitionBy(col("a"))
+        .orderBy(col("lift_ppm").desc, col("b"))))
+      .filter(col("rk") <= 3)
+      .select(col("a"), col("rk").cast("long").as("rk"), col("b"),
+        col("c_ab"), col("lift_ppm"))
+      .orderBy(col("a"), col("rk"))
+  }
+
+  /** Consistent-hashing shard-rebalance audit: when a cluster grows
+    * 8 → 9 shards, what fraction of keys move under naive mod-hash
+    * placement versus a 4-vnode-per-shard hash ring? (The classic
+    * answer — mod moves ~8/9 of everything, the ring moves ~1/9 —
+    * here measured exactly on the md5 key hashes both engines
+    * agree on.) The ring lookup is first-vnode-clockwise with
+    * wraparound, evaluated per key against the 68-row vnode relation
+    * (a bounded broadcast, whitelisted); per scheme one aggregate
+    * emits keys moved + ppm. */
+  def qConsistentShard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables.documents(s, dir)
+      .select(col("doc_id"), Sketches.hash32(col("doc_id")).as("h"))
+    // vnode points for both ring sizes, derived from md5 like the key
+    // hashes: ring r8 has shards 0..7, r9 adds shard 8's 4 vnodes
+    val vn = (for { sh <- 0 to 8; r <- 0 to 3 } yield (sh, r))
+      .toDF("sh0", "r")
+      .select(col("sh0").cast("long").as("sh"),
+        Sketches.hash32(concat(lit("s"), col("sh0").cast("string"),
+          lit("-"), col("r").cast("string"))).as("vh"))
+    // ONE pass: both ring assignments come out of one 36-row bounded
+    // cross (conditional min skips shard 8's vnodes for the r8 ring;
+    // min-of-struct = first vnode clockwise, wraparound via the
+    // wrapped flag sorting last), and the mod comparison reads the
+    // same grouped relation's key hash.
+    val wrapStruct = struct((col("vh") < col("h")).as("wrapped"),
+      col("vh"), col("sh"))
+    val assigned = keys.crossJoin(broadcast(vn))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(when(col("sh") <= 7L, wrapStruct)).as("m8"),
+        min(wrapStruct).as("m9"))
+      .select(col("h"), col("m8.sh").as("r8"), col("m9.sh").as("r9"))
+    assigned.agg(count(lit(1)).as("n_keys"),
+        sum(when(col("h") % 8 =!= col("h") % 9, 1L).otherwise(0L))
+          .as("mod_moved"),
+        sum(when(col("r8") =!= col("r9"), 1L).otherwise(0L))
+          .as("ring_moved"))
+      .select(explode(array(
+        struct(lit("mod").as("scheme"), col("n_keys"),
+          col("mod_moved").as("n_moved")),
+        struct(lit("ring").as("scheme"), col("n_keys"),
+          col("ring_moved").as("n_moved")))).as("s"))
+      .select(col("s.scheme").as("scheme"), col("s.n_keys").as("n_keys"),
+        col("s.n_moved").as("n_moved"),
+        expr("s.n_moved * 1000000 div s.n_keys").as("moved_ppm"))
+      .orderBy(col("scheme"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -5915,7 +6054,10 @@ object Queries {
     "q_peak_detect" -> (qPeakDetect _),
     "q_readability" -> (qReadability _),
     "q_welch_ttest" -> (qWelchTtest _),
-    "q_hazard_km" -> (qHazardKm _)
+    "q_hazard_km" -> (qHazardKm _),
+    "q_perm_test" -> (qPermTest _),
+    "q_item_lift" -> (qItemLift _),
+    "q_consistent_shard" -> (qConsistentShard _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -9720,7 +9862,89 @@ object Queries {
         |    CAST(sum(h_ppm) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
         |      AS BIGINT) ch_ppm FROM hz)
         |SELECT d, n_risk, d_ev, h_ppm, ch_ppm
-        |FROM fin WHERE d_ev > 0 ORDER BY d""".stripMargin
+        |FROM fin WHERE d_ev > 0 ORDER BY d""".stripMargin,
+
+    "q_perm_test" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment = 'BUILDING' is_b,
+        |    CAST(floor(c_acctbal) AS BIGINT) x
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |eb AS (SELECT c_custkey, is_b, x,
+        |    unnest(generate_series(0, 64)) b FROM base),
+        |g AS (SELECT b, CASE WHEN b = 0 THEN is_b
+        |    ELSE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|'
+        |      || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 END gb,
+        |    x FROM eb),
+        |st AS (SELECT b,
+        |    sum(CASE WHEN gb THEN 1 ELSE 0 END) n1,
+        |    sum(CASE WHEN gb THEN x ELSE 0 END) s1,
+        |    sum(CASE WHEN NOT gb THEN 1 ELSE 0 END) n2,
+        |    sum(CASE WHEN NOT gb THEN x ELSE 0 END) s2
+        |  FROM g GROUP BY b),
+        |md AS (SELECT b, CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
+        |    CAST(abs(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+        |      * 1000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) md_milli
+        |  FROM st),
+        |obs AS (SELECT n1, n2, md_milli obs_md_milli FROM md WHERE b = 0),
+        |agg AS (SELECT obs.n1, obs.n2, obs.obs_md_milli,
+        |    sum(CASE WHEN p.md_milli >= obs.obs_md_milli THEN 1 ELSE 0
+        |      END) n_ge
+        |  FROM obs CROSS JOIN (SELECT md_milli FROM md WHERE b > 0) p
+        |  GROUP BY obs.n1, obs.n2, obs.obs_md_milli)
+        |SELECT n1, n2, obs_md_milli, CAST(n_ge AS BIGINT) n_ge,
+        |  (1 + CAST(n_ge AS BIGINT)) * 1000000 // 65 p_ppm
+        |FROM agg ORDER BY n1""".stripMargin,
+
+    "q_item_lift" ->
+      """WITH io AS (SELECT DISTINCT l_orderkey ok, l_partkey pk
+        |  FROM lineitem),
+        |n0 AS (SELECT count(DISTINCT ok) n_orders FROM io),
+        |pr AS (SELECT a.pk a, b.pk b, count(*) c_ab
+        |  FROM io a JOIN io b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        |marg AS (SELECT pk, count(*) c FROM io GROUP BY pk),
+        |dr AS (SELECT a, b, c_ab FROM pr
+        |  UNION ALL SELECT b, a, c_ab FROM pr),
+        |sc AS (SELECT dr.a, dr.b, c_ab,
+        |    CAST(CAST(c_ab AS HUGEINT) * n_orders * 1000000
+        |      // (CAST(ma.c AS HUGEINT) * mb.c) AS BIGINT) lift_ppm
+        |  FROM dr JOIN marg ma ON dr.a = ma.pk
+        |    JOIN marg mb ON dr.b = mb.pk CROSS JOIN n0),
+        |rk AS (SELECT a, b, c_ab, lift_ppm, row_number()
+        |    OVER (PARTITION BY a ORDER BY lift_ppm DESC, b) rk FROM sc)
+        |SELECT a, CAST(rk AS BIGINT) rk, b, c_ab, lift_ppm
+        |FROM rk WHERE rk <= 3 ORDER BY a, rk""".stripMargin,
+
+    "q_consistent_shard" ->
+      """WITH k AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT h
+        |  FROM documents),
+        |vn AS (SELECT sh, ('0x' || substr(md5('s' || CAST(sh AS VARCHAR)
+        |      || '-' || CAST(r AS VARCHAR)), 1, 8))::BIGINT vh
+        |  FROM (SELECT unnest(generate_series(0, 8)) sh) s,
+        |    (SELECT unnest(generate_series(0, 3)) r) r),
+        |a8 AS (SELECT doc_id, h, sh r8 FROM (
+        |    SELECT k.doc_id, k.h, vn.sh, row_number() OVER (
+        |      PARTITION BY k.doc_id
+        |      ORDER BY (vn.vh < k.h), vn.vh, vn.sh) rn
+        |    FROM k CROSS JOIN vn WHERE vn.sh <= 7) WHERE rn = 1),
+        |a9 AS (SELECT doc_id, sh r9 FROM (
+        |    SELECT k.doc_id, vn.sh, row_number() OVER (
+        |      PARTITION BY k.doc_id
+        |      ORDER BY (vn.vh < k.h), vn.vh, vn.sh) rn
+        |    FROM k CROSS JOIN vn) WHERE rn = 1),
+        |j AS (SELECT a8.h, a8.r8, a9.r9 FROM a8 JOIN a9 USING (doc_id)),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) n_keys,
+        |    CAST(sum(CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END)
+        |      AS BIGINT) mod_moved,
+        |    CAST(sum(CASE WHEN r8 <> r9 THEN 1 ELSE 0 END)
+        |      AS BIGINT) ring_moved FROM j)
+        |SELECT * FROM (
+        |  SELECT 'mod' scheme, n_keys, mod_moved n_moved,
+        |    mod_moved * 1000000 // n_keys moved_ppm FROM ag
+        |  UNION ALL
+        |  SELECT 'ring', n_keys, ring_moved,
+        |    ring_moved * 1000000 // n_keys FROM ag)
+        |ORDER BY scheme""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -67,7 +67,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_rocchio_classify" -> ("bounded per-language centroid relation " +
       "(one row per lang) broadcast to the doc scan"),
     "q_peak_detect" -> ("bounded hour-grid broadcast (<=720 rows, fixed " +
-      "30-day window) crossed with the <=5-row event-type domain")
+      "30-day window) crossed with the <=5-row event-type domain"),
+    "q_perm_test" -> ("1-row observed-statistic relation crossed onto " +
+      "the 64-row permutation-statistic relation (both bounded)"),
+    "q_item_lift" -> "1-row basket-count broadcast for the lift scale",
+    "q_consistent_shard" -> ("36-row vnode ring broadcast crossed onto " +
+      "the key scan (constant-size by construction)")
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
