@@ -5827,6 +5827,106 @@ object Queries {
       .orderBy(col("scheme"))
   }
 
+  /** SAX-style symbolic motif mining over the hourly event series:
+    * each (event_type, day) window's 24 hourly counts rank-quantize
+    * to a 4-letter alphabet (rank-SAX — the exact-integer sibling of
+    * the Gaussian-breakpoint original), adjacent letters form 3-gram
+    * motifs at their hour offset, and the top-5 recurring (offset,
+    * motif) patterns per event type surface daily-rhythm structure.
+    * Every window partitions by (type, day) — 24 rows each, bounded
+    * by construction; the motif count is one hash aggregate. */
+  def qSaxMotifs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(expr("ts div 86400000000000").as("day"),
+        expr("(ts div 3600000000000) % 24").as("hour"), col("event_type"))
+    val grid = ev.select(col("event_type"), col("day")).distinct()
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0L), lit(23L))).as("hour"))
+    val cnt = ev.groupBy(col("event_type"), col("day"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+    val dayW = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("c"), col("hour"))
+    val sym = grid.join(cnt, Seq("event_type", "day", "hour"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("rn", row_number().over(dayW).cast("long"))
+      .withColumn("letter", expr("(rn - 1) * 4 div 24"))
+    val seqW = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("hour"))
+    sym
+      .withColumn("l1", lead(col("letter"), 1).over(seqW))
+      .withColumn("l2", lead(col("letter"), 2).over(seqW))
+      .filter(col("l2").isNotNull)
+      .select(col("event_type"), col("hour"),
+        concat(col("letter").cast("string"), lit("-"),
+          col("l1").cast("string"), lit("-"), col("l2").cast("string"))
+          .as("motif"))
+      .groupBy(col("event_type"), col("hour"), col("motif"))
+      .agg(count(lit(1)).as("n_days"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("n_days").desc, col("motif"), col("hour"))))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"), col("rk").cast("long").as("rk"),
+        col("hour"), col("motif"), col("n_days"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** Heavy-change detection (the "deltoids" monitoring primitive):
+    * users whose activity ratio between the window's first 15 days
+    * and the rest shifts most, scored by the Laplace-smoothed exact
+    * ratio (c₂+1)·10⁶ div (c₁+1). One aggregate keyed on user (the
+    * 1-row min-day broadcast anchors "day 0" — the q_decay_popularity
+    * idiom, whitelisted), two bounded TakeOrdered legs: top-10
+    * risers + top-10 fallers. */
+  def qHeavyChange(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val per = ev.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        (col("day") - col("d0") < 15L).as("early"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("c2"))
+      .select(col("user_id"), col("c1"), col("c2"),
+        expr("(c2 + 1) * 1000000 div (c1 + 1)").as("ratio_ppm"))
+    val risers = per.orderBy(col("ratio_ppm").desc, col("user_id")).limit(10)
+      .select(lit("riser").as("role"), col("user_id"), col("c1"),
+        col("c2"), col("ratio_ppm"))
+    val fallers = per.orderBy(col("ratio_ppm").asc, col("user_id")).limit(10)
+      .select(lit("faller").as("role"), col("user_id"), col("c1"),
+        col("c2"), col("ratio_ppm"))
+    risers.unionByName(fallers)
+      .orderBy(col("role"), col("ratio_ppm").desc, col("user_id"))
+  }
+
+  /** Order-independent table fingerprints for replication/migration
+    * validation: per table, a checksum = Σ md5-derived 60-bit row
+    * hashes of the canonical '|'-joined integer/string projection,
+    * reduced mod 1e9+7 — two tables with equal (rows, checksum) match
+    * with overwhelming probability REGARDLESS of row order or
+    * partitioning, which is what makes the check shippable between
+    * engines (q_table_diff finds which rows differ; this answers
+    * "did the copy land?" with one row per table at scan speed). */
+  def qTableChecksum(s: SparkSession, dir: String): DataFrame = {
+    def sumRow(df: DataFrame, tag: String, canon: org.apache.spark.sql.Column) =
+      df.select(conv(substring(md5(canon), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000007 AS BIGINT)")
+            .as("checksum"))
+        .select(lit(tag).as("tbl"), col("n_rows"), col("checksum"))
+    val nation = sumRow(Tables.nation(s, dir), "nation",
+      concat_ws("|", col("n_nationkey").cast("string"), col("n_name"),
+        col("n_regionkey").cast("string")))
+    val region = sumRow(Tables.region(s, dir), "region",
+      concat_ws("|", col("r_regionkey").cast("string"), col("r_name")))
+    val cust = sumRow(Tables.customer(s, dir), "customer",
+      concat_ws("|", col("c_custkey").cast("string"), col("c_name"),
+        col("c_nationkey").cast("string"), col("c_mktsegment")))
+    nation.unionByName(region).unionByName(cust).orderBy(col("tbl"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -6057,7 +6157,10 @@ object Queries {
     "q_hazard_km" -> (qHazardKm _),
     "q_perm_test" -> (qPermTest _),
     "q_item_lift" -> (qItemLift _),
-    "q_consistent_shard" -> (qConsistentShard _)
+    "q_consistent_shard" -> (qConsistentShard _),
+    "q_sax_motifs" -> (qSaxMotifs _),
+    "q_heavy_change" -> (qHeavyChange _),
+    "q_table_checksum" -> (qTableChecksum _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -9944,7 +10047,77 @@ object Queries {
         |  UNION ALL
         |  SELECT 'ring', n_keys, ring_moved,
         |    ring_moved * 1000000 // n_keys FROM ag)
-        |ORDER BY scheme""".stripMargin
+        |ORDER BY scheme""".stripMargin,
+
+    "q_sax_motifs" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS dy,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour, event_type
+        |  FROM events),
+        |td AS (SELECT DISTINCT event_type, dy FROM ev),
+        |grid AS (SELECT event_type, dy,
+        |    unnest(generate_series(0, 23)) AS hour FROM td),
+        |cnt AS (SELECT event_type, dy, hour, count(*) c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |sym AS (SELECT g.event_type, g.dy, g.hour, coalesce(c, 0) c,
+        |    (row_number() OVER (PARTITION BY g.event_type, g.dy
+        |      ORDER BY coalesce(c, 0), g.hour) - 1) * 4 // 24 letter
+        |  FROM grid g LEFT JOIN cnt ON cnt.event_type = g.event_type
+        |    AND cnt.dy = g.dy AND cnt.hour = g.hour),
+        |tri AS (SELECT event_type, hour,
+        |    CAST(letter AS VARCHAR) || '-' || CAST(l1 AS VARCHAR)
+        |      || '-' || CAST(l2 AS VARCHAR) motif
+        |  FROM (SELECT event_type, hour, letter,
+        |      lead(letter, 1) OVER w l1, lead(letter, 2) OVER w l2
+        |    FROM sym WINDOW w AS (PARTITION BY event_type, dy
+        |      ORDER BY hour))
+        |  WHERE l2 IS NOT NULL),
+        |mc AS (SELECT event_type, hour, motif, count(*) n_days
+        |  FROM tri GROUP BY 1, 2, 3),
+        |rk AS (SELECT event_type, hour, motif, n_days,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n_days DESC, motif, hour) rk FROM mc)
+        |SELECT event_type, CAST(rk AS BIGINT) rk, hour, motif, n_days
+        |FROM rk WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin,
+
+    "q_heavy_change" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS dy, user_id
+        |  FROM events),
+        |d0 AS (SELECT min(dy) d0 FROM ev),
+        |per AS (SELECT user_id,
+        |    sum(CASE WHEN dy - d0.d0 < 15 THEN 1 ELSE 0 END) c1,
+        |    sum(CASE WHEN dy - d0.d0 >= 15 THEN 1 ELSE 0 END) c2
+        |  FROM ev CROSS JOIN d0 GROUP BY user_id),
+        |r AS (SELECT user_id, CAST(c1 AS BIGINT) c1, CAST(c2 AS BIGINT) c2,
+        |    (CAST(c2 AS BIGINT) + 1) * 1000000
+        |      // (CAST(c1 AS BIGINT) + 1) ratio_ppm FROM per),
+        |ris AS (SELECT 'riser' AS "role", user_id, c1, c2, ratio_ppm
+        |  FROM r ORDER BY ratio_ppm DESC, user_id LIMIT 10),
+        |fal AS (SELECT 'faller' AS "role", user_id, c1, c2, ratio_ppm
+        |  FROM r ORDER BY ratio_ppm ASC, user_id LIMIT 10)
+        |SELECT * FROM (SELECT * FROM ris UNION ALL SELECT * FROM fal)
+        |ORDER BY "role", ratio_ppm DESC, user_id""".stripMargin,
+
+    "q_table_checksum" ->
+      """WITH cs AS (
+        |  SELECT 'customer' tbl, count(*) n_rows,
+        |    CAST(sum(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR)
+        |      || '|' || c_mktsegment), 1, 15))::BIGINT)
+        |      % 1000000007 AS BIGINT) checksum
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'nation', count(*),
+        |    CAST(sum(('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)
+        |      || '|' || n_name || '|' || CAST(n_regionkey AS VARCHAR)),
+        |      1, 15))::BIGINT) % 1000000007 AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'region', count(*),
+        |    CAST(sum(('0x' || substr(md5(CAST(r_regionkey AS VARCHAR)
+        |      || '|' || r_name), 1, 15))::BIGINT)
+        |      % 1000000007 AS BIGINT)
+        |  FROM region)
+        |SELECT tbl, n_rows, checksum FROM cs ORDER BY tbl""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -72,7 +72,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "the 64-row permutation-statistic relation (both bounded)"),
     "q_item_lift" -> "1-row basket-count broadcast for the lift scale",
     "q_consistent_shard" -> ("36-row vnode ring broadcast crossed onto " +
-      "the key scan (constant-size by construction)")
+      "the key scan (constant-size by construction)"),
+    "q_heavy_change" -> ("1-row min-day broadcast anchoring the split " +
+      "(the q_decay_popularity idiom)")
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
