@@ -5927,6 +5927,108 @@ object Queries {
     nation.unionByName(region).unionByName(cust).orderBy(col("tbl"))
   }
 
+  /** Iterative BPE merge training — the real tokenizer-construction
+    * loop, not just the first-merge census (q_bpe_first_merge): five
+    * rounds of most-frequent-adjacent-pair selection and corpus-wide
+    * merge application over the frequency-weighted word vocabulary.
+    * The merge step is the classic space-joined-symbols string
+    * `replace` (leftmost non-overlapping on BOTH engines), which is
+    * what keeps a data-dependent sequential algorithm exactly
+    * SQL-expressible — the oracle unrolls the same five stages with
+    * scalar subqueries for each round's winner. Each round is one
+    * narrow aggregate over the VOCAB relation (bounded by language,
+    * not corpus size — the scale-safe form of BPE training) plus a
+    * bounded driver scalar for the winning pair; lineage is cut per
+    * round (`localCheckpoint`) so round r never replays rounds 1..r−1.
+    * Tie → lexicographically smaller pair. */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("f"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"))
+    var cur = dec.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (step <- 1 to 5) {
+      val top = cur
+        .select(col("f"), split(col("seq"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("f"), explode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1).head()
+      val p = top.getString(0)
+      merges += ((step.toLong, p, top.getLong(1)))
+      val next = cur.withColumn("seq",
+        org.apache.spark.sql.functions.replace(col("seq"), lit(p),
+          lit(p.replace(" ", "")))).localCheckpoint(true)
+      cur.unpersist()
+      cur = next
+    }
+    cur.unpersist()
+    merges.toSeq.toDF("step", "pair", "n_merged").orderBy(col("step"))
+  }
+
+  /** Empirical-Bayes rate shrinkage (additive smoothing toward the
+    * global prior): per-user purchase rate with 100 pseudo-events of
+    * the corpus-wide rate mixed in — the ranking that does NOT crown
+    * a 1-for-1 user over a 90-for-100 one. Exact integer: shrunk_ppm
+    * = (k·10⁶ + 100·prior_ppm) div (n + 100). One aggregate keyed on
+    * user + the 1-row prior broadcast (whitelisted); top-10 raw vs
+    * shrunk side by side shows the correction. */
+  def qEbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+    val prior = per.agg(
+      expr("sum(k) * 1000000 div sum(n)").as("prior_ppm"))
+    per.crossJoin(broadcast(prior))
+      .select(col("user_id"), col("n"), col("k"),
+        expr("k * 1000000 div n").as("raw_ppm"),
+        expr("(k * 1000000 + 100 * prior_ppm) div (n + 100)")
+          .as("shrunk_ppm"))
+      .orderBy(col("shrunk_ppm").desc, col("user_id"))
+      .limit(10)
+  }
+
+  /** Ordered-set aggregate battery: per nation, the modal market
+    * segment (tie → lexicographically smallest — made deterministic
+    * where SQL's MODE is not) and the discrete median account balance
+    * (percentile_disc semantics: the smallest VALUE whose cumulative
+    * count reaches ⌈n/2⌉ — an actual data value, unlike the
+    * interpolated percentile_cont family q_quantiles covers). Mode
+    * via one (nation, segment) aggregate + struct-min; median via a
+    * value-ordered rank filtered at (n+1) div 2. */
+  def qModeDisc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, dir).select(
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("cents"),
+      col("c_custkey"))
+    val mode = c.groupBy(col("nation"), col("seg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("nation"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("seg"))).as("m"),
+        sum(col("cnt")).as("n"))
+      .select(col("nation"), col("n"), col("m.seg").as("mode_seg"),
+        (-col("m.neg")).as("mode_n"))
+    val med = c
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("nation"))
+          .orderBy(col("cents"), col("c_custkey"))))
+      .withColumn("nn", count(lit(1)).over(
+        Window.partitionBy(col("nation"))))
+      .filter(col("rn") === expr("(nn + 1) div 2"))
+      .select(col("nation"), col("cents").as("median_cents"))
+    mode.join(med, "nation").orderBy(col("nation"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -6160,7 +6262,10 @@ object Queries {
     "q_consistent_shard" -> (qConsistentShard _),
     "q_sax_motifs" -> (qSaxMotifs _),
     "q_heavy_change" -> (qHeavyChange _),
-    "q_table_checksum" -> (qTableChecksum _)
+    "q_table_checksum" -> (qTableChecksum _),
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_eb_shrinkage" -> (qEbShrinkage _),
+    "q_mode_disc" -> (qModeDisc _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -10117,7 +10222,100 @@ object Queries {
         |      || '|' || r_name), 1, 15))::BIGINT)
         |      % 1000000007 AS BIGINT)
         |  FROM region)
-        |SELECT tbl, n_rows, checksum FROM cs ORDER BY tbl""".stripMargin
+        |SELECT tbl, n_rows, checksum FROM cs ORDER BY tbl""".stripMargin,
+
+    "q_bpe_merges" ->
+      """WITH w0 AS (SELECT w, count(*) f FROM (
+        |    SELECT unnest(string_split(text, ' ')) w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |s0 AS (SELECT f, trim(regexp_replace(w, '(.)', '\1 ', 'g')) seq
+        |  FROM w0),
+        |p1 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s0)),
+        |a1 AS (SELECT pair, sum(f) n FROM p1 GROUP BY pair),
+        |m1 AS (SELECT pair, CAST(n AS BIGINT) n FROM a1
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |s1 AS (SELECT f, replace(seq, (SELECT pair FROM m1),
+        |    replace((SELECT pair FROM m1), ' ', '')) seq FROM s0),
+        |p2 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s1)),
+        |a2 AS (SELECT pair, sum(f) n FROM p2 GROUP BY pair),
+        |m2 AS (SELECT pair, CAST(n AS BIGINT) n FROM a2
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |s2 AS (SELECT f, replace(seq, (SELECT pair FROM m2),
+        |    replace((SELECT pair FROM m2), ' ', '')) seq FROM s1),
+        |p3 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s2)),
+        |a3 AS (SELECT pair, sum(f) n FROM p3 GROUP BY pair),
+        |m3 AS (SELECT pair, CAST(n AS BIGINT) n FROM a3
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |s3 AS (SELECT f, replace(seq, (SELECT pair FROM m3),
+        |    replace((SELECT pair FROM m3), ' ', '')) seq FROM s2),
+        |p4 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s3)),
+        |a4 AS (SELECT pair, sum(f) n FROM p4 GROUP BY pair),
+        |m4 AS (SELECT pair, CAST(n AS BIGINT) n FROM a4
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |s4 AS (SELECT f, replace(seq, (SELECT pair FROM m4),
+        |    replace((SELECT pair FROM m4), ' ', '')) seq FROM s3),
+        |p5 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s4)),
+        |a5 AS (SELECT pair, sum(f) n FROM p5 GROUP BY pair),
+        |m5 AS (SELECT pair, CAST(n AS BIGINT) n FROM a5
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |s5 AS (SELECT f, replace(seq, (SELECT pair FROM m5),
+        |    replace((SELECT pair FROM m5), ' ', '')) seq FROM s4),
+        |fin AS (
+        |  SELECT CAST(1 AS BIGINT) step, pair, n n_merged FROM m1
+        |  UNION ALL SELECT 2, pair, n FROM m2
+        |  UNION ALL SELECT 3, pair, n FROM m3
+        |  UNION ALL SELECT 4, pair, n FROM m4
+        |  UNION ALL SELECT 5, pair, n FROM m5)
+        |SELECT step, pair, n_merged FROM fin ORDER BY step""".stripMargin,
+
+    "q_eb_shrinkage" ->
+      """WITH per AS (SELECT user_id, count(*) n,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) k
+        |  FROM events GROUP BY user_id),
+        |pri AS (SELECT CAST(sum(k) AS HUGEINT) * 1000000 // sum(n)
+        |    prior_ppm FROM per)
+        |SELECT user_id, CAST(n AS BIGINT) n, CAST(k AS BIGINT) k,
+        |  CAST(CAST(k AS HUGEINT) * 1000000 // n AS BIGINT) raw_ppm,
+        |  CAST((CAST(k AS HUGEINT) * 1000000 + 100 * prior_ppm)
+        |    // (n + 100) AS BIGINT) shrunk_ppm
+        |FROM per CROSS JOIN pri
+        |ORDER BY shrunk_ppm DESC, user_id LIMIT 10""".stripMargin,
+
+    "q_mode_disc" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) nation,
+        |    c_mktsegment seg,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) cents, c_custkey
+        |  FROM customer),
+        |mc AS (SELECT nation, seg, count(*) cnt FROM c GROUP BY 1, 2),
+        |mr AS (SELECT nation, seg, cnt,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY cnt DESC, seg) rn,
+        |    sum(cnt) OVER (PARTITION BY nation) n FROM mc),
+        |mo AS (SELECT nation, CAST(n AS BIGINT) n, seg mode_seg,
+        |    CAST(cnt AS BIGINT) mode_n FROM mr WHERE rn = 1),
+        |me AS (SELECT nation, cents median_cents FROM (
+        |    SELECT nation, cents, row_number() OVER (PARTITION BY nation
+        |        ORDER BY cents, c_custkey) rn,
+        |      count(*) OVER (PARTITION BY nation) nn FROM c)
+        |  WHERE rn = (nn + 1) // 2)
+        |SELECT mo.nation, n, mode_seg, mode_n, median_cents
+        |FROM mo JOIN me ON mo.nation = me.nation
+        |ORDER BY mo.nation""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -74,7 +74,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_consistent_shard" -> ("36-row vnode ring broadcast crossed onto " +
       "the key scan (constant-size by construction)"),
     "q_heavy_change" -> ("1-row min-day broadcast anchoring the split " +
-      "(the q_decay_popularity idiom)")
+      "(the q_decay_popularity idiom)"),
+    "q_eb_shrinkage" -> "1-row global-prior broadcast for the shrinkage"
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
