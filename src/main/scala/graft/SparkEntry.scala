@@ -6029,6 +6029,99 @@ object Queries {
     mode.join(med, "nation").orderBy(col("nation"))
   }
 
+  /** Prefix-autocomplete index: for every 1–4 char prefix of the
+    * frequency-weighted vocabulary, the top-3 completions by corpus
+    * frequency (tie → lexicographic). The index relation is bounded
+    * by VOCABULARY size × 4, not corpus size — the scale posture of
+    * every search-index query in the catalog — and the ranking window
+    * partitions by prefix. Support floor f ≥ 2 drops hapax noise. */
+  def qAutocomplete(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2)
+    vocab
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), least(lit(4), length(col("w")))))
+          .as("plen"))
+      .select(col("w").substr(lit(1), col("plen")).as("prefix"),
+        col("w"), col("f"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("prefix"))
+        .orderBy(col("f").desc, col("w"))))
+      .filter(col("rk") <= 3)
+      .select(col("prefix"), col("rk").cast("long").as("rk"), col("w"),
+        col("f"))
+      .orderBy(col("prefix"), col("rk"))
+  }
+
+  /** Burstiness classification by the Fano factor (variance-to-mean
+    * dispersion of the hourly arrival counts, Poisson ⇒ 1): per event
+    * type over the zero-filled dense hour grid, fano_milli =
+    * (H·Q − S²)·1000 div (H·S) from exact integer moments — the
+    * dispersion diagnostic that decides whether rate-based alerting
+    * can assume Poisson noise. Grid bounded by the fixed 30-day
+    * window; one aggregate per type. */
+  def qFanoBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("ts div 3600000000000").as("h"), col("event_type"))
+    val grid = ev.agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .select(explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val cnt = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(cnt, Seq("event_type", "h"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("q"))
+      .select(col("event_type"), col("n_hours"), col("s"),
+        expr("CAST((CAST(n_hours AS DECIMAL(38,0)) * q - " +
+          "CAST(s AS DECIMAL(38,0)) * s) * 1000 div " +
+          "(CAST(n_hours AS DECIMAL(38,0)) * s) AS BIGINT)")
+          .as("fano_milli"))
+      .withColumn("dispersion",
+        when(col("fano_milli") > 1100L, "bursty")
+          .when(col("fano_milli") < 900L, "regular")
+          .otherwise("poisson-like"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Inter-arrival time profile per event type: discrete p50/p90 of
+    * the per-user gap between consecutive events of that type, in
+    * seconds — the latency-distribution read that sizes session
+    * timeouts and stream watermarks. Gaps come off one user+type
+    * partitioned lag; the percentile_disc ranks partition by type
+    * (never global); rank r = ⌈q·n⌉ via exact integer ceil. */
+  def qInterarrival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("gap_s",
+        expr("(ts - lag(ts, 1) OVER (PARTITION BY user_id, event_type " +
+          "ORDER BY ts)) div 1000000000"))
+      .filter(col("gap_s").isNotNull)
+      .select(col("event_type"), col("gap_s"))
+    // both percentile ranks read off ONE ranked pass (conditional agg,
+    // no second window or self-join)
+    gaps
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("gap_s"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(9 * n + 9) div 10"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap_s")))
+          .as("p50_s"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap_s")))
+          .as("p90_s"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -6265,7 +6358,10 @@ object Queries {
     "q_table_checksum" -> (qTableChecksum _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
-    "q_mode_disc" -> (qModeDisc _)
+    "q_mode_disc" -> (qModeDisc _),
+    "q_autocomplete" -> (qAutocomplete _),
+    "q_fano_burstiness" -> (qFanoBurstiness _),
+    "q_interarrival" -> (qInterarrival _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -10315,7 +10411,60 @@ object Queries {
         |  WHERE rn = (nn + 1) // 2)
         |SELECT mo.nation, n, mode_seg, mode_n, median_cents
         |FROM mo JOIN me ON mo.nation = me.nation
-        |ORDER BY mo.nation""".stripMargin
+        |ORDER BY mo.nation""".stripMargin,
+
+    "q_autocomplete" ->
+      """WITH v AS (SELECT w, count(*) f FROM (
+        |    SELECT unnest(string_split(text, ' ')) w FROM documents)
+        |  WHERE length(w) >= 1 GROUP BY w HAVING count(*) >= 2),
+        |px AS (SELECT substr(w, 1, CAST(plen AS INT)) prefix, w, f
+        |  FROM (SELECT w, f,
+        |      unnest(generate_series(1, least(4, length(w)))) plen FROM v)),
+        |rk AS (SELECT prefix, w, f, row_number() OVER (
+        |    PARTITION BY prefix ORDER BY f DESC, w) rk FROM px)
+        |SELECT prefix, CAST(rk AS BIGINT) rk, w, f
+        |FROM rk WHERE rk <= 3 ORDER BY prefix, rk""".stripMargin,
+
+    "q_fano_burstiness" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 3600000000000 h, event_type
+        |  FROM events),
+        |ext AS (SELECT min(h) hmin, max(h) hmax FROM ev),
+        |grid AS (SELECT unnest(generate_series(hmin, hmax)) h FROM ext),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |cnt AS (SELECT event_type, h, count(*) c FROM ev GROUP BY 1, 2),
+        |dense AS (SELECT ty.event_type, grid.h, coalesce(c, 0) c
+        |  FROM ty CROSS JOIN grid LEFT JOIN cnt
+        |    ON cnt.event_type = ty.event_type AND cnt.h = grid.h),
+        |m AS (SELECT event_type, count(*) n_hours, sum(c) s,
+        |    sum(CAST(c AS HUGEINT) * c) q FROM dense GROUP BY event_type)
+        |SELECT event_type, CAST(n_hours AS BIGINT) n_hours,
+        |  CAST(s AS BIGINT) s,
+        |  CAST((CAST(n_hours AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |    * 1000 // (CAST(n_hours AS HUGEINT) * s) AS BIGINT) fano_milli,
+        |  CASE WHEN (CAST(n_hours AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |      * 1000 // (CAST(n_hours AS HUGEINT) * s) > 1100 THEN 'bursty'
+        |    WHEN (CAST(n_hours AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |      * 1000 // (CAST(n_hours AS HUGEINT) * s) < 900 THEN 'regular'
+        |    ELSE 'poisson-like' END dispersion
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY epoch_ns(ts)))
+        |      // 1000000000 gap_s
+        |  FROM events),
+        |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |r AS (SELECT event_type, gap_s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_s) rn,
+        |    count(*) OVER (PARTITION BY event_type) n FROM gg)
+        |SELECT event_type, CAST(max(n) AS BIGINT) n,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_s END)
+        |    AS BIGINT) p50_s,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_s END)
+        |    AS BIGINT) p90_s
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -75,7 +75,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "the key scan (constant-size by construction)"),
     "q_heavy_change" -> ("1-row min-day broadcast anchoring the split " +
       "(the q_decay_popularity idiom)"),
-    "q_eb_shrinkage" -> "1-row global-prior broadcast for the shrinkage"
+    "q_eb_shrinkage" -> "1-row global-prior broadcast for the shrinkage",
+    "q_fano_burstiness" -> ("bounded hour-grid broadcast crossed with " +
+      "the event-type domain (the q_peak_detect densify idiom)")
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
