@@ -6122,6 +6122,42 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** MinHash estimator calibration: over the SAME LSH candidate set
+    * the dedup family trusts, compare the k-hash Jaccard ESTIMATE
+    * (matching signature positions / k) against the EXACT shingle
+    * Jaccard, bucketed by exact-similarity decile — the audit that
+    * tells an operator whether k is large enough for the dedup
+    * threshold in use (expected |err| ≈ √(J(1−J)/k)). Everything is
+    * exact integer ppm; the exact-side set sizes use |A|+|B|−|∩| so
+    * no union array materializes. Same two-join shape as the verify
+    * queries, candidates bounded by the LSH banding. */
+  def qMinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val k = Dedup.MinhashK
+    val sig = minhashSigned(s, dir)
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
+    val shingled = graft.functions.Shingles.shingles(col("text"), 3)
+    val a = sig.select(Seq(col("doc_id").as("id_a"), shingled.as("sh_a")) ++
+      (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sig.select(Seq(col("doc_id").as("id_b"), shingled.as("sh_b")) ++
+      (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    val matches = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(matches.as("mt"),
+        expr("size(array_intersect(sh_a, sh_b))").cast("long").as("isz"),
+        expr("size(sh_a) + size(sh_b)").cast("long").as("ssz"))
+      .filter(col("ssz") > col("isz"))
+      .select(expr(s"mt * 1000000 div $k").as("est_ppm"),
+        expr("isz * 1000000 div (ssz - isz)").as("ex_ppm"))
+      .select(expr("least(9L, ex_ppm div 100000)").as("bucket"),
+        expr("abs(est_ppm - ex_ppm)").as("err"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(err) div count(1)").as("mae_ppm"),
+        max(col("err")).as("max_err_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -6361,7 +6397,8 @@ object Queries {
     "q_mode_disc" -> (qModeDisc _),
     "q_autocomplete" -> (qAutocomplete _),
     "q_fano_burstiness" -> (qFanoBurstiness _),
-    "q_interarrival" -> (qInterarrival _)
+    "q_interarrival" -> (qInterarrival _),
+    "q_minhash_calibration" -> (qMinhashCalibration _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -10464,7 +10501,32 @@ object Queries {
         |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_s END)
         |    AS BIGINT) p90_s
         |FROM r WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_minhash_calibration" -> {
+      val matches = (0 until Dedup.MinhashK)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashCte,
+         |pr AS (SELECT
+         |    CAST($matches AS BIGINT) mt,
+         |    CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) isz,
+         |    CAST(len(ha.sh) + len(hb.sh) AS BIGINT) ssz
+         |  FROM cand
+         |  JOIN sig sa ON id_a = sa.doc_id
+         |  JOIN sig sb ON id_b = sb.doc_id
+         |  JOIN sh ha ON id_a = ha.doc_id
+         |  JOIN sh hb ON id_b = hb.doc_id),
+         |sc AS (SELECT mt * 1000000 // ${Dedup.MinhashK} est_ppm,
+         |    isz * 1000000 // (ssz - isz) ex_ppm
+         |  FROM pr WHERE ssz > isz),
+         |bk AS (SELECT least(9, ex_ppm // 100000) bucket,
+         |    abs(est_ppm - ex_ppm) err FROM sc)
+         |SELECT bucket, count(*) n_pairs,
+         |  CAST(sum(err) // count(*) AS BIGINT) mae_ppm,
+         |  CAST(max(err) AS BIGINT) max_err_ppm
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -36,6 +36,22 @@ class IndexProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_minhash_calibration: errors bounded, buckets valid, MAE <= max") {
+    val rows = Queries.qMinhashCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 9)
+      val mae = r.getAs[Long]("mae_ppm")
+      val mx = r.getAs[Long]("max_err_ppm")
+      assert(mae >= 0 && mae <= mx && mx <= 1000000L)
+      assert(r.getAs[Long]("n_pairs") > 0)
+      // k-hash estimator on near-dup candidates: mean error should be
+      // well under half the similarity scale (loose sanity band)
+      assert(mae < 500000L)
+    }
+  }
+
   test("q_interarrival: p50 <= p90, gaps bounded by the window span") {
     val rows = Queries.qInterarrival(spark, sf).collect()
     assert(rows.nonEmpty)
