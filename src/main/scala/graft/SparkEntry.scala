@@ -6158,6 +6158,110 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Fixed lexicon for the fused multi-pattern scan — substrings (not
+    * whole-word terms like q_blocklist_score's), including multi-word
+    * phrases, shared verbatim with the oracle SQL. */
+  private val scanPatterns = Seq("scan", "merge batch", "fast table",
+    "row scan", "value part", "slow", "hash value", "a a")
+
+  /** Lexicon scan via the fused [[graft.functions.MultiPatternCountExpr]]:
+    * leftmost non-overlapping occurrences of 8 substring patterns in
+    * ONE pass over each document's bytes (the declarative N-`replace`
+    * form materializes N stripped copies of every document per row).
+    * Per (source, pattern): total occurrences + docs hit; the oracle
+    * is the replace-length identity, which counts exactly the same
+    * non-overlapping matches. */
+  def qMultipatternScan(s: SparkSession, dir: String): DataFrame = {
+    val patArr = scanPatterns.map(p => s"'$p'").mkString(",")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.MultiPattern.countAll(col("text"), scanPatterns)
+          .as("cnts"))
+      .select(col("source"), posexplode(col("cnts")).as(Seq("pi", "n")))
+      .select(col("source"),
+        expr(s"element_at(array($patArr), CAST(pi + 1 AS INT))")
+          .as("pattern"), col("n"))
+      .groupBy(col("source"), col("pattern"))
+      .agg(sum(col("n")).as("n_occ"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_docs"))
+      .orderBy(col("source"), col("pattern"))
+  }
+
+  /** Vocabulary growth curve (Heaps'-law diagnostic): corpus split
+    * into 10 doc-id deciles; per decile the token volume and the
+    * count of NEVER-BEFORE-SEEN types (first corpus occurrence by
+    * bucket), with running totals — the "is more data still buying
+    * vocabulary?" read a curation loop consults. First occurrences
+    * come off one token-keyed aggregate; the cumulative windows run
+    * on the 10-row bucket relation (whitelisted). */
+  def qVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val ext = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .crossJoin(broadcast(ext))
+      .select(expr("least(9L, (doc_id - mn) * 10 div (mx - mn + 1))")
+        .as("b"), col("w"), col("doc_id"))
+    val tok = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val newTypes = toks.groupBy(col("w")).agg(min(col("b")).as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.join(newTypes, Seq("b"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .orderBy(col("b"))
+  }
+
+  /** Behavioral diversity (Gini–Simpson over a user's event-type mix,
+    * exact rational): div_ppm = 10⁶ − Σc²·10⁶ div n² per user, then
+    * the user census per diversity decile — the segmentation that
+    * separates single-action accounts from diverse ones without any
+    * transcendental entropy. Two aggregates, both keyed. */
+  def qBehaviorDiversity(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("c2"))
+      .select(col("user_id"),
+        expr("CAST(1000000 - c2 * 1000000 div " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("div_ppm"))
+    per.select(expr("div_ppm div 100000").as("bucket"), col("div_ppm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("div_ppm")).as("min_div_ppm"),
+        max(col("div_ppm")).as("max_div_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Point-in-time read over the SCD2 version table q_cdc_scd2
+    * builds: the version of each user's record effective at the
+    * window midpoint T (valid_from ≤ T < valid_to, open-ended rows
+    * qualify) — the "what did the table say THEN" lookup that closes
+    * the CDC story. Version construction is one partitioned lead
+    * window; T is a 1-row aggregate broadcast (whitelisted). */
+  def qScd2Read(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val v = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"),
+        col("value"), when(col("value") < 5, "D").otherwise("U").as("op"))
+      .withColumn("valid_to", lead(col("t"), 1).over(w))
+    val tm = v.agg(expr("(min(t) + max(t)) div 2").as("tm"))
+    v.crossJoin(broadcast(tm))
+      .filter(col("op") === "U" && col("t") <= col("tm") &&
+        (col("valid_to").isNull || col("valid_to") > col("tm")))
+      .select(col("user_id"), col("event_id"),
+        col("t").as("valid_from"), col("value").as("val"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -6398,7 +6502,11 @@ object Queries {
     "q_autocomplete" -> (qAutocomplete _),
     "q_fano_burstiness" -> (qFanoBurstiness _),
     "q_interarrival" -> (qInterarrival _),
-    "q_minhash_calibration" -> (qMinhashCalibration _)
+    "q_minhash_calibration" -> (qMinhashCalibration _),
+    "q_multipattern_scan" -> (qMultipatternScan _),
+    "q_vocab_growth" -> (qVocabGrowth _),
+    "q_behavior_diversity" -> (qBehaviorDiversity _),
+    "q_scd2_read" -> (qScd2Read _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -10526,7 +10634,63 @@ object Queries {
          |  CAST(sum(err) // count(*) AS BIGINT) mae_ppm,
          |  CAST(max(err) AS BIGINT) max_err_ppm
          |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
-    }
+    },
+
+    "q_multipattern_scan" ->
+      """WITH p AS (SELECT unnest(['scan','merge batch','fast table','row scan','value part','slow','hash value','a a']) pattern),
+        |c AS (SELECT d.source, p.pattern,
+        |    (length(d.text) - length(replace(d.text, p.pattern, '')))
+        |      // length(p.pattern) n
+        |  FROM documents d CROSS JOIN p)
+        |SELECT source, pattern, CAST(sum(n) AS BIGINT) n_occ,
+        |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) n_docs
+        |FROM c GROUP BY source, pattern
+        |ORDER BY source, pattern""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH ext AS (SELECT min(doc_id) mn, max(doc_id) mx FROM documents),
+        |toks AS (SELECT least(9, (doc_id - mn) * 10 // (mx - mn + 1)) b,
+        |    w, doc_id
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) w
+        |    FROM documents) CROSS JOIN ext),
+        |tok AS (SELECT b, count(*) n_tokens,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) n_docs
+        |  FROM toks GROUP BY b),
+        |nt AS (SELECT fb b, count(*) new_types FROM (
+        |    SELECT w, min(b) fb FROM toks GROUP BY w) GROUP BY fb),
+        |j AS (SELECT tok.b, n_tokens, n_docs,
+        |    coalesce(new_types, 0) new_types
+        |  FROM tok LEFT JOIN nt ON tok.b = nt.b)
+        |SELECT b, n_tokens, n_docs, CAST(new_types AS BIGINT) new_types,
+        |  CAST(sum(n_tokens) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) cum_tokens,
+        |  CAST(sum(new_types) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) cum_types
+        |FROM j ORDER BY b""".stripMargin,
+
+    "q_behavior_diversity" ->
+      """WITH pc AS (SELECT user_id, event_type, count(*) c
+        |  FROM events GROUP BY 1, 2),
+        |per AS (SELECT user_id,
+        |    CAST(1000000 - sum(CAST(c AS HUGEINT) * c) * 1000000
+        |      // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) div_ppm
+        |  FROM pc GROUP BY user_id)
+        |SELECT div_ppm // 100000 bucket, count(*) n_users,
+        |  min(div_ppm) min_div_ppm, max(div_ppm) max_div_ppm
+        |FROM per GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_scd2_read" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 t, event_id,
+        |    value, CASE WHEN value < 5 THEN 'D' ELSE 'U' END op
+        |  FROM events),
+        |w AS (SELECT user_id, t, event_id, value, op,
+        |    lead(t, 1) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) valid_to FROM v),
+        |tt AS (SELECT (min(t) + max(t)) // 2 tm FROM v)
+        |SELECT user_id, event_id, t valid_from, value val
+        |FROM w CROSS JOIN tt
+        |WHERE op = 'U' AND t <= tm AND (valid_to IS NULL OR valid_to > tm)
+        |ORDER BY user_id""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -77,7 +77,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "(the q_decay_popularity idiom)"),
     "q_eb_shrinkage" -> "1-row global-prior broadcast for the shrinkage",
     "q_fano_burstiness" -> ("bounded hour-grid broadcast crossed with " +
-      "the event-type domain (the q_peak_detect densify idiom)")
+      "the event-type domain (the q_peak_detect densify idiom)"),
+    "q_vocab_growth" -> ("1-row doc-id extent broadcast for the decile " +
+      "bucketing"),
+    "q_scd2_read" -> "1-row as-of timestamp broadcast onto the versions"
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
@@ -120,7 +123,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "sum, one row per shard"),
     "q_hazard_km" -> ("risk-set and cumulative-hazard windows on the " +
       "duration-day relation, bounded by the fixed 30-day events " +
-      "observation window (<=31 rows at every SF)")
+      "observation window (<=31 rows at every SF)"),
+    "q_vocab_growth" -> ("cumulative windows on the 10-row decile " +
+      "bucket relation")
   )
 
   /** True iff the PHYSICAL plan contains an empty-partition window
