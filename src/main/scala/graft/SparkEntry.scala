@@ -6262,6 +6262,95 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Dedup ensemble agreement: over the ONE LSH candidate set, four
+    * independent verifiers vote — exact shingle Jaccard ≥ 0.7,
+    * MinHash estimate ≥ 0.7, SimHash Hamming ≤ 8, and 40-char-prefix
+    * Levenshtein ≤ 12 — and the output is the vote histogram plus
+    * per-method positive counts. This is the disagreement audit that
+    * tells a pipeline owner which near-dup detector is the outlier
+    * before they trust any single one at 100 TB. All four signals
+    * compute in the SAME two candidate joins (no extra passes). */
+  def qDedupPanel(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Shingles, SimHash}
+    val k = Dedup.MinhashK
+    val sig = minhashSigned(s, dir)
+    val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
+    val sh = Shingles.shingles(col("text"), 3)
+    def side(tag: String, ms: String) = sig.select(
+      Seq(col("doc_id").as(s"id_$tag"), sh.as(s"sh_$tag"),
+        SimHash.simhash(sh).as(s"sim_$tag"),
+        substring(col("text"), 1, 40).as(s"pre_$tag")) ++
+        (0 until k).map(i => col(s"m$i").as(s"$ms$i")): _*)
+    val matches = (0 until k).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val votes = cands.join(side("a", "a"), "id_a").join(side("b", "b"), "id_b")
+      .select(matches.as("mt"),
+        expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)").as("isz"),
+        expr("CAST(size(sh_a) + size(sh_b) AS BIGINT)").as("ssz"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+          .as("ham"),
+        levenshtein(col("pre_a"), col("pre_b")).cast("long").as("ed"))
+      .select(
+        expr("CASE WHEN ssz > isz AND isz * 1000000 div (ssz - isz) " +
+          ">= 700000 THEN 1L ELSE 0L END").as("v_exact"),
+        expr(s"CASE WHEN mt * 1000000 div $k >= 700000 THEN 1L " +
+          "ELSE 0L END").as("v_minhash"),
+        expr("CASE WHEN ham <= 8 THEN 1L ELSE 0L END").as("v_simhash"),
+        expr("CASE WHEN ed <= 12 THEN 1L ELSE 0L END").as("v_edit"))
+    val hist = votes
+      .groupBy(expr("concat('votes_', CAST(v_exact + v_minhash + " +
+        "v_simhash + v_edit AS STRING))").as("metric"))
+      .agg(count(lit(1)).as("n"))
+    val meth = votes.agg(sum(col("v_exact")).as("m_exact"),
+        sum(col("v_minhash")).as("m_minhash"),
+        sum(col("v_simhash")).as("m_simhash"),
+        sum(col("v_edit")).as("m_edit"))
+      .select(explode(array(
+        struct(lit("m_exact").as("metric"), col("m_exact").as("n")),
+        struct(lit("m_minhash").as("metric"), col("m_minhash").as("n")),
+        struct(lit("m_simhash").as("metric"), col("m_simhash").as("n")),
+        struct(lit("m_edit").as("metric"), col("m_edit").as("n")))).as("s"))
+      .select(col("s.metric").as("metric"), col("s.n").as("n"))
+    hist.unionByName(meth).orderBy(col("metric"))
+  }
+
+  /** Peak session concurrency per event type — the capacity question
+    * ("how many sessions were ever active at once, and when?") as an
+    * exact sweep-line: 30-min-gap sessionization, +1/−1 endpoint
+    * deltas, a running sum ordered by (t, delta) so closings apply
+    * before openings at the same second, max + earliest attaining
+    * second. Every window partitions by (user, type) or type. */
+  def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("t"))
+    val sess = ev
+      .withColumn("brk",
+        when(col("t") - lag(col("t"), 1).over(uw) > 1800L || lag(col("t"), 1)
+          .over(uw).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("sid"))
+      .agg(min(col("t")).as("st"), max(col("t")).as("en"))
+    val deltas = sess.select(col("event_type"),
+      explode(array(struct(col("st").as("t"), lit(1L).as("d")),
+        struct((col("en") + 1L).as("t"), lit(-1L).as("d")))).as("e"))
+      .select(col("event_type"), col("e.t").as("t"), col("e.d").as("d"))
+    // n_sessions counts the +1 endpoints in the SAME pass as the peak
+    // (a separate count over `sess` would replay the sessionization)
+    deltas.withColumn("run", sum(col("d")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("t"), col("d"))))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_sessions"),
+        min(struct((-col("run")).as("nr"), col("t"))).as("m"))
+      .select(col("event_type"), col("n_sessions"),
+        (-col("m.nr")).as("peak"), col("m.t").as("peak_at"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -6506,7 +6595,9 @@ object Queries {
     "q_multipattern_scan" -> (qMultipatternScan _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_behavior_diversity" -> (qBehaviorDiversity _),
-    "q_scd2_read" -> (qScd2Read _)
+    "q_scd2_read" -> (qScd2Read _),
+    "q_dedup_panel" -> (qDedupPanel _),
+    "q_peak_concurrency" -> (qPeakConcurrency _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -10690,7 +10781,78 @@ object Queries {
         |SELECT user_id, event_id, t valid_from, value val
         |FROM w CROSS JOIN tt
         |WHERE op = 'U' AND t <= tm AND (valid_to IS NULL OR valid_to > tm)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q_dedup_panel" -> {
+      val matches = (0 until Dedup.MinhashK)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val terms = (0 until 32).map(j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" +\n    ")
+      s"""WITH $minhashCte,
+         |sim AS (SELECT doc_id,
+         |    $terms AS simhash FROM hsh),
+         |pre AS (SELECT doc_id, substr(text, 1, 40) pre FROM documents),
+         |pr AS (SELECT
+         |    CAST($matches AS BIGINT) mt,
+         |    CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) isz,
+         |    CAST(len(ha.sh) + len(hb.sh) AS BIGINT) ssz,
+         |    CAST(bit_count(xor(sima.simhash, simb.simhash)) AS BIGINT) ham,
+         |    CAST(levenshtein(pa.pre, pb.pre) AS BIGINT) ed
+         |  FROM cand c
+         |  JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+         |  JOIN sh ha ON c.id_a = ha.doc_id JOIN sh hb ON c.id_b = hb.doc_id
+         |  JOIN sim sima ON c.id_a = sima.doc_id
+         |  JOIN sim simb ON c.id_b = simb.doc_id
+         |  JOIN pre pa ON c.id_a = pa.doc_id
+         |  JOIN pre pb ON c.id_b = pb.doc_id),
+         |v AS (SELECT
+         |    CASE WHEN ssz > isz AND isz * 1000000 // (ssz - isz) >= 700000
+         |      THEN 1 ELSE 0 END v_exact,
+         |    CASE WHEN mt * 1000000 // ${Dedup.MinhashK} >= 700000
+         |      THEN 1 ELSE 0 END v_minhash,
+         |    CASE WHEN ham <= 8 THEN 1 ELSE 0 END v_simhash,
+         |    CASE WHEN ed <= 12 THEN 1 ELSE 0 END v_edit
+         |  FROM pr),
+         |hist AS (SELECT 'votes_' ||
+         |    CAST(v_exact + v_minhash + v_simhash + v_edit AS VARCHAR)
+         |    metric, count(*) n FROM v GROUP BY 1),
+         |meth AS (SELECT 'm_exact' metric, sum(v_exact) n FROM v
+         |  UNION ALL SELECT 'm_minhash', sum(v_minhash) FROM v
+         |  UNION ALL SELECT 'm_simhash', sum(v_simhash) FROM v
+         |  UNION ALL SELECT 'm_edit', sum(v_edit) FROM v)
+         |SELECT metric, CAST(n AS BIGINT) n
+         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM meth)
+         |ORDER BY metric""".stripMargin
+    },
+
+    "q_peak_concurrency" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000000000 t FROM events),
+        |br AS (SELECT user_id, event_type, t,
+        |    CASE WHEN t - lag(t, 1) OVER w > 1800
+        |      OR lag(t, 1) OVER w IS NULL THEN 1 ELSE 0 END brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY t)),
+        |sid AS (SELECT user_id, event_type, t,
+        |    sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) sid FROM br),
+        |sess AS (SELECT user_id, event_type, sid, min(t) st, max(t) en
+        |  FROM sid GROUP BY 1, 2, 3),
+        |deltas AS (SELECT event_type, st t, 1 d FROM sess
+        |  UNION ALL SELECT event_type, en + 1, -1 FROM sess),
+        |run AS (SELECT event_type, t, d,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY t, d) run
+        |  FROM deltas),
+        |pk AS (SELECT event_type, run peak, t peak_at, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY run DESC, t) rn
+        |  FROM run),
+        |ns AS (SELECT event_type, count(*) n_sessions FROM sess GROUP BY 1)
+        |SELECT ns.event_type, n_sessions, CAST(peak AS BIGINT) peak,
+        |  peak_at
+        |FROM ns JOIN pk ON ns.event_type = pk.event_type AND rn = 1
+        |ORDER BY ns.event_type""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the
