@@ -6351,6 +6351,59 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** Graph diameter lower bound by the classic double-sweep: BFS from
+    * a deterministic seed (min node id), re-BFS from the farthest node
+    * found, report its eccentricity — the 2-approximation that costs
+    * two BFS passes instead of all-pairs. Fully distributed end to
+    * end: the intermediate "farthest node" is a 1-row TakeOrdered
+    * relation fed straight back in as the second sweep's source set —
+    * no driver collect. Both sweeps are hop-bounded (6) with the
+    * frontier-only round discipline of [[operators.Graph.bfsHops]]. */
+  def qDiameter2Sweep(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sup"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
+      .unionAll(e0.select(col("sup").as("src"), col("c").as("dst")))
+      .cache()
+    val seedRow = edges.agg(min(col("src")).as("node"))
+    val d1 = operators.Graph.bfsHops(edges, seedRow, 6)
+    val far = d1.orderBy(col("dist").desc, col("node")).limit(1)
+    val d2 = operators.Graph.bfsHops(edges, far.select(col("node")), 6)
+    seedRow.select(col("node").as("seed"))
+      .crossJoin(broadcast(far.select(col("node").as("far_node"),
+        col("dist").as("ecc_seed"))))
+      .crossJoin(broadcast(d2.agg(max(col("dist")).as("diameter_lb"),
+        count(lit(1)).as("n_reached"))))
+      .orderBy(col("seed"))
+  }
+
+  /** HLL sketch-union algebra: per-source distinct-token estimates
+    * plus an 'ALL' row whose registers are the MERGE (bucket-max) of
+    * every source's — demonstrated by the union formulation, which is
+    * register-max merge by construction (max over concatenated
+    * streams ≡ max of per-stream maxima). Each row carries the exact
+    * distinct companion and the estimator's error in ppm — mergeable
+    * cardinality with its honesty check, the property that lets a
+    * 1000-executor cluster union per-partition sketches instead of
+    * re-shuffling raw values. */
+  def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val t0 = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val t = t0.unionByName(t0.withColumn("source", lit("ALL")))
+    val est = operators.Sketches.hllDistinct(t, Seq("source"), col("w"))
+    val exact = t.groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("exact_distinct"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_buckets_hit"), col("hll_est"),
+        col("exact_distinct"),
+        expr("CAST(floor(abs(hll_est - exact_distinct) * 1000000.0 " +
+          "/ exact_distinct) AS BIGINT)").as("err_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -6597,7 +6650,9 @@ object Queries {
     "q_behavior_diversity" -> (qBehaviorDiversity _),
     "q_scd2_read" -> (qScd2Read _),
     "q_dedup_panel" -> (qDedupPanel _),
-    "q_peak_concurrency" -> (qPeakConcurrency _)
+    "q_peak_concurrency" -> (qPeakConcurrency _),
+    "q_diameter_2sweep" -> (qDiameter2Sweep _),
+    "q_hll_union" -> (qHllUnion _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -8976,7 +9031,7 @@ object Queries {
     // the proof that the rewrite produced exactly the sketch
     "q_approx_rewrite" -> {
       import graft.operators.Sketches
-      val lcTable = Sketches.HllLinearTable.mkString("[", ", ", "]")
+      val lcTable = Sketches.HllLinearTable.map(v => s"${v}e0").mkString("[", ", ", "]")
       s"""WITH b AS (SELECT o_orderstatus, (_h >> 24) AS bucket,
          |    ${Sketches.hllRhoSql("(_h & 16777215)")} AS rho
          |  FROM (SELECT o_orderstatus,
@@ -9121,7 +9176,7 @@ object Queries {
     // proves the rewrite sketched ONLY the distinct count
     "q_approx_rewrite_mixed" -> {
       import graft.operators.Sketches
-      val lcTable = Sketches.HllLinearTable.mkString("[", ", ", "]")
+      val lcTable = Sketches.HllLinearTable.map(v => s"${v}e0").mkString("[", ", ", "]")
       s"""WITH b AS (SELECT o_orderstatus, (_h >> 24) AS bucket,
          |    ${Sketches.hllRhoSql("(_h & 16777215)")} AS rho
          |  FROM (SELECT o_orderstatus,
@@ -9831,7 +9886,7 @@ object Queries {
     // table are SHARED literals (ln is not cross-engine bit-stable)
     "q_approx_distinct_hll" -> {
       import graft.operators.Sketches
-      val lcTable = Sketches.HllLinearTable.mkString("[", ", ", "]")
+      val lcTable = Sketches.HllLinearTable.map(v => s"${v}e0").mkString("[", ", ", "]")
       s"""WITH b AS (SELECT event_type, (_h >> 24) AS bucket,
          |    ${Sketches.hllRhoSql("(_h & 16777215)")} AS rho
          |  FROM (SELECT event_type,
@@ -10852,7 +10907,67 @@ object Queries {
         |SELECT ns.event_type, n_sessions, CAST(peak AS BIGINT) peak,
         |  peak_at
         |FROM ns JOIN pk ON ns.event_type = pk.event_type AND rn = 1
-        |ORDER BY ns.event_type""".stripMargin
+        |ORDER BY ns.event_type""".stripMargin,
+
+    "q_diameter_2sweep" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sup
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, sup AS dst FROM e0
+        |  UNION ALL SELECT sup, c FROM e0),
+        |sd AS (SELECT min(src) sn FROM edges),
+        |b1(node, d) AS (
+        |  SELECT sn, 0 FROM sd
+        |  UNION
+        |  SELECT e.dst, b.d + 1 FROM b1 b JOIN edges e ON b.node = e.src
+        |  WHERE b.d < 6),
+        |m1 AS (SELECT node, min(d) dist FROM b1 GROUP BY node),
+        |far AS (SELECT node, dist FROM m1 ORDER BY dist DESC, node LIMIT 1),
+        |b2(node, d) AS (
+        |  SELECT node, 0 FROM far
+        |  UNION
+        |  SELECT e.dst, b.d + 1 FROM b2 b JOIN edges e ON b.node = e.src
+        |  WHERE b.d < 6),
+        |m2 AS (SELECT node, min(d) dist FROM b2 GROUP BY node)
+        |SELECT (SELECT CAST(sn AS BIGINT) FROM sd) seed,
+        |  (SELECT CAST(node AS BIGINT) FROM far) far_node,
+        |  (SELECT CAST(dist AS BIGINT) FROM far) ecc_seed,
+        |  CAST(max(dist) AS BIGINT) diameter_lb,
+        |  count(*) n_reached
+        |FROM m2""".stripMargin,
+
+    "q_hll_union" -> {
+      import graft.operators.Sketches
+      val lcTable = Sketches.HllLinearTable.map(v => s"${v}e0").mkString("[", ", ", "]")
+      s"""WITH t0 AS (SELECT source, unnest(string_split(text, ' ')) w
+         |  FROM documents),
+         |t AS (SELECT source, w FROM t0
+         |  UNION ALL SELECT 'ALL', w FROM t0),
+         |b AS (SELECT source, (_h >> 24) AS bucket,
+         |    ${Sketches.hllRhoSql("(_h & 16777215)")} AS rho
+         |  FROM (SELECT source,
+         |    ('0x'||substr(md5(w),1,8))::BIGINT AS _h FROM t)),
+         |m AS (SELECT source, bucket, MAX(rho) AS maxrho
+         |  FROM b GROUP BY source, bucket),
+         |agg AS (SELECT source, COUNT(*) AS n_buckets_hit,
+         |    ${Sketches.HllNumerator} /
+         |      (SUM(1.0 / CAST(1::BIGINT << maxrho AS DOUBLE))
+         |        + (256 - COUNT(*))) AS raw
+         |  FROM m GROUP BY source),
+         |est AS (SELECT source, n_buckets_hit,
+         |    CASE WHEN raw <= ${2.5 * Sketches.HllM} AND n_buckets_hit < 256
+         |         THEN ($lcTable)[256 - n_buckets_hit]
+         |         ELSE raw END AS hll_est
+         |  FROM agg),
+         |ex AS (SELECT source, count(DISTINCT w) exact_distinct
+         |  FROM t GROUP BY source)
+         |SELECT est.source, n_buckets_hit, hll_est,
+         |  CAST(exact_distinct AS BIGINT) exact_distinct,
+         |  CAST(floor(abs(hll_est - exact_distinct) * 1000000.0
+         |    / exact_distinct) AS BIGINT) err_ppm
+         |FROM est JOIN ex ON est.source = ex.source
+         |ORDER BY est.source""".stripMargin
+    }
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

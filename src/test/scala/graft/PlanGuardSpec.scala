@@ -80,7 +80,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "the event-type domain (the q_peak_detect densify idiom)"),
     "q_vocab_growth" -> ("1-row doc-id extent broadcast for the decile " +
       "bucketing"),
-    "q_scd2_read" -> "1-row as-of timestamp broadcast onto the versions"
+    "q_scd2_read" -> "1-row as-of timestamp broadcast onto the versions",
+    "q_diameter_2sweep" -> ("1-row seed, 1-row farthest-node, and 1-row " +
+      "eccentricity aggregates crossed into the single report row")
   )
 
   /** query -> why its empty-partition-spec (single-partition) window
