@@ -5545,8 +5545,8 @@ object Queries {
 
   /** Peak detection on the hourly event series, per event type: an
     * hour is a peak when its count STRICTLY exceeds both neighbors on
-    * each side AND rises ≥20% above the centered 5-hour window mean
-    * (10·c ≥ 3·Σ₅ in exact integer form). Runs on the zero-filled
+    * each side AND rises ≥50% above the centered 5-hour window mean
+    * (10·c ≥ 3·Σ₅, i.e. c ≥ 1.5·mean₅, in exact integer form). Runs on the zero-filled
     * dense grid so "neighbor" means adjacent HOUR, not adjacent
     * observation — on a gappy series the undensified form would call
     * isolated stragglers peaks. The grid × type cross is bounded
@@ -5785,7 +5785,7 @@ object Queries {
     * answer — mod moves ~8/9 of everything, the ring moves ~1/9 —
     * here measured exactly on the md5 key hashes both engines
     * agree on.) The ring lookup is first-vnode-clockwise with
-    * wraparound, evaluated per key against the 68-row vnode relation
+    * wraparound, evaluated per key against the 36-row vnode relation
     * (a bounded broadcast, whitelisted); per scheme one aggregate
     * emits keys moved + ppm. */
   def qConsistentShard(s: SparkSession, dir: String): DataFrame = {
@@ -5916,14 +5916,20 @@ object Queries {
           expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000007 AS BIGINT)")
             .as("checksum"))
         .select(lit(tag).as("tbl"), col("n_rows"), col("checksum"))
+    // explicit null sentinel on EVERY field: concat_ws silently skips
+    // nulls (making 'a|b' ambiguous with 'a|NULL|b') while '||' concat
+    // in the oracle nulls the whole row out of the sum - coalesce on
+    // both sides keeps the fingerprint null-safe and engine-identical
+    def f(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit("<null>"))
     val nation = sumRow(Tables.nation(s, dir), "nation",
-      concat_ws("|", col("n_nationkey").cast("string"), col("n_name"),
-        col("n_regionkey").cast("string")))
+      concat_ws("|", f(col("n_nationkey")), f(col("n_name")),
+        f(col("n_regionkey"))))
     val region = sumRow(Tables.region(s, dir), "region",
-      concat_ws("|", col("r_regionkey").cast("string"), col("r_name")))
+      concat_ws("|", f(col("r_regionkey")), f(col("r_name"))))
     val cust = sumRow(Tables.customer(s, dir), "customer",
-      concat_ws("|", col("c_custkey").cast("string"), col("c_name"),
-        col("c_nationkey").cast("string"), col("c_mktsegment")))
+      concat_ws("|", f(col("c_custkey")), f(col("c_name")),
+        f(col("c_nationkey")), f(col("c_mktsegment"))))
     nation.unionByName(region).unionByName(cust).orderBy(col("tbl"))
   }
 
@@ -5962,9 +5968,18 @@ object Queries {
         .orderBy(col("n").desc, col("pair")).limit(1).head()
       val p = top.getString(0)
       merges += ((step.toLong, p, top.getLong(1)))
+      // sentinel-wrapped, space-ANCHORED pattern: a bare substring
+      // replace can false-match across a multi-char symbol boundary
+      // (seq "bc d" contains "c d"); anchoring both sides on the
+      // delimiter makes only whole-symbol pairs merge. Adjacent
+      // occurrences sharing a delimiter (" x y x y ") defer the
+      // second merge to the next round - identical on both engines,
+      // and the selection counts stay per-position.
       val next = cur.withColumn("seq",
-        org.apache.spark.sql.functions.replace(col("seq"), lit(p),
-          lit(p.replace(" ", "")))).localCheckpoint(true)
+        trim(org.apache.spark.sql.functions.replace(
+          concat(lit(" "), col("seq"), lit(" ")),
+          lit(s" $p "), lit(" " + p.replace(" ", "") + " "))))
+        .localCheckpoint(true)
       cur.unpersist()
       cur = next
     }
@@ -6279,7 +6294,12 @@ object Queries {
     def side(tag: String, ms: String) = sig.select(
       Seq(col("doc_id").as(s"id_$tag"), sh.as(s"sh_$tag"),
         SimHash.simhash(sh).as(s"sim_$tag"),
-        substring(col("text"), 1, 40).as(s"pre_$tag")) ++
+        // levenshtein is codepoint-based in Spark but BYTE-based in
+        // DuckDB; normalizing non-ASCII codepoints to '?' makes the
+        // two views coincide on ANY corpus (one '?' per codepoint on
+        // both engines), not just the ASCII fixtures
+        regexp_replace(substring(col("text"), 1, 40),
+          "[^\\x20-\\x7E]", "?").as(s"pre_$tag")) ++
         (0 until k).map(i => col(s"m$i").as(s"$ms$i")): _*)
     val matches = (0 until k).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
@@ -10592,21 +10612,23 @@ object Queries {
     "q_table_checksum" ->
       """WITH cs AS (
         |  SELECT 'customer' tbl, count(*) n_rows,
-        |    CAST(sum(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
-        |      || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR)
-        |      || '|' || c_mktsegment), 1, 15))::BIGINT)
+        |    CAST(sum(('0x' || substr(md5(coalesce(CAST(c_custkey AS VARCHAR), '<null>')
+        |      || '|' || coalesce(c_name, '<null>')
+        |      || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '<null>')
+        |      || '|' || coalesce(c_mktsegment, '<null>')), 1, 15))::BIGINT)
         |      % 1000000007 AS BIGINT) checksum
         |  FROM customer
         |  UNION ALL
         |  SELECT 'nation', count(*),
-        |    CAST(sum(('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)
-        |      || '|' || n_name || '|' || CAST(n_regionkey AS VARCHAR)),
+        |    CAST(sum(('0x' || substr(md5(coalesce(CAST(n_nationkey AS VARCHAR), '<null>')
+        |      || '|' || coalesce(n_name, '<null>')
+        |      || '|' || coalesce(CAST(n_regionkey AS VARCHAR), '<null>')),
         |      1, 15))::BIGINT) % 1000000007 AS BIGINT)
         |  FROM nation
         |  UNION ALL
         |  SELECT 'region', count(*),
-        |    CAST(sum(('0x' || substr(md5(CAST(r_regionkey AS VARCHAR)
-        |      || '|' || r_name), 1, 15))::BIGINT)
+        |    CAST(sum(('0x' || substr(md5(coalesce(CAST(r_regionkey AS VARCHAR), '<null>')
+        |      || '|' || coalesce(r_name, '<null>')), 1, 15))::BIGINT)
         |      % 1000000007 AS BIGINT)
         |  FROM region)
         |SELECT tbl, n_rows, checksum FROM cs ORDER BY tbl""".stripMargin,
@@ -10624,8 +10646,10 @@ object Queries {
         |a1 AS (SELECT pair, sum(f) n FROM p1 GROUP BY pair),
         |m1 AS (SELECT pair, CAST(n AS BIGINT) n FROM a1
         |  ORDER BY n DESC, pair LIMIT 1),
-        |s1 AS (SELECT f, replace(seq, (SELECT pair FROM m1),
-        |    replace((SELECT pair FROM m1), ' ', '')) seq FROM s0),
+        |s1 AS (SELECT f, trim(replace(' ' || seq || ' ',
+        |    ' ' || (SELECT pair FROM m1) || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ')) seq
+        |  FROM s0),
         |p2 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
         |    pair, f
         |  FROM (SELECT f, string_split(seq, ' ') l,
@@ -10633,8 +10657,10 @@ object Queries {
         |a2 AS (SELECT pair, sum(f) n FROM p2 GROUP BY pair),
         |m2 AS (SELECT pair, CAST(n AS BIGINT) n FROM a2
         |  ORDER BY n DESC, pair LIMIT 1),
-        |s2 AS (SELECT f, replace(seq, (SELECT pair FROM m2),
-        |    replace((SELECT pair FROM m2), ' ', '')) seq FROM s1),
+        |s2 AS (SELECT f, trim(replace(' ' || seq || ' ',
+        |    ' ' || (SELECT pair FROM m2) || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ')) seq
+        |  FROM s1),
         |p3 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
         |    pair, f
         |  FROM (SELECT f, string_split(seq, ' ') l,
@@ -10642,8 +10668,10 @@ object Queries {
         |a3 AS (SELECT pair, sum(f) n FROM p3 GROUP BY pair),
         |m3 AS (SELECT pair, CAST(n AS BIGINT) n FROM a3
         |  ORDER BY n DESC, pair LIMIT 1),
-        |s3 AS (SELECT f, replace(seq, (SELECT pair FROM m3),
-        |    replace((SELECT pair FROM m3), ' ', '')) seq FROM s2),
+        |s3 AS (SELECT f, trim(replace(' ' || seq || ' ',
+        |    ' ' || (SELECT pair FROM m3) || ' ',
+        |    ' ' || replace((SELECT pair FROM m3), ' ', '') || ' ')) seq
+        |  FROM s2),
         |p4 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
         |    pair, f
         |  FROM (SELECT f, string_split(seq, ' ') l,
@@ -10651,8 +10679,10 @@ object Queries {
         |a4 AS (SELECT pair, sum(f) n FROM p4 GROUP BY pair),
         |m4 AS (SELECT pair, CAST(n AS BIGINT) n FROM a4
         |  ORDER BY n DESC, pair LIMIT 1),
-        |s4 AS (SELECT f, replace(seq, (SELECT pair FROM m4),
-        |    replace((SELECT pair FROM m4), ' ', '')) seq FROM s3),
+        |s4 AS (SELECT f, trim(replace(' ' || seq || ' ',
+        |    ' ' || (SELECT pair FROM m4) || ' ',
+        |    ' ' || replace((SELECT pair FROM m4), ' ', '') || ' ')) seq
+        |  FROM s3),
         |p5 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
         |    pair, f
         |  FROM (SELECT f, string_split(seq, ' ') l,
@@ -10660,8 +10690,10 @@ object Queries {
         |a5 AS (SELECT pair, sum(f) n FROM p5 GROUP BY pair),
         |m5 AS (SELECT pair, CAST(n AS BIGINT) n FROM a5
         |  ORDER BY n DESC, pair LIMIT 1),
-        |s5 AS (SELECT f, replace(seq, (SELECT pair FROM m5),
-        |    replace((SELECT pair FROM m5), ' ', '')) seq FROM s4),
+        |s5 AS (SELECT f, trim(replace(' ' || seq || ' ',
+        |    ' ' || (SELECT pair FROM m5) || ' ',
+        |    ' ' || replace((SELECT pair FROM m5), ' ', '') || ' ')) seq
+        |  FROM s4),
         |fin AS (
         |  SELECT CAST(1 AS BIGINT) step, pair, n n_merged FROM m1
         |  UNION ALL SELECT 2, pair, n FROM m2
@@ -10848,7 +10880,8 @@ object Queries {
       s"""WITH $minhashCte,
          |sim AS (SELECT doc_id,
          |    $terms AS simhash FROM hsh),
-         |pre AS (SELECT doc_id, substr(text, 1, 40) pre FROM documents),
+         |pre AS (SELECT doc_id, regexp_replace(substr(text, 1, 40),
+         |    '[^\\x20-\\x7E]', '?', 'g') pre FROM documents),
          |pr AS (SELECT
          |    CAST($matches AS BIGINT) mt,
          |    CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) isz,
