@@ -6424,6 +6424,29 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** Gaps-and-islands activity streaks: each user's maximal runs of
+    * CONSECUTIVE active days via the rank-difference idiom (day −
+    * dense-rank-of-day is constant exactly within a consecutive run —
+    * no self-join, no recursion), reporting the top-10 longest
+    * streaks (ties → earlier start, smaller user). Distinct from
+    * q_sessionize: calendar-day islands, not time-gap sessions. Two
+    * partitioned windows + one aggregate, all keyed on user. */
+  def qActivityStreaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("dy"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dy"))
+    days
+      .withColumn("isl", col("dy") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"), min(col("dy")).as("start_day"),
+        max(col("dy")).as("end_day"))
+      .select(col("user_id"), col("len"), col("start_day"), col("end_day"))
+      .orderBy(col("len").desc, col("start_day"), col("user_id"))
+      .limit(10)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
@@ -6672,7 +6695,8 @@ object Queries {
     "q_dedup_panel" -> (qDedupPanel _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_diameter_2sweep" -> (qDiameter2Sweep _),
-    "q_hll_union" -> (qHllUnion _)
+    "q_hll_union" -> (qHllUnion _),
+    "q_activity_streaks" -> (qActivityStreaks _)
   )
 
   /** Shared oracle CTEs for the shingle/minhash pipeline (DuckDB). */
@@ -11000,7 +11024,19 @@ object Queries {
          |    / exact_distinct) AS BIGINT) err_ppm
          |FROM est JOIN ex ON est.source = ex.source
          |ORDER BY est.source""".stripMargin
-    }
+    },
+
+    "q_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS dy FROM events),
+        |isl AS (SELECT user_id, dy,
+        |    dy - row_number() OVER (PARTITION BY user_id ORDER BY dy) isl
+        |  FROM d),
+        |runs AS (SELECT user_id, count(*) len, min(dy) start_day,
+        |    max(dy) end_day
+        |  FROM isl GROUP BY user_id, isl)
+        |SELECT user_id, len, start_day, end_day
+        |FROM runs ORDER BY len DESC, start_day, user_id LIMIT 10""".stripMargin
   )
 
   /** DuckDB list literals of the ±1 LSH hyperplanes (shared with the

@@ -65,6 +65,19 @@ class SeriesStatsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_activity_streaks: runs are genuinely consecutive and maximal") {
+    val rows = Queries.qActivityStreaks(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val lens = rows.map(_.getAs[Long]("len"))
+    assert(lens.zip(lens.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      // a run's length equals its day span (consecutive by the idiom)
+      assert(r.getAs[Long]("end_day") - r.getAs[Long]("start_day") + 1 ==
+        r.getAs[Long]("len"))
+      assert(r.getAs[Long]("len") >= 1 && r.getAs[Long]("len") <= 31)
+    }
+  }
+
   test("q_hazard_km: risk sets non-increasing, cumulative hazard non-decreasing") {
     val rows = Queries.qHazardKm(spark, sf).collect()
     assert(rows.nonEmpty)
