@@ -55,9 +55,12 @@ case class DamerauLevenshteinExpr(left: Expression, right: Expression)
     if (n == 0) return m
     if (m == 0) return n
     val inf = n + m
-    // (n+2) x (m+2) Lowrance–Wagner table, flat row-major (ONE
-    // allocation; the operand-length bound the callers keep makes
-    // this a few KB)
+    // (n+2) x (m+2) Lowrance–Wagner table, flat row-major, ONE
+    // allocation. n/m are BYTE lengths: the callers' 40-char prefix
+    // bound means ≤160 bytes per side in the 4-byte-UTF-8 worst case,
+    // i.e. a ≤162×162 int table ≈ 105 KB per row at the extreme (a
+    // few KB on the ASCII-dominant common path) — still allocation-
+    // bounded and GC-friendly, but not "a few KB" unconditionally
     val w = m + 2
     val d = new Array[Int]((n + 2) * w)
     d(0) = inf

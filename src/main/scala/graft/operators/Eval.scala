@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * the catalog (quality, lang-ID, blocklists, k-means): those CREATE
   * signals, this family tells you whether the signals are any good —
   * the reference's world has nothing comparable (its pipeline is a
-  * row-at-a-time forwarder, eAPI consumer/core/logic.py), so this is
-  * pure capability extension for the training-data use case.
+  * row-at-a-time forwarder, firebase/app/artifacts.py:302-327), so
+  * this is pure capability extension for the training-data use case.
   *
   * Numeric posture: every metric here is a ratio of integer counting
   * statistics, so it is computed with integer/DECIMAL(38,0) arithmetic

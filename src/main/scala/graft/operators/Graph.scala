@@ -424,7 +424,11 @@ object Graph {
       release()
       dist = next
       release = nextRelease
-      converged = dist.filter(col("dist") === r.toLong).isEmpty
+      // the probe only feeds the NEXT round's loop guard — on the
+      // final round its result could never be read, so skip the count
+      converged =
+        if (r < maxHops) dist.filter(col("dist") === r.toLong).isEmpty
+        else true
       r += 1
     }
     dist

@@ -35,10 +35,19 @@ private[graft] object Rounds {
     if (reliable) (df.checkpoint(true), () => ())
     else {
       val out = df.localCheckpoint(true)
-      val release: () => Unit = out.queryExecution.analyzed match {
-        case lr: LogicalRDD => () => { lr.rdd.unpersist(blocking = false); () }
-        case _              => () => ()
-      }
-      (out, release)
+      (out, releaseOf(out))
+    }
+
+  /** Release thunk for a relation that is ALREADY locally
+    * checkpointed — e.g. a final round handed back by an iterative
+    * operator ([[graft.operators.Graph.bfsHops]]) whose storage the
+    * caller wants to free deterministically once it has derived and
+    * materialized its own result from it, instead of waiting for the
+    * ContextCleaner. Same destroy-once contract as [[persist]]'s
+    * thunk; no-op on plans that are not a bare checkpoint. */
+  def releaseOf(df: DataFrame): () => Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => () => { lr.rdd.unpersist(blocking = false); () }
+      case _              => () => ()
     }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog-wide cache-release contract (VERDICT r13/r14 finding): a
+  * catalog query that caches or locally checkpoints intermediates
+  * must free them before returning. After the result is materialized,
+  * at most ONE persisted RDD may remain registered with the block
+  * manager — the eagerly-materialized final result (or final
+  * iterative round), which the ContextCleaner reclaims once the
+  * caller drops the reference (the [[operators.Rounds]] contract).
+  * Anything more is a leak: a `.cache()` that the session cache holds
+  * until someone calls `clearCache()`, or a locally-checkpointed
+  * round whose `Dataset.unpersist` was a silent no-op — rounds× block
+  * copies of executor storage at cluster scale.
+  *
+  * Covers every catalog query that carries a `.cache()` or a
+  * multi-round `localCheckpoint` chain.
+  */
+class CatalogReleaseSpec extends AnyFunSuite with SparkTestBase {
+
+  private val covered = Seq(
+    "q_pagerank",        // sym/deg/edges caches, eager final
+    "q_ppr",             // sym/deg/edges caches, eager top-30
+    "q_hits",            // edge cache, eager top-30
+    "q_diameter_2sweep", // edge cache + two bfsHops final rounds
+    "q_sssp_bounded",    // delta rounds; final dist stays (allowance)
+    "q_label_prop",      // delta rounds; final labels stay (allowance)
+    "q_bpe_merges",      // 6 checkpointed vocab rounds, all released
+    "q_rfm_scores")      // per-user cache, eager ≤125-row final
+
+  for (name <- covered)
+    test(s"$name leaves at most its final result persisted") {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val res = SparkEntry.queries(name)(spark, sf)
+      assert(res.count() >= 0)
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.size <= 1,
+        s"$name left ${leaked.size} persisted RDDs registered " +
+          "(expected at most the eager final result); a cache or " +
+          "checkpointed round is not being released")
+    }
+}

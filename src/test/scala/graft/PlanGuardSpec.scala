@@ -62,8 +62,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_decay_popularity" -> "1-row max-timestamp broadcast (tmax)",
     "q_ann_recall" -> ("inherits q_ann_bruteforce/q_ann_lsh's bounded " +
       "query-vector broadcasts (both independently whitelisted)"),
-    "q_hits" -> ("1-row per-role max-score aggregates broadcast for " +
-      "the ppm normalization (one per role)"),
+    // q_hits / q_diameter_2sweep: their bounded 1-row broadcasts run
+    // during the eager final-result materialization (the cache-release
+    // contract, CatalogReleaseSpec) — the RETURNED plan is a
+    // LogicalRDD scan, so they no longer appear in planFacts.
     "q_rocchio_classify" -> ("bounded per-language centroid relation " +
       "(one row per lang) broadcast to the doc scan"),
     "q_peak_detect" -> ("bounded hour-grid broadcast (<=720 rows, fixed " +
@@ -81,8 +83,6 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_vocab_growth" -> ("1-row doc-id extent broadcast for the decile " +
       "bucketing"),
     "q_scd2_read" -> "1-row as-of timestamp broadcast onto the versions",
-    "q_diameter_2sweep" -> ("1-row seed, 1-row farthest-node, and 1-row " +
-      "eccentricity aggregates crossed into the single report row")
   )
 
   /** query -> why its empty-partition-spec (single-partition) window

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins for the TPC-H decorrelation catalog entries
+  * (SURVEY Table B, filters/joins rows): each query must plan as the
+  * DECORRELATED join form — aggregate-join / semi / anti / outer —
+  * never a per-outer-row rescan. Value correctness against the
+  * correlated SQL is the oracle's job (CORRECTNESS gate); this spec
+  * pins the plan so a regression to nested-loop or duplicated-scan
+  * shapes fails the build (the q_lateral_topk precedent).
+  */
+class TpchShapesSpec extends AnyFunSuite with SparkTestBase {
+
+  private def phys(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Number of parquet scans of `table` in the optimized logical plan
+    * (subqueries included) — the decorrelated forms read a table a
+    * FIXED number of times, independent of outer cardinality. */
+  private def scansOf(name: String, table: String): Int =
+    SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      .collectWithSubqueries {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation if h.location.rootPaths
+            .exists(_.toString.contains(s"$table.parquet")) => 1
+          case _ => 0
+        }
+      }.sum
+
+  test("q_tpch_q4: EXISTS plans as ONE semi join with residual condition") {
+    val p = phys("q_tpch_q4")
+    assert(p.contains("LeftSemi"), "expected a LeftSemi join in:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(scansOf("q_tpch_q4", "lineitem") == 1)
+  }
+
+  test("q_tpch_q21: EXISTS + NOT EXISTS plan as one semi + one anti join") {
+    val p = phys("q_tpch_q21")
+    assert(p.contains("LeftSemi"), "expected a LeftSemi join in:\n" + p)
+    assert(p.contains("LeftAnti"), "expected a LeftAnti join in:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_tpch_q13: orders predicate stays on the outer join's inner side") {
+    val p = phys("q_tpch_q13")
+    assert(p.contains("Outer"), "expected an outer join in:\n" + p)
+    // zero-order customers must survive to the census — count rows
+    // with c_count = 0 exist at the test SF (the predicate would
+    // silently turn the join inner if pushed wrongly)
+    val rows = SparkEntry.queries("q_tpch_q13")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum >= 100L, "census lost customers")
+  }
+
+  test("q_tpch_q17 and q_tpch_q2: correlated aggregate = two scans, not per-row") {
+    assert(scansOf("q_tpch_q17", "lineitem") <= 2)
+    assert(scansOf("q_tpch_q2", "lineitem") <= 2)
+    for (n <- Seq("q_tpch_q17", "q_tpch_q2", "q_tpch_q18")) {
+      val p = phys(n)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n plans a rescan shape")
+    }
+  }
+}
