@@ -88,19 +88,57 @@ object ScaleGen {
   val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Adversarial-skew mode (VERDICT r13/r15 brief #7): remap `pct`% of
+    * each fact table's hot-path key to ONE value — one order carrying
+    * `pct`% of all lineitems, one user carrying `pct`% of all events —
+    * the Zipf-head hotspot the 100 TB design point will see, which
+    * uniform key-isolated replication can never produce. The hot keys
+    * are existing dimension keys (copy 0 of the minimum source key),
+    * so referential integrity holds; row selection is a pure hash of
+    * stable row identity (deterministic at any partitioning, so the
+    * DuckDB oracle sees the identical dataset). Everything else —
+    * schema, row counts, FK domains — matches the unskewed generation,
+    * so every catalog query still runs and the oracle compare is the
+    * same exactness gate, just on adversarial key mass. */
+  def skewTable(name: String, df: DataFrame, hotOrder: Long, hotUser: Long,
+      pct: Int): DataFrame = name match {
+    case "lineitem" =>
+      df.withColumn("l_orderkey",
+        when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+          col("l_suppkey")), lit(100)) < pct, lit(hotOrder))
+          .otherwise(col("l_orderkey")))
+    case "events" =>
+      df.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(100)) < pct, lit(hotUser))
+          .otherwise(col("user_id")))
+    case _ => df
+  }
+
   /** Scale every table from srcDir into outDir. Session timezone must
     * be UTC (asserted) — the NTZ→Timestamp normalization below relies
-    * on it for instant-preserving casts. */
+    * on it for instant-preserving casts. `skewPct` > 0 applies
+    * [[skewTable]]'s hot-key remap on top. */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, skewPct: Int = 0): Unit = {
     require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
       "ScaleGen.generate requires a UTC session timezone")
+    // hot keys for skew mode: copy 0 of each dimension's minimum
+    // source key — guaranteed present in the scaled dimension
+    val (hotOrder, hotUser) =
+      if (skewPct <= 0) (0L, 0L)
+      else (spark.read.parquet(s"$srcDir/orders.parquet")
+              .agg(min(col("o_orderkey"))).head.getLong(0) * factor,
+            spark.read.parquet(s"$srcDir/customer.parquet")
+              .agg(min(col("c_custkey"))).head.getLong(0) * factor)
     tables.foreach { t =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
       val rows = src.count()
       // file count ∝ scaled rows: ~500k rows per file, ≥1
       val parts = math.max(1, (rows * factor / 500000L).toInt)
-      val scaled = scaleTable(spark, t, src, factor)
+      val scaled =
+        if (skewPct <= 0) scaleTable(spark, t, src, factor)
+        else skewTable(t, scaleTable(spark, t, src, factor),
+          hotOrder, hotUser, skewPct)
       // The driver's testdata is pyarrow-written: no Spark schema
       // metadata, so readers infer from the parquet physical type and
       // Tables.table's NTZ-inference-off read yields TimestampType.
@@ -161,6 +199,8 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val (srcDir, outDir) = (args(0), args(1))
     val factor = args(2).toInt
+    // optional 4th arg: hot-key skew percentage (e.g. 20)
+    val skewPct = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -169,7 +209,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, srcDir, outDir, factor)
+    generate(spark, srcDir, outDir, factor, skewPct)
     spark.stop()
   }
 }

@@ -1,0 +1,343 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Tables
+import graft.model._
+import graft.sources.DocumentSink
+
+/** Combined multi-query streaming soak — the reference's actual
+  * deployment shape (one consumer process running several jobs
+  * concurrently, firebase/app/artifacts.py:195-205) exercised against
+  * one sustained ingest with a mid-soak whole-driver crash/restart.
+  *
+  * Six streaming queries run CONCURRENTLY on one SparkSession over the
+  * same staged file-stream input (events + documents, one file per
+  * micro-batch, staged in event-time order so watermark late-drops
+  * cannot occur by construction):
+  *
+  *  1. the subscription pipeline (route → filter → hash → SYNC gate →
+  *     batched sink + hash-store merge) — durable state: checkpoint +
+  *     bucketed parquet hash store;
+  *  2. [[StreamOps.CmsMaintainer]] over `event_type` — driver-memory
+  *     sketch state;
+  *  3. [[StreamOps.DriftMaintainer]] over `value` — driver-memory
+  *     histogram state;
+  *  4. [[StreamOps.JoinMvMaintainer]] enriching events with an
+  *     event-type dimension — durable state: per-batch parquet
+  *     partitions;
+  *  5. watermarked session windows per user — engine state store +
+  *     exactly-once file sink;
+  *  6. [[StreamOps.nearDupStream]] stateful LSH over documents —
+  *     flatMapGroupsWithState state store + exactly-once file sink.
+  *
+  * Mid-soak, ALL six are stopped at once at whatever offset each has
+  * reached (the whole-driver-crash shape: every query is interrupted
+  * at a DIFFERENT arbitrary point), then restarted. Recovery posture
+  * differs by state class, and the soak proves both:
+  *
+  *  - durable / engine state (pipeline, join-MV, session windows, LSH)
+  *    restarts from its OWN checkpoint — committed batches do not
+  *    refire (batch-id replay gates, idempotent upserts, the file
+  *    sink's transactional manifest), in-flight batches replay;
+  *  - driver-memory sketches (CMS, drift) restart with a FRESH
+  *    checkpoint and rebuild by full-source recompute — their merge is
+  *    deterministic and associative, so recompute lands the exact
+  *    batch state (the cheap-state recovery idiom: re-aggregating a
+  *    bounded sketch beats persisting it every batch).
+  *
+  * After drain, every maintained state is compared for EXACT equality
+  * against a from-scratch batch recompute over the full staged input —
+  * the converged-state-equality criterion (multiset compares via
+  * exceptAll both ways; sketch/histogram cell-wise).
+  *
+  * Mid-BATCH crash atomicity (partial sink commits, no hash merge) is
+  * pinned separately by CrashRecoverySpec; the soak's subject is
+  * concurrent multi-query recovery + cross-query interference.
+  */
+object Soak {
+
+  final case class Result(
+      events: Long, docs: Long, wallSec: Double,
+      crashAtPipelineBatch: Long,
+      pipelineSinkCommits: Long,
+      sessionsEmitted: Long, lshHits: Long,
+      hashStoreOk: Boolean, cmsOk: Boolean, driftOk: Boolean,
+      joinMvOk: Boolean, sessionsOk: Boolean, lshOk: Boolean,
+      /** diagnostic: the soak's working dir — staged inputs and the
+        * streamed sink parquet survive there for post-mortem */
+      workDir: String = "") {
+    def allOk: Boolean =
+      hashStoreOk && cmsOk && driftOk && joinMvOk && sessionsOk && lshOk
+  }
+
+  /** Per-run counting sink (CrashRecoverySpec-style instance counters
+    * would not survive executor-side construction; local-mode shares
+    * the JVM, so a keyed static registry does). */
+  final class KeyedCountingSink(key: String) extends DocumentSink {
+    override def commitBatch(docs: Seq[DocumentSink.Doc]): Unit =
+      KeyedCountingSink.counter(key).add(docs.size)
+  }
+  object KeyedCountingSink {
+    private val counters =
+      new java.util.concurrent.ConcurrentHashMap[String, LongAdder]()
+    def counter(key: String): LongAdder =
+      counters.computeIfAbsent(key, _ => new LongAdder)
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Multiset equality via symmetric exceptAll — exact, null-safe,
+    * duplicate-aware. */
+  private def sameMultiset(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** Stage `df` as `n` sequentially-written single-file chunks split
+    * by ntile over `orderCol` — chunk i holds the i-th quantile range,
+    * written i-th, so the file stream (mtime order) replays the data
+    * in `orderCol` order and event-time watermarks only ever advance
+    * behind delivered data. Returns each chunk's max `orderCol` (the
+    * watermark schedule: after the stream commits chunk k+1, the
+    * engine watermark has reached max(chunk 1..k) − lateness). */
+  private def stageOrdered(df: DataFrame, orderCol: String, n: Int,
+      dir: String): Seq[Long] = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    val chunked = df.withColumn("__chunk", ntile(n).over(w))
+    (1 to n).map { i =>
+      val chunk = chunked.filter(col("__chunk") === i).drop("__chunk")
+      chunk.coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(2) // distinct mtimes: file-source order = write order
+      chunk.agg(max(col(orderCol))).head.getLong(0)
+    }
+  }
+
+  // one subscription, SYNC mode (hash store active), wildcard topics
+  private val sub = Subscription("soak", "soak", "*",
+    FbOptions(syncMode = "sync", targetPath = "_aether/entities/{topic}"))
+
+  def run(spark: SparkSession, sfDir: String, nEventFiles: Int,
+      nDocFiles: Int): Result = {
+    require(nEventFiles >= 2, "the guaranteed-watermark band needs >=2 chunks")
+    import spark.implicits._
+    val t0 = System.nanoTime()
+
+    // ---- stage inputs (event-time order; docs by doc_id) ----
+    val work = tmp("soak-work")
+    val evIn = s"$work/in-events"; val docIn = s"$work/in-docs"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("kafka_topic", concat(lit("tnt."), col("event_type")))
+      .withColumnRenamed("event_id", "id")
+      .drop("props")
+    val chunkMaxTs = stageOrdered(ev, "ts", nEventFiles, evIn)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    stageOrdered(docs, "doc_id", nDocFiles, docIn)
+    val evSchema = spark.read.parquet(evIn).schema
+    val docSchema = spark.read.parquet(docIn).schema
+    val nEvents = ev.count(); val nDocs = docs.count()
+
+    def evStream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1").parquet(evIn)
+    def docStream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(docIn)
+
+    // event-type dimension for the join-MV (broadcast-sized)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_code", xxhash64(col("event_type")))
+
+    val sinkKey = s"soak-${System.nanoTime()}"
+    val mvPath = s"$work/joinmv"
+
+    // ---- one launch = the six concurrent queries ----
+    final case class Fleet(pipeline: StreamingQuery, sessions: StreamingQuery,
+        qs: Seq[StreamingQuery],
+        cms: StreamOps.CmsMaintainer, drift: StreamOps.DriftMaintainer,
+        joinMv: StreamOps.JoinMvMaintainer)
+    def launch(freshSketchCkpt: Boolean): Fleet = {
+      val job = new StreamingJob(spark, Seq(sub), "tnt",
+        () => new KeyedCountingSink(sinkKey),
+        s"$work/hashes", s"$work/pipeline-ckpt", Trigger.ProcessingTime(0L))
+      val pipeline = job.start(evStream)
+
+      val cms = new StreamOps.CmsMaintainer(spark)
+      val drift = new StreamOps.DriftMaintainer(spark, 64, 0.0, 100.0)
+      val joinMv = new StreamOps.JoinMvMaintainer(spark, mvPath, Seq("event_type"))
+      joinMv.setDim(broadcast(dim))
+      val sketchCkpt =
+        if (freshSketchCkpt) tmp("soak-sketch-ckpt") else s"$work/sketch-ckpt"
+      val qCms = StreamOps.maintainCms(
+        evStream.select(col("event_type")), "event_type", cms, s"$sketchCkpt/cms")
+      val qDrift = StreamOps.maintainDrift(
+        evStream.select(col("value")), "value", drift, s"$sketchCkpt/drift")
+      val qMv = StreamOps.maintainJoinMv(
+        evStream.select(col("id"), col("event_type"), col("value")),
+        joinMv, s"$work/joinmv-ckpt")
+      val qSess = StreamOps.sessionWindowAgg(
+          evStream, "ts", "30 minutes", "1 hour", "user_id")
+        .writeStream.format("parquet")
+        .option("path", s"$work/sessions")
+        .option("checkpointLocation", s"$work/sessions-ckpt")
+        .start()
+      val qLsh = StreamOps.nearDupStream(spark, docStream).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$work/lsh")
+        .option("checkpointLocation", s"$work/lsh-ckpt")
+        .start()
+      Fleet(pipeline, qSess, Seq(pipeline, qCms, qDrift, qMv, qSess, qLsh),
+        cms, drift, joinMv)
+    }
+
+    // ---- phase A: run until the pipeline is mid-stream, then stop
+    // everything at once (whole-driver crash: each query at its own
+    // arbitrary offset) ----
+    val a = launch(freshSketchCkpt = false)
+    val crashTarget = math.max(1L, nEventFiles / 2L)
+    val deadline = System.nanoTime() + 300L * 1000000000L
+    while (Option(a.pipeline.lastProgress)
+        .forall(_.batchId < crashTarget) && System.nanoTime() < deadline)
+      Thread.sleep(25)
+    val crashAt = Option(a.pipeline.lastProgress).map(_.batchId).getOrElse(-1L)
+    a.qs.foreach(_.stop())
+
+    // ---- phase B: restart. Durable/engine state resumes from its own
+    // checkpoint; driver-memory sketches rebuild via full recompute
+    // (fresh checkpoint). ----
+    val b = launch(freshSketchCkpt = true)
+    b.qs.foreach(_.processAllAvailable())
+    b.qs.foreach(_.stop())
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    // ---- converged-state equality vs batch recompute ----
+    val batchInput = spark.read.parquet(evIn)
+
+    // 1. pipeline hash store == batch route→mask→hash over the full
+    //    input (unique ids ⇒ the store holds every doc's hash)
+    val expectedHashes = Pipeline.dedupeBatch(
+        Pipeline.compileMulti(Seq(sub), "tnt", batchInput))
+      .select(col("target_path"), col("doc_id"), col("doc_hash"))
+    val hashStoreOk = sameMultiset(
+      new HashStore(spark, s"$work/hashes").load(), expectedHashes)
+
+    // 2. CMS == batch sketch cell-wise
+    val cmsOk = sameMultiset(b.cms.counterTable,
+      graft.operators.Sketches.cmsCounters(
+        batchInput.select(col("event_type")), "event_type"))
+
+    // 3. drift histogram == batch histogram in the same geometry
+    val driftOk = sameMultiset(b.drift.histogram,
+      b.drift.bucketed(batchInput.select(col("value")), "value"))
+
+    // 4. join-MV == batch join (each event lands in exactly ONE batch
+    //    partition: checkpointed batch ids are contiguous across the
+    //    restart and replays overwrite in place)
+    val joinMvOk = sameMultiset(
+      b.joinMv.view.select(col("id"), col("event_type"), col("value"),
+        col("type_code")),
+      batchInput.select(col("id"), col("event_type"), col("value"))
+        .join(dim, Seq("event_type"))
+        .select(col("id"), col("event_type"), col("value"), col("type_code")))
+
+    // 5. sessions: banded equality against the watermark SCHEDULE the
+    //    ts-ordered staging pins down. Two data-derived cutoffs:
+    //
+    //      guaranteed = max(ts of all but the last chunk) − lateness —
+    //        the watermark in force while the LAST data batch ran, so
+    //        every session ending below it was committed by a batch
+    //        processAllAvailable provably awaited (and is FINAL: later
+    //        chunks hold strictly later events than a closed session's
+    //        gap horizon, so batch recompute agrees on these rows);
+    //      ceiling = max(ts) − lateness — the most any trailing
+    //        no-data micro-batch could have flushed.
+    //
+    //    Required: guaranteed ⊆ streamed ⊆ ceiling, with multiset
+    //    exceptAll so duplicates/corruption can't hide. The band
+    //    between them is the tail tranche whose emission races the
+    //    stop() — indeterminate on a real unbounded stream too (those
+    //    sessions are still lawfully in state), so asserting it would
+    //    pin scheduler timing, not semantics.
+    //    The batch recompute is MATERIALIZED before the cutoff filter:
+    //    Catalyst pushes a session_end predicate through the
+    //    session_window aggregate as a per-row event-time prune —
+    //    sound for fixed windows, NOT for merged sessions: a session
+    //    STRADDLING the cut is truncated to a phantom partial (its
+    //    pre-cut events alone) that then passes the filter. Found live
+    //    by this soak: 5 phantom sessions at sf0.1 made the correct
+    //    streamed output look wrong. Lineage cut = filter runs on the
+    //    aggregate's true output.
+    val streamedSessions = spark.read.parquet(s"$work/sessions")
+    val batchSessions = StreamOps.sessionWindowAgg(
+      batchInput, "ts", "30 minutes", "1 hour", "user_id").localCheckpoint(true)
+    val sessionsEmitted = streamedSessions.count()
+    def wmCut(ns: Long) =
+      timestamp_micros(lit(ns / 1000L)) - expr("INTERVAL 30 minutes")
+    val guaranteed = batchSessions
+      .filter(col("session_end") < wmCut(chunkMaxTs.init.max))
+    val ceiling = batchSessions
+      .filter(col("session_end") <= wmCut(chunkMaxTs.max))
+    val sessionsOk = guaranteed.exceptAll(streamedSessions).isEmpty &&
+      streamedSessions.exceptAll(ceiling).isEmpty
+    graft.operators.Rounds.releaseOf(batchSessions)()
+
+    // 6. LSH: streamed band hits cover exactly the batch banding
+    //    (same docs, same buckets), with exactly one first-seen
+    //    representative per bucket that every member points at —
+    //    rep IDENTITY is arrival-order-dependent by design, so the
+    //    equality is structural, not positional
+    val streamedLsh = spark.read.parquet(s"$work/lsh")
+    val lshHits = streamedLsh.filter(!col("is_first")).count()
+    val batchBanded = {
+      import graft.operators.Dedup
+      Dedup.withLshBands(Dedup.withMinhashSignature(Dedup.withShingles(
+          spark.read.parquet(docIn).select(col("doc_id").cast("long"), col("text")),
+          "text")))
+        .select(col("band_idx"), col("band_key"), col("doc_id"))
+    }
+    val membersOk = sameMultiset(
+      streamedLsh.select(col("band_idx"), col("band_key"), col("doc_id")),
+      batchBanded)
+    val bucketsOk = streamedLsh
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sum(when(col("is_first"), 1L).otherwise(0L)).as("n_first"),
+        count_distinct(col("rep_id")).as("n_reps"),
+        max(when(col("is_first"), col("doc_id"))).as("first_doc"),
+        max(col("rep_id")).as("rep"))
+      .filter(col("n_first") =!= 1L || col("n_reps") =!= 1L ||
+        col("first_doc") =!= col("rep"))
+      .isEmpty
+    val lshOk = membersOk && bucketsOk
+
+    Result(nEvents, nDocs, wallSec, crashAt,
+      KeyedCountingSink.counter(sinkKey).sum(),
+      sessionsEmitted, lshHits,
+      hashStoreOk, cmsOk, driftOk, joinMvOk, sessionsOk, lshOk, work)
+  }
+}
+
+/** Soak benchmark main: runs [[Soak.run]] at the env-selected SF and
+  * prints ONE JSON line (the STREAMBENCH record shape). */
+object SoakBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nEventFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "24").toInt
+    val nDocFiles = math.max(2, nEventFiles / 4)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.numRecentProgressUpdates", s"${nEventFiles + 8}")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val r = Soak.run(spark, sfDir, nEventFiles, nDocFiles)
+    println(f"""{"metric":"soak_events_per_sec","value":${r.events / r.wallSec}%.1f,"unit":"events/sec","events":${r.events},"docs":${r.docs},"seconds":${r.wallSec}%.2f,"concurrent_queries":6,"crash_at_pipeline_batch":${r.crashAtPipelineBatch},"pipeline_sink_commits":${r.pipelineSinkCommits},"sessions_emitted":${r.sessionsEmitted},"lsh_hits":${r.lshHits},"hash_store_ok":${r.hashStoreOk},"cms_ok":${r.cmsOk},"drift_ok":${r.driftOk},"join_mv_ok":${r.joinMvOk},"sessions_ok":${r.sessionsOk},"lsh_ok":${r.lshOk},"all_ok":${r.allOk},"sf":"$sfDir"}""")
+    spark.stop()
+    if (!r.allOk) sys.exit(1)
+  }
+}

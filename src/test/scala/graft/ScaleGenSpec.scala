@@ -78,6 +78,32 @@ class ScaleGenSpec extends AnyFunSuite with SparkTestBase {
       == org.apache.spark.sql.types.TimestampType)
   }
 
+  test("skew mode: one hot order/user carries ~pct of fact rows, FK + schema intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft-skewgen-out").toString
+    ScaleGen.generate(spark, src, out, 2, skewPct = 20)
+    val l = spark.read.parquet(s"$out/lineitem.parquet").cache()
+    val e = spark.read.parquet(s"$out/events.parquet").cache()
+    try {
+      // the hot key's share is ~20% (hash Bernoulli: generous band)
+      val n = l.count()
+      val topShare = l.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0).toDouble / n
+      assert(topShare > 0.15 && topShare < 0.25, f"hot order share $topShare%.3f")
+      val ne = e.count()
+      val topUser = e.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0).toDouble / ne
+      assert(topUser > 0.15 && topUser < 0.25, f"hot user share $topUser%.3f")
+      // referential integrity survives the remap (hot keys are real keys)
+      val o = spark.read.parquet(s"$out/orders.parquet")
+      assert(l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti").count() == 0)
+      // loader-visible schema identical to unskewed generation
+      assert(Tables.lineitem(spark, out).schema ==
+        Tables.lineitem(spark, src).schema)
+      assert(Tables.events(spark, out).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+    } finally { l.unpersist(); e.unpersist() }
+  }
+
   test("embedding rotation preserves vector size and norm") {
     val e = gen("embeddings")
       .withColumn("c", (col("vec_id") % factor).cast("int"))
