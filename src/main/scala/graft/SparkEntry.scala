@@ -6736,13 +6736,345 @@ object Queries {
       .orderBy(col("numwait").desc, col("s_name")).limit(20)
   }
 
+  // integer-exact money/quantity projections shared by the TPC-H
+  // family: cents = floor(price·100), percent = floor(discount·100),
+  // centi-units = floor(quantity·100) — revenue in cents×percent
+  // ("centi-cent") units so both engines compute identical BIGINTs
+  private def revCc: org.apache.spark.sql.Column =
+    (floor(col("l_extendedprice").cast("double") * 100).cast("long") *
+      (lit(100L) - floor(col("l_discount").cast("double") * 100).cast("long")))
+
+  /** TPC-H Q3 shape — shipping-priority top-10: unshipped revenue of
+    * one market segment's orders placed before / shipped after a date.
+    * Three-way join narrows left-to-right (segment filter pushes into
+    * the customer scan, both date filters into their scans), one
+    * orderkey-grouped aggregate, top-10 via TakeOrderedAndProject —
+    * never a global sort. */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val d = lit("1998-06-01").cast("timestamp")
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(revCc).as("revenue_cc"))
+      .orderBy(col("revenue_cc").desc, col("l_orderkey")).limit(10)
+  }
+
+  /** TPC-H Q7 shape — volume shipping between two nations: revenue of
+    * lines where the supplier sits in one nation and the ordering
+    * customer in the other, both directions, per year. The nation dim
+    * joins twice under different roles (broadcast both); the big
+    * join chain is lineitem⋈orders on orderkey then the two
+    * nation-restricted dims. */
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    def nat(role: String) = broadcast(Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as(s"${role}_nk"), col("n_name").as(role)))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(nat("supp_nation"), col("s_nationkey") === col("supp_nation_nk"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(nat("cust_nation"), col("c_nationkey") === col("cust_nation_nk"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(revCc).as("revenue_cc"), count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape — market share: of one region's ECONOMY-part
+    * order volume, the fraction supplied from one nation, per order
+    * year. Conditional-sum ratio in exact integers (ppm via BIGINT
+    * division); region/nation/part dims broadcast; the two fact joins
+    * shuffle on their natural keys. */
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val marketNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("sup_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("sup_nation"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(marketNations), col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("sup_nation") === "NATION_3", revCc).otherwise(0L))
+          .as("nation_cc"),
+        sum(revCc).as("total_cc"))
+      .select(col("o_year"), col("nation_cc"), col("total_cc"),
+        expr("CAST(CAST(nation_cc AS DECIMAL(38,0)) * 1000000 div total_cc" +
+          " AS BIGINT)").as("share_ppm"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape — product-type profit by supplier nation and
+    * year: for 'rod' parts, profit = revenue minus a 60%-of-retail
+    * cost basis (the schema carries no partsupp supplycost), in exact
+    * integer micro-units on both engines. LIKE filter pushes into the
+    * part scan; part/supplier dims broadcast onto the lineitem scan;
+    * orders joins on orderkey for the year. */
+  def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val profit = revCc * lit(100L) -
+      lit(60L) * col("rc") * col("qc")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"),
+        floor(col("l_quantity").cast("double") * 100).cast("long").as("qc"))
+      .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%rod%"))
+        .select(col("p_partkey"),
+          floor(col("p_retailprice").cast("double") * 100).cast("long")
+            .as("rc"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(profit).as("profit_u"), count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q10 shape — returned-item reporting: revenue lost to
+    * returns per customer in one quarter, top 20. Quarter filter
+    * pushes into the orders scan, the return flag into lineitem; one
+    * customer-grouped aggregate; top-20 via TakeOrdered. */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revCc).as("lost_cc"), count(lit(1)).as("n_returned"))
+      .orderBy(col("lost_cc").desc, col("c_custkey")).limit(20)
+  }
+
+  /** TPC-H Q12 shape — late-shipment priority census per line status
+    * (the schema's stand-in for ship mode): among 1997 lines shipped
+    * more than 30 days after their order date, how many belonged to
+    * critical (1-URGENT/2-HIGH) vs other orders. One join, one
+    * conditional-count aggregate — the classic two-bucket pivot. */
+  def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > 30)
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q14 shape — promotion revenue share: the fraction of one
+    * month's revenue carried by PROMO-type parts, in exact ppm. Part
+    * dim broadcast; single conditional-sum aggregate over the
+    * month-pruned lineitem scan. */
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", revCc).otherwise(0L))
+          .as("promo_cc"),
+        sum(revCc).as("total_cc"))
+      .select(col("promo_cc"), col("total_cc"),
+        expr("CAST(CAST(promo_cc AS DECIMAL(38,0)) * 1000000 div total_cc" +
+          " AS BIGINT)").as("promo_ppm"))
+      .orderBy(col("promo_cc"))
+  }
+
+  /** TPC-H Q15 shape — top supplier(s): the supplier(s) whose
+    * quarterly revenue equals the maximum over all suppliers. The
+    * reference pattern is a view + `total = (SELECT max(total) FROM
+    * view)`; decorrelated here to the per-supplier aggregate joined
+    * to its own 1-row max on the VALUE (broadcast hash equi-join —
+    * never a per-supplier rescan). */
+  def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revCc).as("total_cc"))
+    rev.join(broadcast(rev.agg(max(col("total_cc")).as("max_cc"))),
+        col("total_cc") === col("max_cc"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cc"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16 shape — supplier-relationship census: distinct
+    * suppliers offering each (brand, size) combination outside the
+    * PROMO type, excluding flagged suppliers (negative account
+    * balance standing in for the complaints filter) via NOT IN —
+    * planned as a broadcast anti join, then a count-distinct
+    * aggregate. */
+  def qTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_type") =!= "PROMO" && col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("bad_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive bracket predicate join: three
+    * (brand, size, quantity-band) OR-brackets evaluated as a residual
+    * condition on the partkey equi-join, the shape that tests DNF
+    * handling — the join stays a single hash join on partkey with the
+    * brackets as a post-probe filter, never a union of three scans or
+    * a cartesian fallback. Quantity compared in exact centi-units. */
+  def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val qc = floor(col("l_quantity").cast("double") * 100).cast("long")
+    val bracket =
+      (col("p_brand") === "Brand#13" && col("p_size") <= 5 &&
+        qc >= 100L && qc <= 1100L) ||
+      (col("p_brand") === "Brand#19" && col("p_size") <= 10 &&
+        qc >= 1000L && qc <= 2000L) ||
+      (col("p_brand") === "Brand#23" && col("p_size") <= 15 &&
+        qc >= 2000L && qc <= 3000L)
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey") && bracket)
+      .agg(sum(revCc).as("revenue_cc"), count(lit(1)).as("n_lines"))
+      .orderBy(col("n_lines"))
+  }
+
+  /** TPC-H Q20 shape — excess-share suppliers: suppliers who shipped
+    * MORE THAN HALF of some 'rod' part's total quantity. The
+    * reference nests IN (parts) inside IN (partsupp with a correlated
+    * quantity threshold); decorrelated to one (part, supplier)
+    * aggregate + one per-part total joined back on partkey with the
+    * cross-multiplied 2·sup > total compare, then a LEFT SEMI into
+    * supplier — two keyed aggregates and two joins, no per-supplier
+    * rescan. */
+  def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_quantity").cast("double") * 100).cast("long").as("qc"))
+      .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%rod%"))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val perSup = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qc")).as("sup_qc"))
+    val perPart = li.groupBy(col("l_partkey").as("pp"))
+      .agg(sum(col("qc")).as("part_qc"))
+    val excess = perSup.join(perPart, col("l_partkey") === col("pp"))
+      .filter(col("sup_qc") * 2 > col("part_qc"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q22 shape — global-scalar + anti-join: customers with an
+    * above-average positive balance who never ordered, grouped into
+    * key-derived buckets (the schema's stand-in for phone country
+    * codes). The global average enters as a cross-multiplied integer
+    * compare against a 1-row (sum, count) broadcast — no division,
+    * engine-exact — and NOT EXISTS(orders) is a LEFT ANTI join. */
+  def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        floor(col("c_acctbal").cast("double") * 100).cast("long").as("bal_c"))
+    val posStats = cust.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("pos_sum"), count(lit(1)).as("pos_n"))
+    cust.filter(col("bal_c") > 0)
+      .crossJoin(broadcast(posStats))
+      .filter(col("bal_c") * col("pos_n") > col("pos_sum"))
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_custkey") % 7).as("cntry_bucket"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+      .orderBy(col("cntry_bucket"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q2" -> (qTpchQ2 _),
+    "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q8" -> (qTpchQ8 _),
+    "q_tpch_q9" -> (qTpchQ9 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q12" -> (qTpchQ12 _),
     "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
+    "q_tpch_q15" -> (qTpchQ15 _),
+    "q_tpch_q16" -> (qTpchQ16 _),
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
+    "q_tpch_q20" -> (qTpchQ20 _),
     "q_tpch_q21" -> (qTpchQ21 _),
+    "q_tpch_q22" -> (qTpchQ22 _),
     "q_score_auc" -> (qScoreAuc _),
     "q_ks_drift" -> (qKsDrift _),
     "q_cohen_kappa" -> (qCohenKappa _),
@@ -7151,6 +7483,202 @@ object Queries {
         |SELECT s_name, CAST(count(*) AS BIGINT) numwait
         |FROM sole JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') order_date,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |    * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT)))
+        |    AS BIGINT) revenue_cc
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cc DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name supp_nation, n2.n_name cust_nation,
+        |  year(CAST(l_shipdate AS DATE)) l_year,
+        |  CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |    * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT)))
+        |    AS BIGINT) revenue_cc,
+        |  CAST(count(*) AS BIGINT) n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1','NATION_2')
+        |  AND n2.n_name IN ('NATION_1','NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      """WITH vol AS (SELECT year(CAST(o_orderdate AS DATE)) o_year,
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |      * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT)) cc,
+        |    sn.n_name sup_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN sup_nation = 'NATION_3' THEN cc ELSE 0 END)
+        |    AS BIGINT) nation_cc,
+        |  CAST(sum(cc) AS BIGINT) total_cc,
+        |  CAST(sum(CASE WHEN sup_nation = 'NATION_3' THEN cc ELSE 0 END)
+        |    * 1000000 // sum(cc) AS BIGINT) share_ppm
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name nation, year(CAST(o_orderdate AS DATE)) o_year,
+        |  CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |      * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT))
+        |      * 100
+        |    - 60 * CAST(floor(CAST(p_retailprice AS DOUBLE)*100) AS BIGINT)
+        |      * CAST(floor(CAST(l_quantity AS DOUBLE)*100) AS BIGINT))
+        |    AS BIGINT) profit_u,
+        |  CAST(count(*) AS BIGINT) n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%rod%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |    * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT)))
+        |    AS BIGINT) lost_cc,
+        |  CAST(count(*) AS BIGINT) n_returned
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |GROUP BY 1, 2, 3 ORDER BY lost_cc DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) > 30
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |    * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) promo_cc,
+        |  CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |    * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT)))
+        |    AS BIGINT) total_cc,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |    * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT))
+        |    ELSE 0 END) * 1000000
+        |    // sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |    * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT)))
+        |    AS BIGINT) promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'
+        |ORDER BY promo_cc""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |      * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT)))
+        |      AS BIGINT) total_cc
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cc
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cc = (SELECT max(total_cc) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size <= 25
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |    * (100 - CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT)))
+        |    AS BIGINT) revenue_cc,
+        |  CAST(count(*) AS BIGINT) n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE
+        |  (p_brand = 'Brand#13' AND p_size <= 5
+        |    AND CAST(floor(CAST(l_quantity AS DOUBLE)*100) AS BIGINT)
+        |      BETWEEN 100 AND 1100)
+        |  OR (p_brand = 'Brand#19' AND p_size <= 10
+        |    AND CAST(floor(CAST(l_quantity AS DOUBLE)*100) AS BIGINT)
+        |      BETWEEN 1000 AND 2000)
+        |  OR (p_brand = 'Brand#23' AND p_size <= 15
+        |    AND CAST(floor(CAST(l_quantity AS DOUBLE)*100) AS BIGINT)
+        |      BETWEEN 2000 AND 3000)
+        |ORDER BY n_lines""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH rl AS (SELECT l_partkey, l_suppkey,
+        |    CAST(floor(CAST(l_quantity AS DOUBLE)*100) AS BIGINT) qc
+        |  FROM lineitem WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_name LIKE '%rod%'))
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT r1.l_suppkey FROM rl r1
+        |  GROUP BY r1.l_partkey, r1.l_suppkey
+        |  HAVING sum(r1.qc) * 2 > (SELECT sum(r2.qc) FROM rl r2
+        |    WHERE r2.l_partkey = r1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(floor(CAST(c_acctbal AS DOUBLE)*100) AS BIGINT) bal_c
+        |  FROM customer)
+        |SELECT c_custkey % 7 cntry_bucket,
+        |  CAST(count(*) AS BIGINT) numcust,
+        |  CAST(sum(bal_c) AS BIGINT) totacctbal_c
+        |FROM c
+        |WHERE bal_c > 0
+        |  AND bal_c * (SELECT count(*) FROM c c2 WHERE c2.bal_c > 0)
+        |    > (SELECT sum(c3.bal_c) FROM c c3 WHERE c3.bal_c > 0)
+        |  AND NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY cntry_bucket""".stripMargin,
 
     "q_score_auc" ->
       """WITH ps AS (SELECT source, n_chars,

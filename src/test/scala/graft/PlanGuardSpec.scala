@@ -60,6 +60,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_chisq_domain" -> "1-row contingency total broadcast (t)",
     "q_skipgram_pmi" -> "1-row pair-total broadcast (t)",
     "q_decay_popularity" -> "1-row max-timestamp broadcast (tmax)",
+    "q_tpch_q22" -> ("1-row positive-balance (sum, count) aggregate " +
+      "crossed onto the customer scan for the cross-multiplied " +
+      "above-average compare"),
     "q_ann_recall" -> ("inherits q_ann_bruteforce/q_ann_lsh's bounded " +
       "query-vector broadcasts (both independently whitelisted)"),
     // q_hits / q_diameter_2sweep: their bounded 1-row broadcasts run

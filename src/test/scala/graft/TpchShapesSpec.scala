@@ -64,4 +64,43 @@ class TpchShapesSpec extends AnyFunSuite with SparkTestBase {
         !p.contains("BroadcastNestedLoopJoin"), s"$n plans a rescan shape")
     }
   }
+
+  test("q_tpch_q19: three OR-brackets stay ONE hash join on partkey") {
+    val p = phys("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "expected a single hash/merge join in:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "DNF brackets degenerated to a non-equi join:\n" + p)
+    assert(scansOf("q_tpch_q19", "lineitem") == 1 &&
+      scansOf("q_tpch_q19", "part") == 1,
+      "OR-brackets must not fan out into a union of scans")
+  }
+
+  test("q_tpch_q20: nested correlated IN = two aggregates + semi join, bounded scans") {
+    val p = phys("q_tpch_q20")
+    assert(p.contains("LeftSemi"), "expected a LeftSemi join in:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(scansOf("q_tpch_q20", "lineitem") <= 2,
+      "per-part total must come from ONE extra aggregate, not per-row rescans")
+  }
+
+  test("q_tpch_q16: NOT IN plans as an anti join, q_tpch_q22 as anti + 1-row cross") {
+    val p16 = phys("q_tpch_q16")
+    assert(p16.contains("LeftAnti"), "expected a LeftAnti join in:\n" + p16)
+    val p22 = phys("q_tpch_q22")
+    assert(p22.contains("LeftAnti"), "expected a LeftAnti join in:\n" + p22)
+    // the only nested-loop allowed in q22 is the 1-row stats cross
+    // (whitelisted in PlanGuardSpec); orders must join hash-anti
+    assert(scansOf("q_tpch_q22", "orders") == 1)
+  }
+
+  test("q_tpch_q15: scalar max joins back as a broadcast equi join, fixed scans") {
+    val p = phys("q_tpch_q15")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "max-revenue selection must be an equi join on the value:\n" + p)
+    assert(scansOf("q_tpch_q15", "lineitem") <= 2)
+  }
 }
