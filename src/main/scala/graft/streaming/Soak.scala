@@ -88,6 +88,14 @@ object Soak {
       new java.util.concurrent.ConcurrentHashMap[String, LongAdder]()
     def counter(key: String): LongAdder =
       counters.computeIfAbsent(key, _ => new LongAdder)
+    /** Read the final count and drop the entry — the registry is
+      * process-wide, so a run that never removes its key leaks one
+      * adder per soak for the JVM lifetime. */
+    def drain(key: String): Long = {
+      val v = counter(key).sum()
+      counters.remove(key)
+      v
+    }
   }
 
   private def tmp(prefix: String): String =
@@ -108,13 +116,25 @@ object Soak {
   private def stageOrdered(df: DataFrame, orderCol: String, n: Int,
       dir: String): Seq[Long] = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    // materialize the sorted chunk assignment ONCE: the lazy plan
+    // would re-run the global sort for every chunk write and every
+    // max probe (2n sorts), and ties must land in the same chunk on
+    // every evaluation
     val chunked = df.withColumn("__chunk", ntile(n).over(w))
-    (1 to n).map { i =>
-      val chunk = chunked.filter(col("__chunk") === i).drop("__chunk")
-      chunk.coalesce(1).write.mode("append").parquet(dir)
+      .localCheckpoint(true)
+    val maxes = chunked.groupBy(col("__chunk"))
+      .agg(max(col(orderCol)).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // n > rows leaves high ntile buckets empty — stage only the
+    // present ones (the watermark schedule is over actual chunks)
+    val present = (1 to n).filter(maxes.contains)
+    present.foreach { i =>
+      chunked.filter(col("__chunk") === i).drop("__chunk")
+        .coalesce(1).write.mode("append").parquet(dir)
       Thread.sleep(2) // distinct mtimes: file-source order = write order
-      chunk.agg(max(col(orderCol))).head.getLong(0)
     }
+    graft.operators.Rounds.releaseOf(chunked)()
+    present.map(maxes)
   }
 
   // one subscription, SYNC mode (hash store active), wildcard topics
@@ -312,7 +332,7 @@ object Soak {
     val lshOk = membersOk && bucketsOk
 
     Result(nEvents, nDocs, wallSec, crashAt,
-      KeyedCountingSink.counter(sinkKey).sum(),
+      KeyedCountingSink.drain(sinkKey),
       sessionsEmitted, lshHits,
       hashStoreOk, cmsOk, driftOk, joinMvOk, sessionsOk, lshOk, work)
   }

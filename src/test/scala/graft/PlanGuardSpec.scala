@@ -183,6 +183,31 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       s"stale whitelist entries (no BNLJ in plan): ${stale.mkString(", ")}")
   }
 
+  /** The eager-materialized queries (cache-release contract) return a
+    * bare LogicalRDD, so planFacts can't see their REAL final plans —
+    * they record them in Queries.eagerFinalPlans just before the
+    * localCheckpoint detaches them. Run each and guard the captured
+    * plan: Cartesian never; BNLJ only for the documented bounded
+    * 1-row crosses (q_hits' per-role max normalization,
+    * q_diameter_2sweep's seed/far/eccentricity report row). */
+  test("eager-materialized finals: captured internal plans stay guarded") {
+    val allowedBnlj = Set("q_hits", "q_diameter_2sweep")
+    val names = Seq("q_pagerank", "q_ppr", "q_hits", "q_rfm_scores",
+      "q_diameter_2sweep")
+    names.foreach { n =>
+      spark.catalog.clearCache()
+      SparkEntry.queries(n)(spark, sf).count()
+      val p = Queries.eagerFinalPlans.getOrElse(n,
+        fail(s"$n did not record its final plan via materializeFinal"))
+      assert(!p.contains("CartesianProduct"),
+        s"$n's internal final plan has a CartesianProduct:\n$p")
+      if (!allowedBnlj(n))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$n's internal final plan has an un-whitelisted BNLJ:\n$p")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("single-partition windows only on whitelisted bounded relations") {
     val global = planFacts.collect { case (name, _, true) => name }
     val unlisted = global.filterNot(globalWindowWhitelist.contains)
