@@ -6785,6 +6785,26 @@ object Queries {
       .orderBy(col("revenue_cc").desc, col("l_orderkey")).limit(10)
   }
 
+  /** TPC-H Q6 shape — the forecasting-revenue-change single-scan
+    * aggregate: one year, a discount band, a quantity cap, and
+    * sum(price·discount). Every predicate pushes into the parquet
+    * scan; the whole query is one map-side-combined aggregate — the
+    * TPC-H query that measures pure scan+filter throughput. Discount
+    * band compared in integer percent (floor(·100)), revenue in
+    * cents×percent units. */
+  def qTpchQ6(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") < 24)
+      .select(cents(col("l_extendedprice")).as("pc"),
+        cents(col("l_discount")).as("dpct"))
+      .filter(col("dpct") >= 5L && col("dpct") <= 7L)
+      .agg(sum(col("pc") * col("dpct")).as("revenue_u"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_lines"))
+  }
+
   /** TPC-H Q7 shape — volume shipping between two nations: revenue of
     * lines where the supplier sits in one nation and the ordering
     * customer in the other, both directions, per year. The nation dim
@@ -7074,6 +7094,7 @@ object Queries {
     "q_tpch_q2" -> (qTpchQ2 _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q4" -> (qTpchQ4 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
     "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q9" -> (qTpchQ9 _),
@@ -7497,6 +7518,19 @@ object Queries {
         |SELECT s_name, CAST(count(*) AS BIGINT) numwait
         |FROM sole JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q_tpch_q6" ->
+      """WITH f AS (SELECT
+        |    CAST(floor(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT) pc,
+        |    CAST(floor(CAST(l_discount AS DOUBLE)*100) AS BIGINT) dpct
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_quantity < 24)
+        |SELECT CAST(sum(pc * dpct) AS BIGINT) revenue_u,
+        |  CAST(count(*) AS BIGINT) n_lines
+        |FROM f WHERE dpct BETWEEN 5 AND 7
+        |ORDER BY n_lines""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey,
