@@ -43,21 +43,14 @@ object Queries {
 
   private val dec = DecimalType(18, 2)
 
-  /** Final LAZY plans of the eager-materialized queries, captured just
-    * before `localCheckpoint` detaches them into a bare LogicalRDD
-    * scan — PlanGuardSpec reads these (by catalog name) so the
-    * Cartesian/BNLJ guard keeps coverage over plans the returned
-    * relation no longer exposes (review finding r15). */
-  private[graft] val eagerFinalPlans =
-    new scala.collection.concurrent.TrieMap[String, String]
-
   /** The cache-release contract's closing move: record the real final
-    * plan for the plan guard, materialize eagerly, run the release
-    * side-effects, hand back the detached result. */
+    * plan for the plan guard ([[operators.PlanProbe]] — the returned
+    * relation is a bare LogicalRDD the guard could not otherwise see
+    * through), materialize eagerly, run the release side-effects,
+    * hand back the detached result. */
   private def materializeFinal(name: String, df: DataFrame)(
       release: => Unit): DataFrame = {
-    eagerFinalPlans(name) = df.queryExecution.executedPlan.toString
-    val res = df.localCheckpoint(true)
+    val res = operators.PlanProbe.record(name, df).localCheckpoint(true)
     release
     res
   }
@@ -1747,10 +1740,13 @@ object Queries {
       (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
     val matches = (0 until k).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    cands.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        (matches.cast("double") / k.toDouble).as("sim_est"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    materializeFinal("q_dedup_minhash",
+      cands.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          (matches.cast("double") / k.toDouble).as("sim_est"))
+        .orderBy(col("doc_a"), col("doc_b"))) {
+      sig.unpersist(blocking = false): Unit
+    }
   }
 
   /** Exact 3-gram Jaccard verification over the LSH candidate set —
@@ -1765,11 +1761,14 @@ object Queries {
     val shingled = graft.functions.Shingles.shingles(col("text"), 3)
     val a = sig.select(col("doc_id").as("id_a"), shingled.as("sh_a"))
     val b = sig.select(col("doc_id").as("id_b"), shingled.as("sh_b"))
-    cands.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    materializeFinal("q_dedup_ngram",
+      cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))) {
+      sig.unpersist(blocking = false): Unit
+    }
   }
 
   /** Edit-distance verify over the SAME LSH candidate set the MinHash
@@ -1787,7 +1786,7 @@ object Queries {
     // threshold is one cheap max() over the cached signature frame.
     val thr = math.ceil(0.2 * sig.agg(max(length(col("text")))).head().getInt(0)).toInt
     // text sides from the cached signature frame — no fresh scan
-    cands
+    val verified = cands
       .join(sig.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
       .join(sig.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
       // free per-pair prune BEFORE the DP kernel: |len_a - len_b| lower-
@@ -1805,6 +1804,9 @@ object Queries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("edit_dist"), col("edit_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
+    materializeFinal("q_dedup_editdist", verified) {
+      sig.unpersist(blocking = false): Unit
+    }
   }
 
   /** EXACT Jaccard similarity self-join (threshold 0.5) via prefix
@@ -2356,13 +2358,16 @@ object Queries {
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(md5(concat(col("anchor_id").cast("string"), lit("|"),
         col("neg_id").cast("string"))), col("neg_id"))
-    ab.join(nb, "bkt")
-      .filter(col("n_src") =!= col("a_src") &&
-        col("neg_id") =!= col("anchor_id") && col("neg_id") =!= col("pos_id"))
-      .withColumn("neg_rank", row_number().over(w).cast("long"))
-      .filter(col("neg_rank") <= 2)
-      .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("neg_rank"))
-      .orderBy(col("anchor_id"), col("neg_rank"))
+    materializeFinal("q_contrastive_pairs",
+      ab.join(nb, "bkt")
+        .filter(col("n_src") =!= col("a_src") &&
+          col("neg_id") =!= col("anchor_id") && col("neg_id") =!= col("pos_id"))
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 2)
+        .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("neg_rank"))
+        .orderBy(col("anchor_id"), col("neg_rank"))) {
+      sig.unpersist(blocking = false): Unit
+    }
   }
 
   /** Winsorized robust aggregate: clip the value distribution at its
@@ -2578,8 +2583,14 @@ object Queries {
       .cache()
     val sources = edges.select(col("src").as("node")).distinct()
       .filter(col("node") < 20 && col("node") % 2 === 0)
-    Graph.bfsHops(edges, sources, maxHops = 3)
-      .orderBy(col("node"))
+    val d = Graph.bfsHops(edges, sources, maxHops = 3)
+    // eager node-sized result; free the edge cache and the BFS's final
+    // round (bfsHops leaves it materialized for the caller — here the
+    // caller is done with it once the ordered result lands)
+    materializeFinal("q_bfs_hops", d.orderBy(col("node"))) {
+      operators.Rounds.releaseOf(d)()
+      edges.unpersist(blocking = false)
+    }
   }
 
   /** Running DISTINCT count as a window — "how many distinct event
@@ -2611,8 +2622,15 @@ object Queries {
     * canonical keep-representative). Non-clustered docs are absent:
     * clustering only touches docs that appeared in a verified pair. */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupNgram(s, dir).select(col("doc_a"), col("doc_b"))
-    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val ngram = qDedupNgram(s, dir) // eager checkpoint (its own contract)
+    val pairs = ngram.select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    // CC materialized its label round from the pair checkpoint — the
+    // pairs have no remaining consumer; only the label round stays
+    // (the returned relation reads it; ContextCleaner reclaims it when
+    // the caller drops the reference)
+    operators.Rounds.releaseOf(ngram)()
+    labels
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy(col("doc_id"))
   }
@@ -6275,20 +6293,23 @@ object Queries {
       (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
     val matches = (0 until k).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
-    cands.join(a, "id_a").join(b, "id_b")
-      .select(matches.as("mt"),
-        expr("size(array_intersect(sh_a, sh_b))").cast("long").as("isz"),
-        expr("size(sh_a) + size(sh_b)").cast("long").as("ssz"))
-      .filter(col("ssz") > col("isz"))
-      .select(expr(s"mt * 1000000 div $k").as("est_ppm"),
-        expr("isz * 1000000 div (ssz - isz)").as("ex_ppm"))
-      .select(expr("least(9L, ex_ppm div 100000)").as("bucket"),
-        expr("abs(est_ppm - ex_ppm)").as("err"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_pairs"),
-        expr("sum(err) div count(1)").as("mae_ppm"),
-        max(col("err")).as("max_err_ppm"))
-      .orderBy(col("bucket"))
+    materializeFinal("q_minhash_calibration",
+      cands.join(a, "id_a").join(b, "id_b")
+        .select(matches.as("mt"),
+          expr("size(array_intersect(sh_a, sh_b))").cast("long").as("isz"),
+          expr("size(sh_a) + size(sh_b)").cast("long").as("ssz"))
+        .filter(col("ssz") > col("isz"))
+        .select(expr(s"mt * 1000000 div $k").as("est_ppm"),
+          expr("isz * 1000000 div (ssz - isz)").as("ex_ppm"))
+        .select(expr("least(9L, ex_ppm div 100000)").as("bucket"),
+          expr("abs(est_ppm - ex_ppm)").as("err"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(err) div count(1)").as("mae_ppm"),
+          max(col("err")).as("max_err_ppm"))
+        .orderBy(col("bucket"))) {
+      sig.unpersist(blocking = false): Unit
+    }
   }
 
   /** Fixed lexicon for the fused multi-pattern scan — substrings (not
@@ -6449,7 +6470,10 @@ object Queries {
         struct(lit("m_simhash").as("metric"), col("m_simhash").as("n")),
         struct(lit("m_edit").as("metric"), col("m_edit").as("n")))).as("s"))
       .select(col("s.metric").as("metric"), col("s.n").as("n"))
-    hist.unionByName(meth).orderBy(col("metric"))
+    materializeFinal("q_dedup_panel",
+      hist.unionByName(meth).orderBy(col("metric"))) {
+      sig.unpersist(blocking = false): Unit
+    }
   }
 
   /** Peak session concurrency per event type — the capacity question

@@ -39,15 +39,14 @@ object Graph {
 
   /** Per-node exact triangle participation counts.
     *
-    * Cache contract: on the "dense" tier the returned LAZY plan reads
-    * caches built here (edge list, id-mapped edges, adjacency
-    * bitmaps), so they cannot be unpersisted before the caller
-    * materializes the result — callers that invoke this repeatedly in
-    * one session should `spark.catalog.clearCache()` (or unpersist
-    * the input) after each terminal action. The "dense-blocked" tier
-    * self-releases (it returns an eager localCheckpoint and
-    * unpersists its caches before returning), and "sparse" never
-    * caches. Driver memory: tiers beyond "dense" run a
+    * Cache contract: every tier SELF-RELEASES — it returns an eager
+    * localCheckpoint of the per-node counts (bounded by |V|) and
+    * unpersists its internal caches (edge list, id-mapped edges,
+    * adjacency bitmaps, probe labels) before returning, so at most
+    * the returned result's own blocks remain registered, reclaimed by
+    * the ContextCleaner when the caller drops the reference (the
+    * [[Rounds]] contract; pinned catalog-wide by graft.CacheAudit).
+    * Driver memory: tiers beyond "dense" run a
     * connected-components probe whose union-find shortcut may collect
     * up to [[ProbeDriverEdgeLimit]] (1M) edges on the driver; larger
     * graphs probe via distributed star contraction.
@@ -108,7 +107,13 @@ object Graph {
     val nodes = e.select(F.explode(F.array(col("u"), col("v"))).as("node"))
       .distinct()
     val n = nodes.count()
-    if (n <= denseMaxNodes) (denseTriangles(e, nodes, n), "dense")
+    if (n <= denseMaxNodes) {
+      // denseTriangles self-releases (eager localCheckpoint), so the
+      // edge cache has no remaining consumer
+      val res = denseTriangles(e, nodes, n)
+      e.unpersist()
+      (res, "dense")
+    }
     else {
       // Decomposition probe: only the LABELS matter here, so cap the
       // union-find shortcut's driver collect at 1M edges (not the 5M
@@ -124,12 +129,18 @@ object Graph {
       val words = (cmax + 63) / 64
       if (cmax <= denseMaxNodes && n * words * 8 <= maxAdjBytes) {
         // componentDenseTriangles returns an eager localCheckpoint, so
-        // the edge cache has no remaining consumer
+        // the edge cache has no remaining consumer; the probe's CC
+        // label round is consumed by that same call — free it too
         val res = componentDenseTriangles(e, labels, cmax)
+        Rounds.releaseOf(labels)()
         e.unpersist()
         (res, "dense-blocked")
       }
-      else { e.unpersist(); (orientedTriangles(edges), "sparse") }
+      else {
+        Rounds.releaseOf(labels)() // probe labels only fed cmax here
+        e.unpersist()
+        (orientedTriangles(edges), "sparse")
+      }
     }
   }
 
@@ -186,12 +197,19 @@ object Graph {
     val common = (0 until words)
       .map(wi => expr(s"CAST(bit_count(a_bm_$wi & b_bm_$wi) AS BIGINT)"))
       .reduce(_ + _)
-    eb.join(broadcast(adjA), "aid")
-      .join(broadcast(adjB), "bid")
-      .select(col("a").as("node"), common.as("common"))
-      .groupBy(col("node"))
-      .agg(expr("sum(common) div 2").as("n_triangles"))
-      .filter(col("n_triangles") > 0)
+    val res = PlanProbe.record("helper:graph.denseTriangles",
+      eb.join(broadcast(adjA), "aid")
+        .join(broadcast(adjB), "bid")
+        .select(col("a").as("node"), common.as("common"))
+        .groupBy(col("node"))
+        .agg(expr("sum(common) div 2").as("n_triangles"))
+        .filter(col("n_triangles") > 0))
+      // eager per-node result (bounded by |V|) so eb/adj release NOW —
+      // the same self-release contract as componentDenseTriangles
+      .localCheckpoint(true)
+    eb.unpersist()
+    adj.unpersist()
+    res
   }
 
   /** Dense-bitmap plan per CONNECTED COMPONENT ("dense-blocked" tier):
@@ -234,12 +252,13 @@ object Graph {
     val common = (0 until words)
       .map(wi => expr(s"CAST(bit_count(a_bm_$wi & b_bm_$wi) AS BIGINT)"))
       .reduce(_ + _)
-    val res = eb.join(broadcast(adjA), Seq("label", "aid"))
-      .join(broadcast(adjB), Seq("label", "bid"))
-      .select(col("a").as("node"), common.as("common"))
-      .groupBy(col("node"))
-      .agg(expr("sum(common) div 2").as("n_triangles"))
-      .filter(col("n_triangles") > 0)
+    val res = PlanProbe.record("helper:graph.componentDenseTriangles",
+      eb.join(broadcast(adjA), Seq("label", "aid"))
+        .join(broadcast(adjB), Seq("label", "bid"))
+        .select(col("a").as("node"), common.as("common"))
+        .groupBy(col("node"))
+        .agg(expr("sum(common) div 2").as("n_triangles"))
+        .filter(col("n_triangles") > 0))
       // eager per-node result (bounded by |V|) so the two caches this
       // plan reads release NOW instead of lingering until the caller's
       // clearCache — the sparse branch's unpersist discipline
@@ -367,8 +386,15 @@ object Graph {
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
       .join(ed.as("e3"), col("a") === col("e3.src") && col("c") === col("e3.dst"))
       .select(col("a"), col("b"), col("c"))
-    tri.select(F.explode(F.array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val res = PlanProbe.record("helper:graph.orientedTriangles",
+      tri
+        .select(F.explode(F.array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles")))
+      // eager per-node result so the oriented-edge cache releases NOW
+      // (same self-release contract as the dense tiers)
+      .localCheckpoint(true)
+    ed.unpersist()
+    res
   }
 
   /** Bounded-depth BFS hop distances from a source set — the

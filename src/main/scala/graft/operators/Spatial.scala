@@ -109,8 +109,8 @@ object Spatial {
       .join(core.withColumnRenamed("cid", "id_b"), Seq("id_b"), "left_semi")
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(core.select(col("cid").as("a"), col("cid").as("b")))
-    val labels = Dedup.connectedComponents(coreEdges, "a", "b")
-      .select(col("node").as("pid"), col("label").as("cluster_rep"))
+    val cc = Dedup.connectedComponents(coreEdges, "a", "b")
+    val labels = cc.select(col("node").as("pid"), col("label").as("cluster_rep"))
     val coreRows = labels.withColumn("role", lit("core"))
     // border: non-core endpoint adjacent to a core endpoint; cluster =
     // min over its core neighbors' reps (deterministic)
@@ -121,9 +121,14 @@ object Spatial {
       .groupBy(col("u")).agg(min(col("cluster_rep")).as("cluster_rep"))
       .select(col("u").as("pid"), col("cluster_rep"))
       .withColumn("role", lit("border"))
-    val out = coreRows.unionByName(borderRows)
-      .select(col("pid"), col("role"), col("cluster_rep"))
-    out.cache().count() // materialize before releasing the pair cache
+    // eager point-sized result, then free the pair cache AND the CC
+    // label round (labels fed the eager compute; only the returned
+    // result's own blocks remain — the Rounds contract)
+    val out = PlanProbe.record("helper:spatial.dbscan",
+      coreRows.unionByName(borderRows)
+        .select(col("pid"), col("role"), col("cluster_rep")))
+      .localCheckpoint(true)
+    Rounds.releaseOf(cc)()
     pairs.unpersist()
     out
   }

@@ -27,7 +27,22 @@ class CatalogReleaseSpec extends AnyFunSuite with SparkTestBase {
     "q_sssp_bounded",    // delta rounds; final dist stays (allowance)
     "q_label_prop",      // delta rounds; final labels stay (allowance)
     "q_bpe_merges",      // 6 checkpointed vocab rounds, all released
-    "q_rfm_scores")      // per-user cache, eager ≤125-row final
+    "q_rfm_scores",      // per-user cache, eager ≤125-row final
+    // round-15 CacheAudit offenders, all fixed to the same contract:
+    "q_bfs_hops",        // edge cache + BFS final round, eager ordered final
+    "q_triangle_count",  // dense-tier eb/adj/edge caches self-release
+    "q_local_clustering",// inherits triangleCounts' self-release
+    "q_dbscan",          // pair cache + CC round released, eager final
+    "q_dedup_ngram",     // shared minhash-signature cache released
+    "q_dedup_minhash",   // same sig-cache release
+    "q_dedup_editdist",  // same sig-cache release
+    "q_dedup_panel",     // same sig-cache release
+    "q_minhash_calibration", // same sig-cache release
+    "q_contrastive_pairs",   // same sig-cache release
+    "q_dedup_clusters",  // ngram checkpoint released; CC round stays
+    "q_dedup_survivors", // chain: only the CC round stays
+    "q_cc_size_hist",    // chain: only the CC round stays
+    "q_curation_e2e")    // chain: only the CC round stays
 
   for (name <- covered)
     test(s"$name leaves at most its final result persisted") {

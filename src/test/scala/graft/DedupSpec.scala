@@ -117,8 +117,11 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // prune must sit in the plan guarding (short-circuiting before) the
     // O(thr·len) levenshtein kernel
     // Catalyst may keep the prune as a Filter or fold it into the join
-    // condition itself — inspect both
-    val plan = Queries.qDedupEditDistance(spark, sf).queryExecution.optimizedPlan
+    // condition itself — inspect both. The query eagerly materializes
+    // (cache-release contract), so the REAL plan comes from PlanProbe,
+    // not the returned bare-LogicalRDD relation.
+    Queries.qDedupEditDistance(spark, sf)
+    val plan = operators.PlanProbe.executions("q_dedup_editdist").optimizedPlan
     val conds = plan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition.toString

@@ -95,11 +95,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     * k-row vocabulary). EXACT set, enforced both ways like the BNLJ
     * whitelist. */
   private val globalWindowWhitelist: Map[String, String] = Map(
-    "q_triangle_count" -> ("dense-path id ranking: input is the node " +
-      "set, gated to n <= denseMaxNodes (16384) by the dispatch"),
-    "q_local_clustering" -> ("inherits q_triangle_count's dense-path " +
-      "id ranking (same gated triangleCounts dispatch on the " +
-      "proximity graph)"),
+    // q_triangle_count / q_local_clustering: the dense-path id ranking
+    // now executes behind triangleCounts' self-releasing eager
+    // checkpoint — guarded via the PlanProbe helper entries
+    // (helper:graph.denseTriangles allowance) in the eager-finals test.
     "q_kmeans_embed" -> ("seed ranking over vec ids: runs once on the " +
       "bounded candidate-seed relation (k-scaled, not data-scaled)"),
     "q_semdedup" -> "same k-means seed ranking (bounded seed relation)",
@@ -183,27 +182,40 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       s"stale whitelist entries (no BNLJ in plan): ${stale.mkString(", ")}")
   }
 
-  /** The eager-materialized queries (cache-release contract) return a
-    * bare LogicalRDD, so planFacts can't see their REAL final plans —
-    * they record them in Queries.eagerFinalPlans just before the
-    * localCheckpoint detaches them. Run each and guard the captured
-    * plan: Cartesian never; BNLJ only for the documented bounded
-    * 1-row crosses (q_hits' per-role max normalization,
-    * q_diameter_2sweep's seed/far/eccentricity report row). */
+  /** The eager-materialized sites (cache-release contract) hand back
+    * bare LogicalRDDs, so the returned plans can't show their REAL
+    * join/window shapes — every such site records the plan it executes
+    * in [[graft.operators.PlanProbe]] (catalog names via
+    * materializeFinal; `helper:` keys for operator internals). Run a
+    * triggering set, then guard EVERY captured plan: Cartesian never;
+    * BNLJ only for the documented bounded 1-row crosses; global
+    * windows only for the dense triangle tiers' gate-bounded id
+    * ranking (n ≤ denseMaxNodes by dispatch). */
   test("eager-materialized finals: captured internal plans stay guarded") {
     val allowedBnlj = Set("q_hits", "q_diameter_2sweep")
-    val names = Seq("q_pagerank", "q_ppr", "q_hits", "q_rfm_scores",
-      "q_diameter_2sweep")
-    names.foreach { n =>
+    val allowedGlobalWindow =
+      Set("helper:graph.denseTriangles", "helper:graph.componentDenseTriangles")
+    val trigger = Seq("q_pagerank", "q_ppr", "q_hits", "q_rfm_scores",
+      "q_diameter_2sweep", "q_triangle_count", "q_dbscan", "q_dedup_ngram",
+      "q_dedup_clusters")
+    trigger.foreach { n =>
       spark.catalog.clearCache()
       SparkEntry.queries(n)(spark, sf).count()
-      val p = Queries.eagerFinalPlans.getOrElse(n,
-        fail(s"$n did not record its final plan via materializeFinal"))
+    }
+    trigger.filterNot(n => n.startsWith("q_dedup") || n == "q_dbscan" ||
+        n == "q_triangle_count")
+      .foreach(n => assert(operators.PlanProbe.plans.contains(n),
+        s"$n did not record its final plan via materializeFinal"))
+    operators.PlanProbe.plans.foreach { case (key, plan) =>
+      val p = plan.toString
       assert(!p.contains("CartesianProduct"),
-        s"$n's internal final plan has a CartesianProduct:\n$p")
-      if (!allowedBnlj(n))
+        s"$key's internal plan has a CartesianProduct:\n$p")
+      if (!allowedBnlj(key))
         assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$n's internal final plan has an un-whitelisted BNLJ:\n$p")
+          s"$key's internal plan has an un-whitelisted BNLJ:\n$p")
+      if (!allowedGlobalWindow(key))
+        assert(!physHasGlobalWindow(plan),
+          s"$key's internal plan has an un-whitelisted global window:\n$p")
     }
     spark.catalog.clearCache()
   }
