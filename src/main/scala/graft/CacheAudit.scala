@@ -29,12 +29,27 @@ object CacheAudit {
       spark.catalog.clearCache()
       val before = sc.getPersistentRDDs.keySet
       try {
-        Queries.all(name)(spark, sfDir).write.format("noop")
-          .mode("overwrite").save()
-        val leaked = sc.getPersistentRDDs.keySet -- before
-        if (leaked.size > 1) {
+        val res = Queries.all(name)(spark, sfDir)
+        res.write.format("noop").mode("overwrite").save()
+        val after = sc.getPersistentRDDs.keySet -- before
+        // The allowance is not "any one RDD": the single permitted
+        // survivor must be blocks the RESULT itself reads — its eager
+        // final (LogicalRDD) or a cached relation in its plan. A query
+        // returning a lazy plan that leaks one stray .cache() must
+        // still flag (ADVICE r15).
+        val qe = res.queryExecution
+        val ownIds =
+          qe.analyzed.collectWithSubqueries {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+          }.toSet ++
+          qe.optimizedPlan.collectWithSubqueries {
+            case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+              imr.cacheBuilder.cachedColumnBuffers.id
+          }.toSet
+        val foreign = after.filterNot(ownIds)
+        if (after.size > 1 || foreign.nonEmpty) {
           offenders += 1
-          println(s"""{"q":"$name","leaked_rdds":${leaked.size}}""")
+          println(s"""{"q":"$name","leaked_rdds":${after.size},"foreign_rdds":${foreign.size}}""")
         }
       } catch { case scala.util.control.NonFatal(e) =>
         offenders += 1

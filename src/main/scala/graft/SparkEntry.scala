@@ -1784,7 +1784,11 @@ object Queries {
     // the full O(len²) DP — returns the exact distance for every pair
     // that can pass and -1 (filtered) for the rest. The corpus-wide
     // threshold is one cheap max() over the cached signature frame.
-    val thr = math.ceil(0.2 * sig.agg(max(length(col("text")))).head().getInt(0)).toInt
+    // max over zero rows is NULL — an empty corpus runs with thr=0
+    // (cands is empty anyway) instead of an NPE on the primitive getter
+    val maxLen = Option(sig.agg(max(length(col("text")))).head().get(0))
+      .fold(0)(_.asInstanceOf[Int])
+    val thr = math.ceil(0.2 * maxLen).toInt
     // text sides from the cached signature frame — no fresh scan
     val verified = cands
       .join(sig.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
@@ -2383,8 +2387,13 @@ object Queries {
   def qWinsorized(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
     val n = li.filter(col("v").isNotNull).count()
-    val lo = Quantiles.rankElement(li, "v", math.ceil(0.01 * n).toLong)
-    val hi = Quantiles.rankElement(li, "v", math.ceil(0.99 * n).toLong)
+    // rank = ceil(q·0) = 0 is not a rank — on an empty relation skip
+    // the refinement and emit the degenerate single-row aggregate
+    // (count 0, null sums) with inert clip literals
+    val lo = if (n == 0L) 0.0
+      else Quantiles.rankElement(li, "v", math.ceil(0.01 * n).toLong)
+    val hi = if (n == 0L) 0.0
+      else Quantiles.rankElement(li, "v", math.ceil(0.99 * n).toLong)
     li.filter(col("v").isNotNull)
       .select(
         when(col("v") < lit(lo), lit(lo))

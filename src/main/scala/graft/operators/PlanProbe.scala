@@ -13,8 +13,17 @@ import org.apache.spark.sql.execution.SparkPlan
   * `Queries.materializeFinal`) or `helper:<name>` for operator-level
   * internals, so the plan guard keeps Cartesian/BNLJ/global-window
   * coverage over the plans that really run (review finding r15).
-  * Driver-side only; entries are overwritten per invocation. */
+  *
+  * Recording is OPT-IN (`enabled`, default false): retaining
+  * QueryExecution objects pins plan trees — and the upstream RDD
+  * object graphs they reference — in driver memory for the JVM
+  * lifetime, a pure test/audit cost production and bench runs must
+  * not pay (ADVICE r15). PlanGuardSpec enables it (and clears the
+  * map) around exactly the trigger set it guards, so its assertions
+  * never depend on what happened to run earlier in the JVM. */
 private[graft] object PlanProbe {
+  @volatile var enabled: Boolean = false
+
   val executions = new scala.collection.concurrent.TrieMap[
     String, org.apache.spark.sql.execution.QueryExecution]
 
@@ -22,9 +31,12 @@ private[graft] object PlanProbe {
   def plans: scala.collection.Map[String, SparkPlan] =
     executions.map { case (k, qe) => k -> qe.executedPlan }
 
-  /** Record `df`'s query execution under `key`, hand `df` back. */
+  def clear(): Unit = executions.clear()
+
+  /** Record `df`'s query execution under `key` (when enabled), hand
+    * `df` back. */
   def record(key: String, df: DataFrame): DataFrame = {
-    executions(key) = df.queryExecution
+    if (enabled) executions(key) = df.queryExecution
     df
   }
 }

@@ -122,7 +122,10 @@ object Quantiles {
       .filter(col("v").isNotNull).cache()
     try {
       val n = base.count()
-      qs.map { q =>
+      // zero non-null rows ⇒ ceil(q·n) = 0, which is not a rank: the
+      // quantile of an empty multiset is no rows, not a crash
+      if (n == 0L) Seq.empty[(Double, Double)].toDF("q", "v")
+      else qs.map { q =>
         val k = math.ceil(q * n).toLong
         (q, rankElement(base, "v", k))
       }.toDF("q", "v")
@@ -220,7 +223,10 @@ object Quantiles {
       .filter(col("v").isNotNull && col("wt") > 0).cache()
     try {
       val tw = base.agg(coalesce(sum(col("wt")), lit(0L))).head().getLong(0)
-      qs.map { q =>
+      // zero total weight (empty or all-zero-weight input) ⇒ no rank
+      // mass anywhere: emit no rows, mirroring [[quantiles]]
+      if (tw == 0L) Seq.empty[(Double, Double)].toDF("q", "v")
+      else qs.map { q =>
         val k = math.ceil(q * tw).toLong
         (q, weightedRankElement(base, "v", "wt", k))
       }.toDF("q", "v")

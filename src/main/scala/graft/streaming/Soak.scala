@@ -128,10 +128,23 @@ object Soak {
     // n > rows leaves high ntile buckets empty — stage only the
     // present ones (the watermark schedule is over actual chunks)
     val present = (1 to n).filter(maxes.contains)
-    present.foreach { i =>
+    // file-source replay order is mtime order with random-name
+    // tiebreak: set each chunk's mtime EXPLICITLY on a strictly
+    // increasing schedule — a coarse-granularity filesystem (1s mtime
+    // resolution) would tie sleep-separated writes and could replay
+    // chunks out of event-time order, making watermark late-drops
+    // possible
+    val seen = scala.collection.mutable.Set[java.io.File]()
+    val base = System.currentTimeMillis() - present.size * 1000L
+    present.zipWithIndex.foreach { case (i, idx) =>
       chunked.filter(col("__chunk") === i).drop("__chunk")
         .coalesce(1).write.mode("append").parquet(dir)
-      Thread.sleep(2) // distinct mtimes: file-source order = write order
+      val t = java.nio.file.attribute.FileTime.fromMillis(base + idx * 1000L)
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filterNot(seen.contains).foreach { f =>
+          Files.setLastModifiedTime(f.toPath, t)
+          seen += f
+        }
     }
     graft.operators.Rounds.releaseOf(chunked)()
     present.map(maxes)

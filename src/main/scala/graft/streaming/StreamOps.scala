@@ -37,17 +37,30 @@ object StreamOps {
     * per key is bounded by its OPEN sessions only, and rows later than
     * the watermark are dropped rather than reopening closed sessions —
     * the property that keeps session state finite on an unbounded
-    * stream. */
+    * stream.
+    *
+    * The emitted session bounds are wrapped in
+    * [[graft.functions.PushdownBarrierExpr]]: Catalyst pushes a
+    * downstream `session_end`/`session_start` filter through the
+    * `session_window` aggregate as a per-row event-time prune — sound
+    * for fixed windows, UNSOUND for merged sessions (a straddling
+    * session truncates to a phantom partial that passes the filter;
+    * found live by the r15 concurrent soak). The barrier is a
+    * codegen'd runtime identity whose only effect is making the
+    * aggregate's true output the earliest point such a filter can
+    * apply. Filters on `keyCol` still push (sessions are per-key). */
   def sessionWindowAgg(df: DataFrame, nsCol: String, lateness: String,
-      gap: String, keyCol: String): DataFrame =
+      gap: String, keyCol: String): DataFrame = {
+    import graft.functions.PushdownBarrier.barrier
     eventTime(df, nsCol)
       .withWatermark("event_time", lateness)
       .groupBy(session_window(col("event_time"), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col(keyCol),
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
+        barrier(col("session_window.start")).as("session_start"),
+        barrier(col("session_window.end")).as("session_end"),
         col("n_events"), col("sum_value"))
+  }
 
   final case class SessionState(nEvents: Long, totalValue: Double)
   final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)

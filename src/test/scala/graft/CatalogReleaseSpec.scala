@@ -55,5 +55,19 @@ class CatalogReleaseSpec extends AnyFunSuite with SparkTestBase {
         s"$name left ${leaked.size} persisted RDDs registered " +
           "(expected at most the eager final result); a cache or " +
           "checkpointed round is not being released")
+      // the one allowed survivor must be the RESULT's own blocks —
+      // its eager final or a round its plan reads — not a stray cache
+      val ownIds =
+        res.queryExecution.analyzed.collectWithSubqueries {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        }.toSet ++
+        res.queryExecution.optimizedPlan.collectWithSubqueries {
+          case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            imr.cacheBuilder.cachedColumnBuffers.id
+        }.toSet
+      val foreign = leaked.filterNot(ownIds)
+      assert(foreign.isEmpty,
+        s"$name's surviving persisted RDD(s) $foreign are not blocks " +
+          "its own result reads — a leaked intermediate, not the allowance")
     }
 }

@@ -120,8 +120,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // condition itself — inspect both. The query eagerly materializes
     // (cache-release contract), so the REAL plan comes from PlanProbe,
     // not the returned bare-LogicalRDD relation.
-    Queries.qDedupEditDistance(spark, sf)
-    val plan = operators.PlanProbe.executions("q_dedup_editdist").optimizedPlan
+    operators.PlanProbe.enabled = true
+    operators.PlanProbe.clear()
+    val plan =
+      try {
+        Queries.qDedupEditDistance(spark, sf)
+        operators.PlanProbe.executions("q_dedup_editdist").optimizedPlan
+      } finally {
+        operators.PlanProbe.enabled = false
+        operators.PlanProbe.clear()
+      }
     val conds = plan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition.toString

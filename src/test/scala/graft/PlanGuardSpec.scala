@@ -198,15 +198,27 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     val trigger = Seq("q_pagerank", "q_ppr", "q_hits", "q_rfm_scores",
       "q_diameter_2sweep", "q_triangle_count", "q_dbscan", "q_dedup_ngram",
       "q_dedup_clusters")
-    trigger.foreach { n =>
-      spark.catalog.clearCache()
-      SparkEntry.queries(n)(spark, sf).count()
-    }
+    // recording is opt-in (driver-memory lifecycle, ADVICE r15) and the
+    // map is cleared first, so the guarded set is exactly what THIS
+    // test triggered — no coupling to whatever ran earlier in the JVM
+    operators.PlanProbe.enabled = true
+    operators.PlanProbe.clear()
+    val captured =
+      try {
+        trigger.foreach { n =>
+          spark.catalog.clearCache()
+          SparkEntry.queries(n)(spark, sf).count()
+        }
+        operators.PlanProbe.plans.toMap
+      } finally {
+        operators.PlanProbe.enabled = false
+        operators.PlanProbe.clear()
+      }
     trigger.filterNot(n => n.startsWith("q_dedup") || n == "q_dbscan" ||
         n == "q_triangle_count")
-      .foreach(n => assert(operators.PlanProbe.plans.contains(n),
+      .foreach(n => assert(captured.contains(n),
         s"$n did not record its final plan via materializeFinal"))
-    operators.PlanProbe.plans.foreach { case (key, plan) =>
+    captured.foreach { case (key, plan) =>
       val p = plan.toString
       assert(!p.contains("CartesianProduct"),
         s"$key's internal plan has a CartesianProduct:\n$p")

@@ -124,6 +124,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("session_window filter pushdown: naive form yields a phantom partial; sessionWindowAgg is immune") {
+    val minNs = 60L * 1000 * 1000 * 1000
+    // user 1: events at 0, 50, 100 min with a 1-hour gap — ONE merged
+    // session [0, 160min); it STRADDLES a 120-min cutoff, so filtering
+    // closed sessions by session_end <= cut must return nothing
+    val df = Seq(0L, 50L, 100L).map(m => (1L, m * minNs, 1.0))
+      .toDF("user_id", "ts", "value")
+    val cut = timestamp_micros(lit(120L * 60L * 1000000L))
+    // the naive shape (sessionWindowAgg before the barrier): Catalyst
+    // pushes the session_end filter through the merging aggregate as a
+    // per-row event-time prune, truncating the straddling session to a
+    // phantom partial (the 0- and 50-min events) that passes the
+    // filter — the r15 soak finding. If THIS assertion ever fails,
+    // Spark fixed the pushdown and the barrier can be retired.
+    val naive = StreamOps.eventTime(df, "ts")
+      .groupBy(session_window(col("event_time"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.end").as("session_end"),
+        col("n_events"))
+      .filter(col("session_end") <= cut)
+      .collect()
+    assert(naive.length == 1 && naive(0).getLong(2) == 2L,
+      "expected the phantom truncated session the raw pushdown produces")
+    // the API form: the barrier pins the filter to the aggregate's
+    // true output — the straddling session is filtered whole
+    val api = StreamOps
+      .sessionWindowAgg(df, "ts", "10 seconds", "1 hour", "user_id")
+      .filter(col("session_end") <= cut)
+      .collect()
+    assert(api.isEmpty, "sessionWindowAgg leaked a phantom truncated session")
+    // and without the filter the API emits the one true merged session
+    val full = StreamOps
+      .sessionWindowAgg(df, "ts", "10 seconds", "1 hour", "user_id")
+      .collect()
+    assert(full.length == 1 &&
+      full(0).getLong(full(0).fieldIndex("n_events")) == 3L)
+  }
+
   test("streaming session windows: gap-split sessions emit on watermark, late data is evicted") {
     val input = Files.createTempDirectory("sesswin-in").toString
     val secNs = 1000L * 1000 * 1000

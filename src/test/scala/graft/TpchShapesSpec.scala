@@ -48,11 +48,29 @@ class TpchShapesSpec extends AnyFunSuite with SparkTestBase {
   test("q_tpch_q13: orders predicate stays on the outer join's inner side") {
     val p = phys("q_tpch_q13")
     assert(p.contains("Outer"), "expected an outer join in:\n" + p)
-    // zero-order customers must survive to the census — count rows
-    // with c_count = 0 exist at the test SF (the predicate would
-    // silently turn the join inner if pushed wrongly)
+    // the census must cover EVERY customer — if the orders predicate
+    // were pushed wrongly and the join flipped inner, zero-order
+    // customers would drop and the total would fall short
     val rows = SparkEntry.queries("q_tpch_q13")(spark, sf).collect()
-    assert(rows.map(_.getLong(1)).sum >= 100L, "census lost customers")
+    val nCust = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nCust, "census lost customers")
+  }
+
+  test("q_tpch_q13: zero-order customers survive as a c_count = 0 census row") {
+    // sf0.001 happens to have no zero-order customer, so synthesize
+    // one: same tables with every order of one customer stripped —
+    // an inner-flipped join loses that customer; the outer join must
+    // report it at c_count = 0
+    import org.apache.spark.sql.functions.{col, min}
+    val dir = java.nio.file.Files.createTempDirectory("graft-q13").toString
+    val c = Tables.customer(spark, sf)
+    c.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val victim = c.agg(min(col("c_custkey"))).head().getLong(0)
+    Tables.orders(spark, sf).filter(col("o_custkey") =!= victim)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("q_tpch_q13")(spark, dir).collect()
+    assert(rows.exists(_.getLong(0) == 0L),
+      "zero-order customer lost — the outer join degenerated to inner")
   }
 
   test("q_tpch_q17 and q_tpch_q2: correlated aggregate = two scans, not per-row") {
