@@ -2892,6 +2892,20 @@ object Queries {
       .toDF()
       .orderBy(col("media_id"))
 
+  /** REAL JPEG decode — the format a real multimodal corpus is made
+    * of: each document id becomes a genuine baseline JPEG (quality
+    * 1.0, block-constant gray — flat 8×8 DCT blocks carry only a DC
+    * coefficient, which quality-1.0 quantization preserves exactly,
+    * so the lossy-in-general codec is bit-exact on this family), and
+    * features come from the DECODED raster only, through the full
+    * marker/Huffman/dequant/IDCT pipeline. Same partition-parallel
+    * zero-shuffle shape as [[qImageDecode]]. */
+  def qJpegDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(s,
+        Multimodal.jpegMedia(s, Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .orderBy(col("media_id"))
+
   /** REAL audio decode: id-derived 16-bit PCM in a genuine RIFF/WAV
     * container, parsed back via `javax.sound.sampled`; features from
     * the decoded frames only (count, sum, positives, min, max). */
@@ -6079,6 +6093,15 @@ object Queries {
     * Tie → lexicographically smaller pair. */
   def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bpeTrain(s, dir).toDF("step", "pair", "n_merged").orderBy(col("step"))
+  }
+
+  /** The 5-round BPE trainer behind [[qBpeMerges]] and [[qBpeEncode]]:
+    * (step, pair, n_merged) in step order, ≤5 entries (fewer when the
+    * vocabulary collapses early). Driver state is the ≤5 merge pairs;
+    * all counting is distributed and every round's checkpoint is
+    * released as soon as the next round lands. */
+  private def bpeTrain(s: SparkSession, dir: String): Seq[(Long, String, Long)] = {
     val dec = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -6129,7 +6152,39 @@ object Queries {
       step += 1
     }
     operators.Rounds.releaseOf(cur)()
-    merges.toSeq.toDF("step", "pair", "n_merged").orderBy(col("step"))
+    merges.toSeq
+  }
+
+  /** BPE apply/encode — the scan-shaped other half of the tokenizer
+    * story: tokenize the corpus with the merge list [[qBpeMerges]]'
+    * 5-round trainer learns, and report per-document token counts and
+    * merged-vocab coverage. The ≤5 learned pairs are driver literals
+    * folded into ONE codegen'd projection (a chain of space-anchored
+    * replaces — exactly the training rounds' operation, in step
+    * order, so a trained word encodes to its final training state);
+    * the only shuffle is the map-side-combined per-doc aggregate.
+    * Linear in corpus bytes at any SF — the shape a 100 TB pipeline
+    * runs daily. merged_ppm is integer-exact (BIGINT div). */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val mergePairs = bpeTrain(s, dir).map(_._2)
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val seq0 = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val enc = mergePairs.foldLeft(seq0) { (acc, p) =>
+      trim(org.apache.spark.sql.functions.replace(
+        concat(lit(" "), acc, lit(" ")),
+        lit(s" $p "), lit(" " + p.replace(" ", "") + " ")))
+    }
+    words
+      .select(col("doc_id"), split(enc, " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+        expr("size(filter(t, x -> length(x) >= 2))").cast("long").as("nm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_tokens"),
+        sum(col("nm")).as("n_merged"))
+      .withColumn("merged_ppm", expr("n_merged * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** Empirical-Bayes rate shrinkage (additive smoothing toward the
@@ -7327,6 +7382,7 @@ object Queries {
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_image_decode" -> (qImageDecode _),
+    "q_jpeg_decode" -> (qJpegDecode _),
     "q_audio_decode" -> (qAudioDecode _),
     "q_skipgram_pairs" -> (qSkipgramPairs _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -7377,6 +7433,7 @@ object Queries {
     "q_heavy_change" -> (qHeavyChange _),
     "q_table_checksum" -> (qTableChecksum _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_mode_disc" -> (qModeDisc _),
     "q_autocomplete" -> (qAutocomplete _),
@@ -10519,6 +10576,23 @@ object Queries {
         |  CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) h3
         |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin,
 
+    // block-constant JPEG: every 8x8 block is flat, so px_sum/hK are
+    // 64x the per-block generator values
+    "q_jpeg_decode" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 4 AS bx,
+        |    2 + doc_id % 2 AS by FROM documents),
+        |b AS (SELECT doc_id, bx, by,
+        |    (doc_id*7 + unnest(range(0, bx*by))*13) % 256 AS v
+        |  FROM d)
+        |SELECT doc_id AS media_id, CAST(8*bx AS BIGINT) width,
+        |  CAST(8*by AS BIGINT) height,
+        |  CAST(64*SUM(v) AS BIGINT) px_sum,
+        |  CAST(64*SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) h0,
+        |  CAST(64*SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) h1,
+        |  CAST(64*SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) h2,
+        |  CAST(64*SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) h3
+        |FROM b GROUP BY doc_id, bx, by ORDER BY media_id""".stripMargin,
+
     "q_skipgram_pairs" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
         |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
@@ -11712,6 +11786,104 @@ object Queries {
         |  UNION ALL SELECT 4, pair, n FROM m4
         |  UNION ALL SELECT 5, pair, n FROM m5)
         |SELECT step, pair, n_merged FROM fin ORDER BY step""".stripMargin,
+
+    // same m1..m5 trainer chain as q_bpe_merges, then the apply: every
+    // word (length >= 1 — singles tokenize too) char-split and run
+    // through the 5 anchored replaces in step order; coalesce(chr(7))
+    // makes a missing merge a no-op instead of a NULL-poisoning
+    // pattern when the vocab collapses early
+    "q_bpe_encode" ->
+      """WITH w0 AS (SELECT w, count(*) f FROM (
+        |    SELECT unnest(string_split(text, ' ')) w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |s0 AS (SELECT f, trim(regexp_replace(w, '(.)', '\1 ', 'g')) seq
+        |  FROM w0),
+        |p1 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s0)),
+        |a1 AS (SELECT pair, sum(f) n FROM p1 GROUP BY pair),
+        |m1 AS (SELECT pair, CAST(n AS BIGINT) n FROM a1
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |s1 AS (SELECT f, trim(replace(' ' || seq || ' ',
+        |    ' ' || (SELECT pair FROM m1) || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ')) seq
+        |  FROM s0),
+        |p2 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s1)),
+        |a2 AS (SELECT pair, sum(f) n FROM p2 GROUP BY pair),
+        |m2 AS (SELECT pair, CAST(n AS BIGINT) n FROM a2
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |s2 AS (SELECT f, trim(replace(' ' || seq || ' ',
+        |    ' ' || (SELECT pair FROM m2) || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ')) seq
+        |  FROM s1),
+        |p3 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s2)),
+        |a3 AS (SELECT pair, sum(f) n FROM p3 GROUP BY pair),
+        |m3 AS (SELECT pair, CAST(n AS BIGINT) n FROM a3
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |s3 AS (SELECT f, trim(replace(' ' || seq || ' ',
+        |    ' ' || (SELECT pair FROM m3) || ' ',
+        |    ' ' || replace((SELECT pair FROM m3), ' ', '') || ' ')) seq
+        |  FROM s2),
+        |p4 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s3)),
+        |a4 AS (SELECT pair, sum(f) n FROM p4 GROUP BY pair),
+        |m4 AS (SELECT pair, CAST(n AS BIGINT) n FROM a4
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |s4 AS (SELECT f, trim(replace(' ' || seq || ' ',
+        |    ' ' || (SELECT pair FROM m4) || ' ',
+        |    ' ' || replace((SELECT pair FROM m4), ' ', '') || ' ')) seq
+        |  FROM s3),
+        |p5 AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+        |    pair, f
+        |  FROM (SELECT f, string_split(seq, ' ') l,
+        |      unnest(range(1, len(string_split(seq, ' ')))) i FROM s4)),
+        |a5 AS (SELECT pair, sum(f) n FROM p5 GROUP BY pair),
+        |m5 AS (SELECT pair, CAST(n AS BIGINT) n FROM a5
+        |  ORDER BY n DESC, pair LIMIT 1),
+        |e0 AS (SELECT doc_id, trim(regexp_replace(w, '(.)', '\1 ', 'g')) seq
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) w
+        |    FROM documents)
+        |  WHERE length(w) >= 1),
+        |e1 AS (SELECT doc_id, trim(replace(' ' || seq || ' ',
+        |    ' ' || coalesce((SELECT pair FROM m1), chr(7)) || ' ',
+        |    ' ' || replace(coalesce((SELECT pair FROM m1), chr(7)), ' ', '')
+        |      || ' ')) seq FROM e0),
+        |e2 AS (SELECT doc_id, trim(replace(' ' || seq || ' ',
+        |    ' ' || coalesce((SELECT pair FROM m2), chr(7)) || ' ',
+        |    ' ' || replace(coalesce((SELECT pair FROM m2), chr(7)), ' ', '')
+        |      || ' ')) seq FROM e1),
+        |e3 AS (SELECT doc_id, trim(replace(' ' || seq || ' ',
+        |    ' ' || coalesce((SELECT pair FROM m3), chr(7)) || ' ',
+        |    ' ' || replace(coalesce((SELECT pair FROM m3), chr(7)), ' ', '')
+        |      || ' ')) seq FROM e2),
+        |e4 AS (SELECT doc_id, trim(replace(' ' || seq || ' ',
+        |    ' ' || coalesce((SELECT pair FROM m4), chr(7)) || ' ',
+        |    ' ' || replace(coalesce((SELECT pair FROM m4), chr(7)), ' ', '')
+        |      || ' ')) seq FROM e3),
+        |e5 AS (SELECT doc_id, trim(replace(' ' || seq || ' ',
+        |    ' ' || coalesce((SELECT pair FROM m5), chr(7)) || ' ',
+        |    ' ' || replace(coalesce((SELECT pair FROM m5), chr(7)), ' ', '')
+        |      || ' ')) seq FROM e4),
+        |agg AS (SELECT doc_id, count(*) n_words,
+        |    sum(len(string_split(seq, ' '))) n_tokens,
+        |    sum(len(list_filter(string_split(seq, ' '),
+        |      x -> length(x) >= 2))) n_merged
+        |  FROM e5 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_words AS BIGINT) n_words,
+        |  CAST(n_tokens AS BIGINT) n_tokens,
+        |  CAST(n_merged AS BIGINT) n_merged,
+        |  CAST(CAST(n_merged AS BIGINT) * 1000000
+        |    // CAST(n_tokens AS BIGINT) AS BIGINT) merged_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_eb_shrinkage" ->
       """WITH per AS (SELECT user_id, count(*) n,

@@ -94,6 +94,64 @@ object MediaCodec extends Serializable {
   }
 
   // ---------------------------------------------------------------
+  // Image: baseline JPEG (block-constant, exact roundtrip)
+  // ---------------------------------------------------------------
+
+  /** JPEG dims in 8×8 DCT blocks, id-derived (4–7 × 2–3 blocks =
+    * 32–56 × 16–24 px, multiples of 8 so no partial edge blocks). */
+  def jpegBlocksX(id: Long): Int = (4 + id % 4).toInt
+  def jpegBlocksY(id: Long): Int = (2 + id % 2).toInt
+
+  /** Gray value of DCT block `block` (row-major), oracle-shared:
+    * (id·7 + block·13) mod 256. BLOCK-constant, not pixel-varying, on
+    * purpose: a flat 8×8 block has only a DC coefficient, and at
+    * quality 1.0 the JDK encoder's quantization preserves it exactly,
+    * so the lossy-in-general codec is exact on this family (probed
+    * exhaustively: 600 ids, max roundtrip error 0). Decoding still
+    * runs the full baseline pipeline — marker/DQT/DHT parse, Huffman
+    * decode, dequant, IDCT — which is what the oracle compare pins. */
+  def jpegBlockValue(id: Long, block: Long): Int =
+    ((id * 7 + block * 13) % 256).toInt
+
+  /** Encode the id-derived block-constant grayscale image as a real
+    * baseline JPEG (quality 1.0). */
+  def encodeJpeg(id: Long): Array[Byte] = {
+    val (bx, by) = (jpegBlocksX(id), jpegBlocksY(id))
+    val (w, h) = (bx * 8, by * 8)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          jpegBlockValue(id, (y / 8).toLong * bx + (x / 8)))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    val wr = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      wr.setOutput(mos)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      wr.dispose()
+      mos.close()
+    }
+    out.toByteArray
+  }
+
+  /** JPEG shares the raster-only feature extractor — `ImageIO.read`
+    * detects the container from its magic bytes. */
+  def decodeJpegFeatures(id: Long, jpg: Array[Byte]): ImageFeatures =
+    decodePngFeatures(id, jpg)
+
+  // ---------------------------------------------------------------
   // Audio: 16-bit PCM mono WAV
   // ---------------------------------------------------------------
 

@@ -81,6 +81,16 @@ object Multimodal {
       .mapPartitions(_.map { case (id, b) => MediaCodec.decodePngFeatures(id, b) })
   }
 
+  /** Id-keyed REAL JPEG payload table (media_id, content): each row a
+    * genuine baseline JPEG (quality 1.0, block-constant gray — the
+    * exact-roundtrip family, see [[MediaCodec.jpegBlockValue]]). */
+  def jpegMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, MediaCodec.encodeJpeg(id))))
+      .toDF("media_id", "content")
+  }
+
   /** Id-keyed REAL WAV payload table (media_id, content): 16-bit PCM
     * mono in a genuine RIFF container. */
   def wavMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {

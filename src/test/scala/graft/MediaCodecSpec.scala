@@ -51,6 +51,33 @@ class MediaCodecSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("JPEG payload is a real JFIF container and block-constant decode is exact") {
+    ids.foreach { id =>
+      val jpg = MediaCodec.encodeJpeg(id)
+      assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+        s"id=$id payload lacks the JPEG SOI marker")
+      // EOI marker closes a well-formed JPEG stream
+      assert((jpg(jpg.length - 2) & 0xff) == 0xff &&
+        (jpg(jpg.length - 1) & 0xff) == 0xd9,
+        s"id=$id payload lacks the JPEG EOI marker")
+      val f = MediaCodec.decodeJpegFeatures(id, jpg)
+      val (bx, by) = (MediaCodec.jpegBlocksX(id), MediaCodec.jpegBlocksY(id))
+      val vs = (0L until bx.toLong * by).map(MediaCodec.jpegBlockValue(id, _))
+      assert(f.width == bx * 8 && f.height == by * 8)
+      assert(f.px_sum == 64L * vs.map(_.toLong).sum,
+        s"JPEG roundtrip not exact for id=$id (px_sum)")
+      val bins = vs.groupBy(_ >> 6).view.mapValues(_.size * 64L).toMap
+      assert(Seq(f.h0, f.h1, f.h2, f.h3) ==
+        (0 to 3).map(b => bins.getOrElse(b, 0L)),
+        s"JPEG histogram mismatch id=$id")
+    }
+  }
+
+  test("corrupt JPEG payload fails loudly") {
+    val broken = MediaCodec.encodeJpeg(5L).take(20)
+    intercept[Exception](MediaCodec.decodeJpegFeatures(5L, broken))
+  }
+
   test("corrupt payload fails loudly, not with garbage features") {
     val broken = MediaCodec.encodePng(5L).take(20) // truncated container
     intercept[Exception](MediaCodec.decodePngFeatures(5L, broken))
