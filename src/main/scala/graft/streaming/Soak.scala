@@ -71,7 +71,13 @@ object Soak {
       joinMvOk: Boolean, sessionsOk: Boolean, lshOk: Boolean,
       /** diagnostic: the soak's working dir — staged inputs and the
         * streamed sink parquet survive there for post-mortem */
-      workDir: String = "") {
+      workDir: String = "",
+      /** which crash shape ran: "pipeline" (stop mid-stream at an
+        * arbitrary pipeline batch) or "mv-merge" (injected failure
+        * inside the join-MV merge with its checkpoint uncommitted) */
+      crashPoint: String = "pipeline",
+      /** replayed MV batches the batch-id no-op gate absorbed */
+      mvNoopReplays: Long = 0L) {
     def allOk: Boolean =
       hashStoreOk && cmsOk && driftOk && joinMvOk && sessionsOk && lshOk
   }
@@ -155,8 +161,10 @@ object Soak {
     FbOptions(syncMode = "sync", targetPath = "_aether/entities/{topic}"))
 
   def run(spark: SparkSession, sfDir: String, nEventFiles: Int,
-      nDocFiles: Int): Result = {
+      nDocFiles: Int, crashPoint: String = "pipeline"): Result = {
     require(nEventFiles >= 2, "the guaranteed-watermark band needs >=2 chunks")
+    require(crashPoint == "pipeline" || crashPoint == "mv-merge",
+      s"unknown crash point: $crashPoint")
     import spark.implicits._
     val t0 = System.nanoTime()
 
@@ -188,10 +196,11 @@ object Soak {
 
     // ---- one launch = the six concurrent queries ----
     final case class Fleet(pipeline: StreamingQuery, sessions: StreamingQuery,
-        qs: Seq[StreamingQuery],
+        mv: StreamingQuery, qs: Seq[StreamingQuery],
         cms: StreamOps.CmsMaintainer, drift: StreamOps.DriftMaintainer,
         joinMv: StreamOps.JoinMvMaintainer)
-    def launch(freshSketchCkpt: Boolean): Fleet = {
+    def launch(freshSketchCkpt: Boolean, mvFailAtBatch: Long = -1L,
+        reuseMv: Option[StreamOps.JoinMvMaintainer] = None): Fleet = {
       val job = new StreamingJob(spark, Seq(sub), "tnt",
         () => new KeyedCountingSink(sinkKey),
         s"$work/hashes", s"$work/pipeline-ckpt", Trigger.ProcessingTime(0L))
@@ -199,7 +208,13 @@ object Soak {
 
       val cms = new StreamOps.CmsMaintainer(spark)
       val drift = new StreamOps.DriftMaintainer(spark, 64, 0.0, 100.0)
-      val joinMv = new StreamOps.JoinMvMaintainer(spark, mvPath, Seq("event_type"))
+      // mv-merge crash mode REUSES the phase-A maintainer on restart:
+      // its in-memory lastMergedBatch says the crashed batch merged,
+      // while the stream checkpoint says it never committed — exactly
+      // the replay the batch-id no-op gate exists to absorb
+      val joinMv = reuseMv.getOrElse(
+        new StreamOps.JoinMvMaintainer(spark, mvPath, Seq("event_type")))
+      joinMv.failAfterMergeOfBatch = mvFailAtBatch
       joinMv.setDim(broadcast(dim))
       val sketchCkpt =
         if (freshSketchCkpt) tmp("soak-sketch-ckpt") else s"$work/sketch-ckpt"
@@ -221,26 +236,37 @@ object Soak {
         .option("path", s"$work/lsh")
         .option("checkpointLocation", s"$work/lsh-ckpt")
         .start()
-      Fleet(pipeline, qSess, Seq(pipeline, qCms, qDrift, qMv, qSess, qLsh),
+      Fleet(pipeline, qSess, qMv, Seq(pipeline, qCms, qDrift, qMv, qSess, qLsh),
         cms, drift, joinMv)
     }
 
-    // ---- phase A: run until the pipeline is mid-stream, then stop
-    // everything at once (whole-driver crash: each query at its own
-    // arbitrary offset) ----
-    val a = launch(freshSketchCkpt = false)
+    // ---- phase A: run until the crash point, then stop everything at
+    // once (whole-driver crash: each query at its own arbitrary
+    // offset). "pipeline" = stop once the pipeline is mid-stream;
+    // "mv-merge" = injected failure INSIDE the join-MV merge (partition
+    // written + maintainer state updated, stream checkpoint
+    // uncommitted) — the batch-id no-op gate's replay window. ----
     val crashTarget = math.max(1L, nEventFiles / 2L)
+    val a = launch(freshSketchCkpt = false,
+      mvFailAtBatch = if (crashPoint == "mv-merge") crashTarget else -1L)
     val deadline = System.nanoTime() + 300L * 1000000000L
-    while (Option(a.pipeline.lastProgress)
-        .forall(_.batchId < crashTarget) && System.nanoTime() < deadline)
-      Thread.sleep(25)
-    val crashAt = Option(a.pipeline.lastProgress).map(_.batchId).getOrElse(-1L)
+    if (crashPoint == "mv-merge")
+      while (a.mv.isActive && System.nanoTime() < deadline)
+        Thread.sleep(25)
+    else
+      while (Option(a.pipeline.lastProgress)
+          .forall(_.batchId < crashTarget) && System.nanoTime() < deadline)
+        Thread.sleep(25)
+    val crashAt =
+      if (crashPoint == "mv-merge") crashTarget
+      else Option(a.pipeline.lastProgress).map(_.batchId).getOrElse(-1L)
     a.qs.foreach(_.stop())
 
     // ---- phase B: restart. Durable/engine state resumes from its own
     // checkpoint; driver-memory sketches rebuild via full recompute
     // (fresh checkpoint). ----
-    val b = launch(freshSketchCkpt = true)
+    val b = launch(freshSketchCkpt = true,
+      reuseMv = if (crashPoint == "mv-merge") Some(a.joinMv) else None)
     b.qs.foreach(_.processAllAvailable())
     b.qs.foreach(_.stop())
     val wallSec = (System.nanoTime() - t0) / 1e9
@@ -347,7 +373,8 @@ object Soak {
     Result(nEvents, nDocs, wallSec, crashAt,
       KeyedCountingSink.drain(sinkKey),
       sessionsEmitted, lshHits,
-      hashStoreOk, cmsOk, driftOk, joinMvOk, sessionsOk, lshOk, work)
+      hashStoreOk, cmsOk, driftOk, joinMvOk, sessionsOk, lshOk, work,
+      crashPoint, b.joinMv.noopReplays.get())
   }
 }
 
@@ -368,8 +395,9 @@ object SoakBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val r = Soak.run(spark, sfDir, nEventFiles, nDocFiles)
-    println(f"""{"metric":"soak_events_per_sec","value":${r.events / r.wallSec}%.1f,"unit":"events/sec","events":${r.events},"docs":${r.docs},"seconds":${r.wallSec}%.2f,"concurrent_queries":6,"crash_at_pipeline_batch":${r.crashAtPipelineBatch},"pipeline_sink_commits":${r.pipelineSinkCommits},"sessions_emitted":${r.sessionsEmitted},"lsh_hits":${r.lshHits},"hash_store_ok":${r.hashStoreOk},"cms_ok":${r.cmsOk},"drift_ok":${r.driftOk},"join_mv_ok":${r.joinMvOk},"sessions_ok":${r.sessionsOk},"lsh_ok":${r.lshOk},"all_ok":${r.allOk},"sf":"$sfDir"}""")
+    val crashPoint = sys.env.getOrElse("SPARK_GRAFT_CRASH_POINT", "pipeline")
+    val r = Soak.run(spark, sfDir, nEventFiles, nDocFiles, crashPoint)
+    println(f"""{"metric":"soak_events_per_sec","value":${r.events / r.wallSec}%.1f,"unit":"events/sec","events":${r.events},"docs":${r.docs},"seconds":${r.wallSec}%.2f,"concurrent_queries":6,"crash_point":"${r.crashPoint}","crash_at_batch":${r.crashAtPipelineBatch},"mv_noop_replays":${r.mvNoopReplays},"pipeline_sink_commits":${r.pipelineSinkCommits},"sessions_emitted":${r.sessionsEmitted},"lsh_hits":${r.lshHits},"hash_store_ok":${r.hashStoreOk},"cms_ok":${r.cmsOk},"drift_ok":${r.driftOk},"join_mv_ok":${r.joinMvOk},"sessions_ok":${r.sessionsOk},"lsh_ok":${r.lshOk},"all_ok":${r.allOk},"sf":"$sfDir"}""")
     spark.stop()
     if (!r.allOk) sys.exit(1)
   }

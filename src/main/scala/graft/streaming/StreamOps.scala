@@ -395,19 +395,39 @@ object StreamOps {
     @volatile private var dim: Option[DataFrame] = None
     @volatile private var lastMergedBatch: Long = -1L
 
+    /** Fault injection for the soak's mv-merge crash point: when set,
+      * the merge of exactly this batch id throws AFTER the partition
+      * write and state update but BEFORE the stream checkpoint can
+      * commit — the crash window whose replay the batch-id gate below
+      * must absorb. One-shot; -1 disarms. Test-only. */
+    @volatile private[graft] var failAfterMergeOfBatch: Long = -1L
+
+    /** Replayed batches absorbed by the batch-id no-op gate (observable
+      * so the soak can assert the gate actually fired). */
+    private[graft] val noopReplays = new java.util.concurrent.atomic.AtomicLong
+
     /** Install / swap the dimension snapshot used for subsequent
       * batches. Pass `broadcast(df)` when the dim fits an executor. */
     def setDim(d: DataFrame): Unit = { dim = Some(d) }
 
     private[graft] def merge(delta: DataFrame, batchId: Long): Unit =
       synchronized {
-        if (batchId <= lastMergedBatch) return // replayed batch: no-op
+        if (batchId <= lastMergedBatch) { // replayed batch: no-op
+          noopReplays.incrementAndGet()
+          return
+        }
         val d = dim.getOrElse(throw new IllegalStateException(
           "JoinMvMaintainer: setDim before starting the stream"))
         delta.join(d, joinKeys)
           .write.mode("overwrite")
           .parquet(s"${basePath.stripSuffix("/")}/batch=$batchId")
         lastMergedBatch = batchId
+        if (batchId == failAfterMergeOfBatch) {
+          failAfterMergeOfBatch = -1L
+          throw new RuntimeException(
+            s"injected crash: MV merge of batch $batchId completed, " +
+              "stream checkpoint uncommitted")
+        }
       }
 
     /** The maintained enriched view (all merged batches), with the

@@ -30,4 +30,19 @@ class ConcurrentSoakSpec extends AnyFunSuite with SparkTestBase {
       "closed by the final watermark")
     assert(r.lshOk, "streamed LSH band state != batch banding structure")
   }
+
+  test("crash INSIDE the join-MV merge: replay absorbed by the batch-id gate") {
+    // injected failure after the MV partition write + maintainer state
+    // update but before the stream checkpoint commit; the restart
+    // reuses the maintainer, so the replayed batch must hit the
+    // batch-id no-op gate (not double-merge) and every equality gate
+    // must still hold
+    val r = Soak.run(spark, sf, nEventFiles = 8, nDocFiles = 3,
+      crashPoint = "mv-merge")
+    assert(r.crashPoint == "mv-merge")
+    assert(r.mvNoopReplays >= 1L,
+      "the injected mid-merge crash never exercised the no-op gate")
+    assert(r.hashStoreOk && r.cmsOk && r.driftOk && r.joinMvOk &&
+      r.sessionsOk && r.lshOk, "a state gate failed under the mv-merge crash")
+  }
 }
