@@ -11954,10 +11954,16 @@ object Queries {
         |    ELSE 'poisson-like' END dispersion
         |FROM m ORDER BY event_type""".stripMargin,
 
+    // event_id tiebreak: exact-ns duplicate timestamps exist in
+    // skewed data, and untied ORDER BY in a lag window is the DuckDB
+    // parallel-window nondeterminism trap (see q_peak_concurrency);
+    // the gap MULTISET is tie-insensitive, so the tiebreak only
+    // stabilizes the oracle
     "q_interarrival" ->
       """WITH g AS (SELECT event_type,
         |    (epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (
-        |      PARTITION BY user_id, event_type ORDER BY epoch_ns(ts)))
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ns(ts), event_id))
         |      // 1000000000 gap_s
         |  FROM events),
         |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
@@ -12098,8 +12104,14 @@ object Queries {
          |ORDER BY metric""".stripMargin
     },
 
+    // ev is DISTINCT: duplicate (user,type,second) rows cannot affect
+    // gap sessionization or session endpoints, and they put ties in
+    // the lag/cumsum windows' ORDER BY — which DuckDB's parallel
+    // window execution resolves NONDETERMINISTICALLY (observed on
+    // skewed sf1: n_sessions drifted ±1 run-to-run). The engine side
+    // is tie-insensitive by value, so dedup only stabilizes the oracle.
     "q_peak_concurrency" ->
-      """WITH ev AS (SELECT user_id, event_type,
+      """WITH ev AS (SELECT DISTINCT user_id, event_type,
         |    epoch_ns(ts) // 1000000000 t FROM events),
         |br AS (SELECT user_id, event_type, t,
         |    CASE WHEN t - lag(t, 1) OVER w > 1800
