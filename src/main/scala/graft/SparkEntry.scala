@@ -8030,25 +8030,31 @@ object Queries {
         |      <= CAST(1000000 AS BIGINT)*1000000//nn.n
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // MATERIALIZED hints are load-bearing at scale: pr (the O(n²)
+    // brute-force pair scan — deliberately naive, it IS the referee)
+    // is referenced 3×, sym/core 2×, and DuckDB inlines
+    // multiply-referenced CTEs by default, re-running the quadratic
+    // scan per reference (the q_kcore exponential-inline class).
+    // Semantics identical.
     "q_dbscan" ->
-      """WITH RECURSIVE p AS (SELECT vec_id,
+      """WITH RECURSIVE p AS MATERIALIZED (SELECT vec_id,
         |  CAST(floor((CAST(embedding[1] AS DOUBLE)+1.0)*1048576) AS BIGINT) xi,
         |  CAST(floor((CAST(embedding[2] AS DOUBLE)+1.0)*1048576) AS BIGINT) yi
         |  FROM embeddings),
         |nn AS (SELECT count(*) n FROM p),
-        |pr AS (SELECT a.vec_id ia, b.vec_id ib
+        |pr AS MATERIALIZED (SELECT a.vec_id ia, b.vec_id ib
         |  FROM p a, p b, nn WHERE a.vec_id < b.vec_id
         |    AND (a.xi-b.xi)*(a.xi-b.xi)+(a.yi-b.yi)*(a.yi-b.yi)
         |        <= CAST(1000000 AS BIGINT)*1000000//nn.n),
-        |sym AS (SELECT ia u, ib v FROM pr UNION ALL SELECT ib, ia FROM pr),
+        |sym AS MATERIALIZED (SELECT ia u, ib v FROM pr UNION ALL SELECT ib, ia FROM pr),
         |deg AS (SELECT u, count(*) deg FROM sym GROUP BY u),
-        |core AS (SELECT u cid FROM deg WHERE deg >= 12),
+        |core AS MATERIALIZED (SELECT u cid FROM deg WHERE deg >= 12),
         |ce AS (SELECT ia a, ib b FROM pr
         |  WHERE ia IN (SELECT cid FROM core) AND ib IN (SELECT cid FROM core)),
-        |edges AS (SELECT a u, b v FROM ce UNION SELECT b, a FROM ce),
+        |edges AS MATERIALIZED (SELECT a u, b v FROM ce UNION SELECT b, a FROM ce),
         |reach AS (SELECT cid AS src, cid AS node FROM core
         |  UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u),
-        |lab AS (SELECT src pid, MIN(node) cluster_rep FROM reach GROUP BY src),
+        |lab AS MATERIALIZED (SELECT src pid, MIN(node) cluster_rep FROM reach GROUP BY src),
         |border AS (SELECT s.u pid, MIN(l.cluster_rep) cluster_rep
         |  FROM sym s JOIN core c ON s.v = c.cid JOIN lab l ON l.pid = s.v
         |  WHERE s.u NOT IN (SELECT cid FROM core) GROUP BY s.u),
@@ -9726,19 +9732,24 @@ object Queries {
         |ORDER BY k""".stripMargin,
 
     // 3 unrolled peel rounds; the engine's early-stop at the fixpoint
-    // is invisible because post-convergence rounds are no-ops
+    // is invisible because post-convergence rounds are no-ops.
+    // MATERIALIZED is load-bearing: each round references the previous
+    // CTE 4x, and DuckDB inlines multiply-referenced CTEs by default —
+    // the chain re-evaluates the 6M-row distinct join exponentially
+    // (measured at sf1: >75 GB of spill then disk-full abort at 588 s;
+    // with the hints, 2.7 s). Semantics identical.
     "q_kcore" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |k1 AS (SELECT n FROM (SELECT n, COUNT(*) d FROM
+        |k1 AS MATERIALIZED (SELECT n FROM (SELECT n, COUNT(*) d FROM
         |  (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n) WHERE d >= 34),
-        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
-        |k2 AS (SELECT n FROM (SELECT n, COUNT(*) d FROM
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+        |k2 AS MATERIALIZED (SELECT n FROM (SELECT n, COUNT(*) d FROM
         |  (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n) WHERE d >= 34),
-        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
-        |k3 AS (SELECT n FROM (SELECT n, COUNT(*) d FROM
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+        |k3 AS MATERIALIZED (SELECT n FROM (SELECT n, COUNT(*) d FROM
         |  (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n) WHERE d >= 34),
-        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3))
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3))
         |SELECT n AS node, COUNT(*) AS degree FROM
         |  (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
         |GROUP BY n ORDER BY node""".stripMargin,
