@@ -5884,26 +5884,76 @@ object Queries {
   /** Item-item lift recommendations: parts co-purchased within an
     * order, scored by lift = P(a,b)/(P(a)·P(b)) in exact ppm integer
     * form (c_ab·N·10⁶ div (c_a·c_b)), top-3 recommendations per item
-    * with support ≥ 2. Pair volume is bounded by the per-order item
-    * count (≤7 in the TPC-H shape — the same basket bound
-    * q_itemset_pairs leans on), built by the collect_set + array
-    * pair-explode idiom: one shuffle to baskets, one to pair counts,
-    * two key joins for the margins, one bounded 1-row N broadcast
-    * (whitelisted), one partitioned rank window. */
+    * with support ≥ 2.
+    *
+    * Pair generation is SIZE-ROUTED with a candidate-first structure
+    * for mega-baskets. A degenerate basket breaks every
+    * enumerate-then-count form: the original collect_set +
+    * double-explode put the adversarial-skew hot order (10,000
+    * distinct parts ⇒ ~5·10⁷ pairs plus O(n²) array-slice copies) in
+    * ONE unsplittable task for 20+ minutes at skewed sf1; a self-join
+    * on the order key is no better (join-OUTPUT explosion — the hot
+    * key's input partitions are tiny, so AQE's byte-based skew split
+    * never fires); and even a salted join that spreads the generation
+    * still materializes and aggregates 5·10⁷ pairs that are ~all
+    * support-1 and die at the filter (measured: minutes of spill).
+    * The exact fix is structural: a pair can reach support ≥ 2 only
+    * if (a) some SMALL basket contains it — so it appears among the
+    * volume-bounded small-basket pairs — or (b) TWO big baskets
+    * contain it — so it lies inside a pairwise big∩big intersection.
+    * Enumerate exactly those candidates, then count each candidate's
+    * big-basket containment with two key joins against the big item
+    * relation (c_ab = small count + big count, exact). A mega
+    * basket's support-1 pairs are never materialized; big∩big work
+    * exists only where real support exists. Downstream: margins via
+    * two key joins, one bounded 1-row N broadcast (whitelisted), one
+    * partitioned rank window. */
   def qItemLift(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val baskets = Tables.lineitem(s, dir)
+    val items = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("pks"))
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    val pairs = baskets.filter(size(col("pks")) >= 2)
-      .select(col("pks"), posexplode(col("pks")).as(Seq("i", "a")))
-      .select(col("a"), explode(expr("slice(pks, i + 2, 10000)")).as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .distinct()
+    // the split key set (baskets > 256 items) is anomalies-only by
+    // construction — broadcast semi/anti beats re-shuffling the whole
+    // item relation against its own size aggregate
+    val bigOks = items.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 256).select(col("ok"))
+    val small = items.join(broadcast(bigOks), Seq("ok"), "left_anti")
+    val big = items.join(broadcast(bigOks), Seq("ok"), "left_semi")
+    // (a,b,c_small): pair counts over small baskets only — volume is
+    // bounded by 256·|items| by construction
+    val smallCounts = small.select(col("ok"), col("pk").as("a"))
+      .join(small.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_small"))
+    // pairs contained in ≥2 big baskets = pairs within a pairwise
+    // big∩big intersection (okx < oky pairs of big baskets; their
+    // common items self-join per basket-pair)
+    val inter = big.select(col("ok").as("okx"), col("pk"))
+      .join(big.select(col("ok").as("oky"), col("pk")), "pk")
+      .filter(col("okx") < col("oky"))
+    val bigBigCands = inter.select(col("okx"), col("oky"), col("pk").as("a"))
+      .join(inter.select(col("okx"), col("oky"), col("pk").as("b")),
+        Seq("okx", "oky"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val cands = smallCounts.select(col("a"), col("b"))
+      .unionByName(bigBigCands).distinct()
+    // per candidate, the number of big baskets containing BOTH items
+    val cBig = cands
+      .join(big.select(col("ok"), col("pk").as("a")), "a")
+      .join(big.select(col("ok"), col("pk").as("b")), Seq("b", "ok"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_big"))
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = cands
+      .join(smallCounts, Seq("a", "b"), "left")
+      .join(cBig, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (coalesce(col("c_small"), lit(0L)) +
+          coalesce(col("c_big"), lit(0L))).as("c_ab"))
       .filter(col("c_ab") >= 2)
-    val margin = baskets
-      .select(explode(col("pks")).as("pk"))
-      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val margin = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val directed = pairs.select(col("a"), col("b"), col("c_ab"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b"),
         col("c_ab")))
