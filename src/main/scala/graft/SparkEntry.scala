@@ -2436,22 +2436,69 @@ object Queries {
   /** Frequent item PAIRS (market-basket level 2): parts that co-occur
     * in the same order, with support counts — the Apriori second
     * level, which is where basket analysis actually starts paying.
-    * The self-join is keyed on the ORDER (co-partitioned equi-join),
-    * and baskets are smallint-sized (TPC-H orders hold ≤ 7 items), so
-    * per-order pair fan-out is bounded ≈ 21 and the whole query is
-    * linear in lineitems — the classic shape that stays linear at
-    * 100 TB because pair space is per-basket, never corpus-wide. */
+    * Counting runs through [[supportedPairs]] — candidate-first, so a
+    * degenerate mega-basket (the adversarial-skew hot order) cannot
+    * pin a task with ~5·10⁷ support-1 pairs the ≥2 filter would
+    * discard anyway; on normal smallint-sized baskets it reduces to
+    * the classic per-basket self-join, linear in lineitems. */
   def qItemsetPairs(s: SparkSession, dir: String): DataFrame = {
     val items = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    items.select(col("ok"), col("pk").as("p_a"))
-      .join(items.select(col("ok"), col("pk").as("p_b")), "ok")
-      .filter(col("p_a") < col("p_b"))
-      .groupBy(col("p_a"), col("p_b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
+    supportedPairs(items)
+      .select(col("a").as("p_a"), col("b").as("p_b"),
+        col("c_ab").as("support"))
       .orderBy(col("support").desc, col("p_a"), col("p_b"))
       .limit(50)
+  }
+
+  /** Exact co-occurrence pair counts with support ≥ 2 over an
+    * (ok, pk) item relation — the skew-immune candidate-first core
+    * shared by [[qItemsetPairs]] and [[qItemLift]]. A pair can reach
+    * support ≥ 2 only if (a) some SMALL basket (≤256 items) contains
+    * it — those pairs enumerate via the volume-bounded per-basket
+    * self-join — or (b) TWO big baskets contain it — those lie inside
+    * a pairwise big∩big intersection. Candidates are exactly that
+    * union; each candidate's big-basket containment count comes from
+    * two key joins against the big item relation, so a mega-basket's
+    * support-1 pairs are never materialized (the enumerate-then-count
+    * forms all die on one: collect_set+explode pins ONE task — a
+    * single array row cannot split; a plain self-join is join-OUTPUT
+    * explosion AQE's byte-based skew split cannot see; a salted join
+    * spreads generation but still aggregates ~5·10⁷ doomed pairs).
+    * Returns (a, b, c_ab), a < b, c_ab ≥ 2, exact. */
+  private def supportedPairs(items: DataFrame): DataFrame = {
+    // the split key set (baskets > 256 items) is anomalies-only by
+    // construction — broadcast semi/anti beats re-shuffling the whole
+    // item relation against its own size aggregate
+    val bigOks = items.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 256).select(col("ok"))
+    val small = items.join(broadcast(bigOks), Seq("ok"), "left_anti")
+    val big = items.join(broadcast(bigOks), Seq("ok"), "left_semi")
+    val smallCounts = small.select(col("ok"), col("pk").as("a"))
+      .join(small.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_small"))
+    val inter = big.select(col("ok").as("okx"), col("pk"))
+      .join(big.select(col("ok").as("oky"), col("pk")), "pk")
+      .filter(col("okx") < col("oky"))
+    val bigBigCands = inter.select(col("okx"), col("oky"), col("pk").as("a"))
+      .join(inter.select(col("okx"), col("oky"), col("pk").as("b")),
+        Seq("okx", "oky"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val cands = smallCounts.select(col("a"), col("b"))
+      .unionByName(bigBigCands).distinct()
+    val cBig = cands
+      .join(big.select(col("ok"), col("pk").as("a")), "a")
+      .join(big.select(col("ok"), col("pk").as("b")), Seq("b", "ok"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_big"))
+    cands
+      .join(smallCounts, Seq("a", "b"), "left")
+      .join(cBig, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (coalesce(col("c_small"), lit(0L)) +
+          coalesce(col("c_big"), lit(0L))).as("c_ab"))
+      .filter(col("c_ab") >= 2)
   }
 
   /** One-hop neighborhood aggregation (the message-passing primitive
@@ -5886,73 +5933,18 @@ object Queries {
     * form (c_ab·N·10⁶ div (c_a·c_b)), top-3 recommendations per item
     * with support ≥ 2.
     *
-    * Pair generation is SIZE-ROUTED with a candidate-first structure
-    * for mega-baskets. A degenerate basket breaks every
-    * enumerate-then-count form: the original collect_set +
-    * double-explode put the adversarial-skew hot order (10,000
-    * distinct parts ⇒ ~5·10⁷ pairs plus O(n²) array-slice copies) in
-    * ONE unsplittable task for 20+ minutes at skewed sf1; a self-join
-    * on the order key is no better (join-OUTPUT explosion — the hot
-    * key's input partitions are tiny, so AQE's byte-based skew split
-    * never fires); and even a salted join that spreads the generation
-    * still materializes and aggregates 5·10⁷ pairs that are ~all
-    * support-1 and die at the filter (measured: minutes of spill).
-    * The exact fix is structural: a pair can reach support ≥ 2 only
-    * if (a) some SMALL basket contains it — so it appears among the
-    * volume-bounded small-basket pairs — or (b) TWO big baskets
-    * contain it — so it lies inside a pairwise big∩big intersection.
-    * Enumerate exactly those candidates, then count each candidate's
-    * big-basket containment with two key joins against the big item
-    * relation (c_ab = small count + big count, exact). A mega
-    * basket's support-1 pairs are never materialized; big∩big work
-    * exists only where real support exists. Downstream: margins via
-    * two key joins, one bounded 1-row N broadcast (whitelisted), one
-    * partitioned rank window. */
+    * Pair counting runs through the skew-immune candidate-first
+    * [[supportedPairs]] core (see its scaladoc for the mega-basket
+    * analysis). Downstream: margins via two key joins, one bounded
+    * 1-row N broadcast (whitelisted), one partitioned rank window. */
   def qItemLift(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val items = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    // the split key set (baskets > 256 items) is anomalies-only by
-    // construction — broadcast semi/anti beats re-shuffling the whole
-    // item relation against its own size aggregate
-    val bigOks = items.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > 256).select(col("ok"))
-    val small = items.join(broadcast(bigOks), Seq("ok"), "left_anti")
-    val big = items.join(broadcast(bigOks), Seq("ok"), "left_semi")
-    // (a,b,c_small): pair counts over small baskets only — volume is
-    // bounded by 256·|items| by construction
-    val smallCounts = small.select(col("ok"), col("pk").as("a"))
-      .join(small.select(col("ok"), col("pk").as("b")), "ok")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_small"))
-    // pairs contained in ≥2 big baskets = pairs within a pairwise
-    // big∩big intersection (okx < oky pairs of big baskets; their
-    // common items self-join per basket-pair)
-    val inter = big.select(col("ok").as("okx"), col("pk"))
-      .join(big.select(col("ok").as("oky"), col("pk")), "pk")
-      .filter(col("okx") < col("oky"))
-    val bigBigCands = inter.select(col("okx"), col("oky"), col("pk").as("a"))
-      .join(inter.select(col("okx"), col("oky"), col("pk").as("b")),
-        Seq("okx", "oky"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    val cands = smallCounts.select(col("a"), col("b"))
-      .unionByName(bigBigCands).distinct()
-    // per candidate, the number of big baskets containing BOTH items
-    val cBig = cands
-      .join(big.select(col("ok"), col("pk").as("a")), "a")
-      .join(big.select(col("ok"), col("pk").as("b")), Seq("b", "ok"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_big"))
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
-    val pairs = cands
-      .join(smallCounts, Seq("a", "b"), "left")
-      .join(cBig, Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        (coalesce(col("c_small"), lit(0L)) +
-          coalesce(col("c_big"), lit(0L))).as("c_ab"))
-      .filter(col("c_ab") >= 2)
+    val pairs = supportedPairs(items)
     val margin = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val directed = pairs.select(col("a"), col("b"), col("c_ab"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b"),
