@@ -2442,13 +2442,17 @@ object Queries {
     * discard anyway; on normal smallint-sized baskets it reduces to
     * the classic per-basket self-join, linear in lineitems. */
   def qItemsetPairs(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    supportedPairs(items)
+    val (items, relItems) = operators.Rounds.persist(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct(), reliable = false)
+    val (pairs, relPairs) = supportedPairs(items)
+    val res = pairs
       .select(col("a").as("p_a"), col("b").as("p_b"),
         col("c_ab").as("support"))
       .orderBy(col("support").desc, col("p_a"), col("p_b"))
       .limit(50)
+    materializeFinal("q_itemset_pairs", res) { relPairs(); relItems() }
   }
 
   /** Exact co-occurrence pair counts with support ≥ 2 over an
@@ -2457,48 +2461,128 @@ object Queries {
     * support ≥ 2 only if (a) some SMALL basket (≤256 items) contains
     * it — those pairs enumerate via the volume-bounded per-basket
     * self-join — or (b) TWO big baskets contain it — those lie inside
-    * a pairwise big∩big intersection. Candidates are exactly that
-    * union; each candidate's big-basket containment count comes from
-    * two key joins against the big item relation, so a mega-basket's
-    * support-1 pairs are never materialized (the enumerate-then-count
-    * forms all die on one: collect_set+explode pins ONE task — a
-    * single array row cannot split; a plain self-join is join-OUTPUT
-    * explosion AQE's byte-based skew split cannot see; a salted join
-    * spreads generation but still aggregates ~5·10⁷ doomed pairs).
-    * Returns (a, b, c_ab), a < b, c_ab ≥ 2, exact. */
-  private def supportedPairs(items: DataFrame): DataFrame = {
+    * a pairwise big∩big intersection. A mega-basket's support-1 pairs
+    * are never materialized (the enumerate-then-count forms all die
+    * on one: collect_set+explode pins ONE task — a single array row
+    * cannot split; a plain self-join is join-OUTPUT explosion AQE's
+    * byte-based skew split cannot see; a salted join spreads
+    * generation but still aggregates ~5·10⁷ doomed pairs).
+    *
+    * Big-basket containment is tiered by two bounded driver scalars
+    * (one aggregate job over the caller-persisted `items`):
+    *
+    *  - **No big baskets** (every unskewed SF): the whole machinery
+    *    collapses to `smallCounts.filter(≥ 2)` — one self-join + one
+    *    aggregate, nothing persisted.
+    *  - **Bitmap tier** (≤ 62 big baskets, ≤ 4M big items): membership
+    *    of each item in the big baskets is a single BIGINT bitmap —
+    *    a ≤4M-row broadcast relation — so a pair's big-basket count
+    *    is `bit_count(bits(a) & bits(b))` behind two broadcast hash
+    *    joins on the small-pair aggregate: no candidate set, no
+    *    containment key-joins, no assembly joins, scan-shaped.
+    *    Pairs living ONLY in big baskets still enumerate via the
+    *    big∩big intersection (anti-joined against the small pairs so
+    *    nothing double-counts).
+    *  - **Join tier** (the scale-general fallback): candidates =
+    *    small pairs ∪ big∩big intersection pairs; each candidate's
+    *    containment count via two key joins against the big item
+    *    relation. Shared intermediates are round-persisted; the
+    *    returned thunk releases them and MUST run after the caller
+    *    materializes its final.
+    *
+    * `items` must be (ok, pk)-distinct and ALREADY persisted by the
+    * caller (it feeds the gate aggregate plus up to four subtrees).
+    * Returns ((a, b, c_ab), release), a < b, c_ab ≥ 2, exact. */
+  private def supportedPairs(items: DataFrame): (DataFrame, () => Unit) = {
     // the split key set (baskets > 256 items) is anomalies-only by
     // construction — broadcast semi/anti beats re-shuffling the whole
     // item relation against its own size aggregate
     val bigOks = items.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > 256).select(col("ok"))
-    val small = items.join(broadcast(bigOks), Seq("ok"), "left_anti")
-    val big = items.join(broadcast(bigOks), Seq("ok"), "left_semi")
-    val smallCounts = small.select(col("ok"), col("pk").as("a"))
+      .filter(col("bsz") > 256)
+    // strategy gate: TWO bounded driver scalars from ONE aggregate
+    // (items is caller-persisted, so this pays a cached scan, not I/O)
+    val gate = bigOks
+      .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L))).head()
+    val nBig = gate.getLong(0)
+    val bigItems = gate.getLong(1)
+    val bigOkKeys = bigOks.select(col("ok"))
+    val small = items.join(broadcast(bigOkKeys), Seq("ok"), "left_anti")
+    val big = items.join(broadcast(bigOkKeys), Seq("ok"), "left_semi")
+    def smallCountsPlan = small.select(col("ok"), col("pk").as("a"))
       .join(small.select(col("ok"), col("pk").as("b")), "ok")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_small"))
-    val inter = big.select(col("ok").as("okx"), col("pk"))
+    if (nBig == 0L)
+      return (smallCountsPlan.filter(col("c_small") >= 2)
+        .select(col("a"), col("b"), col("c_small").as("c_ab")), () => ())
+    def interPlan = big.select(col("ok").as("okx"), col("pk"))
       .join(big.select(col("ok").as("oky"), col("pk")), "pk")
       .filter(col("okx") < col("oky"))
-    val bigBigCands = inter.select(col("okx"), col("oky"), col("pk").as("a"))
-      .join(inter.select(col("okx"), col("oky"), col("pk").as("b")),
+    def bigBigCandsPlan = interPlan
+      .select(col("okx"), col("oky"), col("pk").as("a"))
+      .join(interPlan.select(col("okx"), col("oky"), col("pk").as("b")),
         Seq("okx", "oky"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val cands = smallCounts.select(col("a"), col("b"))
-      .unionByName(bigBigCands).distinct()
-    val cBig = cands
-      .join(big.select(col("ok"), col("pk").as("a")), "a")
-      .join(big.select(col("ok"), col("pk").as("b")), Seq("b", "ok"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_big"))
-    cands
-      .join(smallCounts, Seq("a", "b"), "left")
-      .join(cBig, Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        (coalesce(col("c_small"), lit(0L)) +
-          coalesce(col("c_big"), lit(0L))).as("c_ab"))
-      .filter(col("c_ab") >= 2)
+    if (nBig <= 62L && bigItems <= 4000000L) {
+      // bitmap tier: basket index 0..61 from a bounded collect (gated
+      // ≤62 rows — same class as the whitelisted Bloom-word collects);
+      // 62 keeps the Σ2^idx aggregate inside BIGINT with headroom
+      val sess = items.sparkSession
+      import sess.implicits._
+      val idxDf = bigOkKeys.orderBy(col("ok")).collect()
+        .map(_.getLong(0)).zipWithIndex.toSeq
+        .toDF("ok", "idx")
+      val mask = big.join(broadcast(idxDf), "ok")
+        .groupBy(col("pk"))
+        .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), idx) AS BIGINT)"))
+          .as("bits"))
+      val withBits = (df: DataFrame) => df
+        .join(broadcast(mask.select(col("pk").as("a"),
+          col("bits").as("bits_a"))), Seq("a"), "left")
+        .join(broadcast(mask.select(col("pk").as("b"),
+          col("bits").as("bits_b"))), Seq("b"), "left")
+        .withColumn("c_big", expr(
+          "CAST(bit_count(coalesce(bits_a, CAST(0 AS BIGINT)) & " +
+            "coalesce(bits_b, CAST(0 AS BIGINT))) AS BIGINT)"))
+      val needSmallTwice = nBig >= 2L
+      val (smallCounts, relSmall) =
+        if (needSmallTwice) operators.Rounds.persist(smallCountsPlan,
+          reliable = false)
+        else (smallCountsPlan, () => ())
+      val smallSide = withBits(smallCounts)
+        .select(col("a"), col("b"),
+          (col("c_small") + col("c_big")).as("c_ab"))
+        .filter(col("c_ab") >= 2)
+      val out =
+        if (nBig < 2L) smallSide // a lone big basket adds at most 1
+        else smallSide.unionByName(
+          withBits(bigBigCandsPlan
+            .join(smallCounts.select(col("a"), col("b")),
+              Seq("a", "b"), "left_anti"))
+            .select(col("a"), col("b"), col("c_big").as("c_ab"))
+            .filter(col("c_ab") >= 2))
+      (out, relSmall)
+    } else {
+      // join tier: candidate-first with persisted shared intermediates
+      val (smallCounts, relSmall) =
+        operators.Rounds.persist(smallCountsPlan, reliable = false)
+      val (cands, relCands) = operators.Rounds.persist(
+        smallCounts.select(col("a"), col("b")).unionByName(bigBigCandsPlan)
+          .distinct(), reliable = false)
+      val cBig = cands
+        .join(big.select(col("ok"), col("pk").as("a")), "a")
+        .join(big.select(col("ok"), col("pk").as("b")), Seq("b", "ok"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_big"))
+      val out = cands
+        .join(smallCounts, Seq("a", "b"), "left")
+        .join(cBig, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (coalesce(col("c_small"), lit(0L)) +
+            coalesce(col("c_big"), lit(0L))).as("c_ab"))
+        .filter(col("c_ab") >= 2)
+      (out, () => { relSmall(); relCands() })
+    }
   }
 
   /** One-hop neighborhood aggregation (the message-passing primitive
@@ -5939,16 +6023,22 @@ object Queries {
     * 1-row N broadcast (whitelisted), one partitioned rank window. */
   def qItemLift(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    val (items, relItems) = operators.Rounds.persist(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct(), reliable = false)
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
-    val pairs = supportedPairs(items)
+    val (pairs, relPairs) = supportedPairs(items)
     val margin = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    val directed = pairs.select(col("a"), col("b"), col("c_ab"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b"),
-        col("c_ab")))
+    // both directions from ONE pass over the pair relation (a union
+    // would reference it twice and force an extra 7.6M-row persist at
+    // the skew design point; the 2-element explode is scan-shaped)
+    val directed = pairs.select(explode(array(
+        struct(col("a"), col("b"), col("c_ab")),
+        struct(col("b").as("a"), col("a").as("b"), col("c_ab")))).as("d"))
+      .select(col("d.a").as("a"), col("d.b").as("b"),
+        col("d.c_ab").as("c_ab"))
     val scored = directed
       .join(margin.select(col("pk").as("a"), col("c").as("c_a")), "a")
       .join(margin.select(col("pk").as("b"), col("c").as("c_b")), "b")
@@ -5957,12 +6047,14 @@ object Queries {
         expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * n_orders * 1000000 " +
           "div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)")
           .as("lift_ppm"))
-    scored.withColumn("rk", row_number().over(Window.partitionBy(col("a"))
+    val res = scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("a"))
         .orderBy(col("lift_ppm").desc, col("b"))))
       .filter(col("rk") <= 3)
       .select(col("a"), col("rk").cast("long").as("rk"), col("b"),
         col("c_ab"), col("lift_ppm"))
       .orderBy(col("a"), col("rk"))
+    materializeFinal("q_item_lift", res) { relPairs(); relItems() }
   }
 
   /** Consistent-hashing shard-rebalance audit: when a cluster grows

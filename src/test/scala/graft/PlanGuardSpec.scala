@@ -75,7 +75,6 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
       "30-day window) crossed with the <=5-row event-type domain"),
     "q_perm_test" -> ("1-row observed-statistic relation crossed onto " +
       "the 64-row permutation-statistic relation (both bounded)"),
-    "q_item_lift" -> "1-row basket-count broadcast for the lift scale",
     "q_consistent_shard" -> ("36-row vnode ring broadcast crossed onto " +
       "the key scan (constant-size by construction)"),
     "q_heavy_change" -> ("1-row min-day broadcast anchoring the split " +
@@ -192,12 +191,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     * windows only for the dense triangle tiers' gate-bounded id
     * ranking (n ≤ denseMaxNodes by dispatch). */
   test("eager-materialized finals: captured internal plans stay guarded") {
-    val allowedBnlj = Set("q_hits", "q_diameter_2sweep")
+    // q_item_lift moved here from the lazy-plan whitelist when it
+    // gained materializeFinal: its 1-row basket-count broadcast for
+    // the lift scale is only visible in the recorded internal plan
+    val allowedBnlj = Set("q_hits", "q_diameter_2sweep", "q_item_lift")
     val allowedGlobalWindow =
       Set("helper:graph.denseTriangles", "helper:graph.componentDenseTriangles")
     val trigger = Seq("q_pagerank", "q_ppr", "q_hits", "q_rfm_scores",
       "q_diameter_2sweep", "q_triangle_count", "q_dbscan", "q_dedup_ngram",
-      "q_dedup_clusters")
+      "q_dedup_clusters", "q_item_lift", "q_itemset_pairs")
     // recording is opt-in (driver-memory lifecycle, ADVICE r15) and the
     // map is cleared first, so the guarded set is exactly what THIS
     // test triggered — no coupling to whatever ran earlier in the JVM
