@@ -2533,10 +2533,14 @@ object Queries {
       val idxDf = bigOkKeys.orderBy(col("ok")).collect()
         .map(_.getLong(0)).zipWithIndex.toSeq
         .toDF("ok", "idx")
-      val mask = big.join(broadcast(idxDf), "ok")
-        .groupBy(col("pk"))
-        .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), idx) AS BIGINT)"))
-          .as("bits"))
+      // each broadcast() below materializes its subtree independently
+      // (two joins per withBits call site) — persist the ≤4M-row mask
+      // once instead of recomputing it up to four times
+      val (mask, relMask) = operators.Rounds.persist(
+        big.join(broadcast(idxDf), "ok")
+          .groupBy(col("pk"))
+          .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), idx) AS BIGINT)"))
+            .as("bits")), reliable = false)
       val withBits = (df: DataFrame) => df
         .join(broadcast(mask.select(col("pk").as("a"),
           col("bits").as("bits_a"))), Seq("a"), "left")
@@ -2562,7 +2566,7 @@ object Queries {
               Seq("a", "b"), "left_anti"))
             .select(col("a"), col("b"), col("c_big").as("c_ab"))
             .filter(col("c_ab") >= 2))
-      (out, relSmall)
+      (out, () => { relSmall(); relMask() })
     } else {
       // join tier: candidate-first with persisted shared intermediates
       val (smallCounts, relSmall) =

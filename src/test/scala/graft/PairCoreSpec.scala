@@ -107,6 +107,26 @@ class PairCoreSpec extends AnyFunSuite with SparkTestBase {
     assert(enginePairs(writeFixture(joinTierBaskets)) == expected)
   }
 
+  test("bitmap tier releases every internal persist (mask/smallCounts/items)") {
+    // CacheAudit/CatalogReleaseSpec audit at sf0.001 where no big
+    // basket exists, so the bitmap tier's persists are only ever
+    // exercised HERE — assert its release contract on the big fixture
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val res = SparkEntry.queries("q_itemset_pairs")(
+      spark, writeFixture(bitmapBaskets))
+    assert(res.count() >= 0)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"bitmap tier left ${leaked.size} persisted RDDs (expected at " +
+        "most the eager final result)")
+    val ownIds = res.queryExecution.analyzed.collectWithSubqueries {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    assert(leaked.filterNot(ownIds).isEmpty,
+      "bitmap tier's surviving persisted RDD is not the result's own blocks")
+  }
+
   test("q_item_lift emits both directions of each supported pair with exact lift") {
     val rows = SparkEntry.queries("q_item_lift")(
       spark, writeFixture(bitmapBaskets)).collect()
