@@ -2441,19 +2441,21 @@ object Queries {
     * pin a task with ~5·10⁷ support-1 pairs the ≥2 filter would
     * discard anyway; on normal smallint-sized baskets it reduces to
     * the classic per-basket self-join, linear in lineitems. */
-  def qItemsetPairs(s: SparkSession, dir: String): DataFrame = {
-    val (items, relItems) = operators.Rounds.persist(
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct(), reliable = false)
-    val (pairs, relPairs) = supportedPairs(items)
-    val res = pairs
-      .select(col("a").as("p_a"), col("b").as("p_b"),
-        col("c_ab").as("support"))
-      .orderBy(col("support").desc, col("p_a"), col("p_b"))
-      .limit(50)
-    materializeFinal("q_itemset_pairs", res) { relPairs(); relItems() }
-  }
+  def qItemsetPairs(s: SparkSession, dir: String): DataFrame =
+    operators.Rounds.onFailure { scope =>
+      val (items, relItems) = operators.Rounds.persist(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct(), reliable = false)
+      scope.defer(relItems)
+      val (pairs, relPairs) = supportedPairs(items, scope)
+      val res = pairs
+        .select(col("a").as("p_a"), col("b").as("p_b"),
+          col("c_ab").as("support"))
+        .orderBy(col("support").desc, col("p_a"), col("p_b"))
+        .limit(50)
+      materializeFinal("q_itemset_pairs", res) { relPairs(); relItems() }
+    }
 
   /** Exact co-occurrence pair counts with support ≥ 2 over an
     * (ok, pk) item relation — the skew-immune candidate-first core
@@ -2474,7 +2476,7 @@ object Queries {
     *  - **No big baskets** (every unskewed SF): the whole machinery
     *    collapses to `smallCounts.filter(≥ 2)` — one self-join + one
     *    aggregate, nothing persisted.
-    *  - **Bitmap tier** (≤ 62 big baskets, ≤ 4M big items): membership
+    *  - **Bitmap tier** (≤ 62 big baskets, ≤ 1M big items): membership
     *    of each item in the big baskets is a single BIGINT bitmap —
     *    a ≤4M-row broadcast relation — so a pair's big-basket count
     *    is `bit_count(bits(a) & bits(b))` behind two broadcast hash
@@ -2491,9 +2493,25 @@ object Queries {
     *    materializes its final.
     *
     * `items` must be (ok, pk)-distinct and ALREADY persisted by the
-    * caller (it feeds the gate aggregate plus up to four subtrees).
+    * caller (it feeds the gate aggregate plus up to four subtrees);
+    * internal persists are deferred into the caller's `scope` so they
+    * release even when the gate `head()`, the idx collect, or the
+    * final materialization throws (ADVICE r16).
     * Returns ((a, b, c_ab), release), a < b, c_ab ≥ 2, exact. */
-  private def supportedPairs(items: DataFrame): (DataFrame, () => Unit) = {
+  private def supportedPairs(items: DataFrame,
+      scope: operators.Rounds.ReleaseScope): (DataFrame, () => Unit) = {
+    // Bitmap-tier admission bound on Σ big-basket items (= mask rows).
+    // Validated AT the bound (PairCoreSpec "1M big-item bound"): the
+    // persisted mask canonicalizes to ONE broadcast build — measured
+    // dataSize 64 MiB at 1M rows — reused at all four withBits join
+    // sites (the bits_a/bits_b subtrees differ only in aliases), so
+    // peak concurrent broadcast memory is one ~64 MiB relation plus
+    // hash-map overhead, not the four independent 4M-entry builds the
+    // old un-validated 4M bound assumed (ADVICE r16). Past 1M the
+    // join tier's key-join containment is the scale-correct path
+    // anyway; the measured skew design point (~200k big items) sits
+    // 5× under this gate.
+    val bitmapTierMaxBigItems = 1000000L
     // the split key set (baskets > 256 items) is anomalies-only by
     // construction — broadcast semi/anti beats re-shuffling the whole
     // item relation against its own size aggregate
@@ -2524,7 +2542,7 @@ object Queries {
         Seq("okx", "oky"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    if (nBig <= 62L && bigItems <= 4000000L) {
+    if (nBig <= 62L && bigItems <= bitmapTierMaxBigItems) {
       // bitmap tier: basket index 0..61 from a bounded collect (gated
       // ≤62 rows — same class as the whitelisted Bloom-word collects);
       // 62 keeps the Σ2^idx aggregate inside BIGINT with headroom
@@ -2541,6 +2559,7 @@ object Queries {
           .groupBy(col("pk"))
           .agg(sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), idx) AS BIGINT)"))
             .as("bits")), reliable = false)
+      scope.defer(relMask)
       val withBits = (df: DataFrame) => df
         .join(broadcast(mask.select(col("pk").as("a"),
           col("bits").as("bits_a"))), Seq("a"), "left")
@@ -2554,6 +2573,7 @@ object Queries {
         if (needSmallTwice) operators.Rounds.persist(smallCountsPlan,
           reliable = false)
         else (smallCountsPlan, () => ())
+      scope.defer(relSmall)
       val smallSide = withBits(smallCounts)
         .select(col("a"), col("b"),
           (col("c_small") + col("c_big")).as("c_ab"))
@@ -2571,9 +2591,11 @@ object Queries {
       // join tier: candidate-first with persisted shared intermediates
       val (smallCounts, relSmall) =
         operators.Rounds.persist(smallCountsPlan, reliable = false)
+      scope.defer(relSmall)
       val (cands, relCands) = operators.Rounds.persist(
         smallCounts.select(col("a"), col("b")).unionByName(bigBigCandsPlan)
           .distinct(), reliable = false)
+      scope.defer(relCands)
       val cBig = cands
         .join(big.select(col("ok"), col("pk").as("a")), "a")
         .join(big.select(col("ok"), col("pk").as("b")), Seq("b", "ok"))
@@ -6025,15 +6047,17 @@ object Queries {
     * [[supportedPairs]] core (see its scaladoc for the mega-basket
     * analysis). Downstream: margins via two key joins, one bounded
     * 1-row N broadcast (whitelisted), one partitioned rank window. */
-  def qItemLift(s: SparkSession, dir: String): DataFrame = {
+  def qItemLift(s: SparkSession, dir: String): DataFrame =
+    operators.Rounds.onFailure { scope =>
     import org.apache.spark.sql.expressions.Window
     val (items, relItems) = operators.Rounds.persist(
       Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct(), reliable = false)
+    scope.defer(relItems)
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
-    val (pairs, relPairs) = supportedPairs(items)
+    val (pairs, relPairs) = supportedPairs(items, scope)
     val margin = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     // both directions from ONE pass over the pair relation (a union
     // would reference it twice and force an extra 7.6M-row persist at

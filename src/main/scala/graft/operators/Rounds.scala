@@ -50,4 +50,28 @@ private[graft] object Rounds {
       case lr: LogicalRDD => () => { lr.rdd.unpersist(blocking = false); () }
       case _              => () => ()
     }
+
+  /** Registry of release thunks for the FAILURE path of a query that
+    * persists intermediates before its final materialization. On the
+    * success path the caller's `materializeFinal` block owns the
+    * release ordering (thunks run AFTER the final lands); but if
+    * anything throws in between — a gate `head()`, a bounded
+    * `collect`, the final materialization itself — the persisted
+    * blocks would otherwise linger until the ContextCleaner GCs them,
+    * invisible to `spark.catalog.clearCache()`. [[onFailure]] runs
+    * every deferred thunk (newest first) on the exception path only,
+    * then rethrows. `rdd.unpersist` is idempotent, so a thunk shared
+    * with the success-path block is safe either way. */
+  final class ReleaseScope private[Rounds] () {
+    private val thunks = scala.collection.mutable.ListBuffer.empty[() => Unit]
+    def defer(t: () => Unit): Unit = { thunks += t; () }
+    private[Rounds] def releaseAll(): Unit =
+      thunks.reverseIterator.foreach(t => t())
+  }
+
+  def onFailure[A](body: ReleaseScope => A): A = {
+    val scope = new ReleaseScope
+    try body(scope)
+    catch { case e: Throwable => scope.releaseAll(); throw e }
+  }
 }

@@ -42,7 +42,13 @@ class CatalogReleaseSpec extends AnyFunSuite with SparkTestBase {
     "q_dedup_clusters",  // ngram checkpoint released; CC round stays
     "q_dedup_survivors", // chain: only the CC round stays
     "q_cc_size_hist",    // chain: only the CC round stays
-    "q_curation_e2e")    // chain: only the CC round stays
+    "q_curation_e2e",    // chain: only the CC round stays
+    // pair-support core (r16 re-tier): items persisted at EVERY SF,
+    // plus smallCounts/cands (join tier) or mask (bitmap tier) —
+    // tier-specific paths additionally leak-tested on big-basket
+    // fixtures in PairCoreSpec
+    "q_itemset_pairs",
+    "q_item_lift")
 
   for (name <- covered)
     test(s"$name leaves at most its final result persisted") {

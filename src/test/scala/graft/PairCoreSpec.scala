@@ -107,24 +107,117 @@ class PairCoreSpec extends AnyFunSuite with SparkTestBase {
     assert(enginePairs(writeFixture(joinTierBaskets)) == expected)
   }
 
-  test("bitmap tier releases every internal persist (mask/smallCounts/items)") {
-    // CacheAudit/CatalogReleaseSpec audit at sf0.001 where no big
-    // basket exists, so the bitmap tier's persists are only ever
-    // exercised HERE — assert its release contract on the big fixture
+  private def assertNoForeignLeak(tier: String, fixtureDir: String): Unit = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val res = SparkEntry.queries("q_itemset_pairs")(
-      spark, writeFixture(bitmapBaskets))
+    val res = SparkEntry.queries("q_itemset_pairs")(spark, fixtureDir)
     assert(res.count() >= 0)
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.size <= 1,
-      s"bitmap tier left ${leaked.size} persisted RDDs (expected at " +
+      s"$tier left ${leaked.size} persisted RDDs (expected at " +
         "most the eager final result)")
     val ownIds = res.queryExecution.analyzed.collectWithSubqueries {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }.toSet
     assert(leaked.filterNot(ownIds).isEmpty,
-      "bitmap tier's surviving persisted RDD is not the result's own blocks")
+      s"$tier's surviving persisted RDD is not the result's own blocks")
+  }
+
+  test("bitmap tier releases every internal persist (mask/smallCounts/items)") {
+    // CacheAudit/CatalogReleaseSpec audit at sf0.001 where no big
+    // basket exists, so the bitmap tier's persists are only ever
+    // exercised HERE — assert its release contract on the big fixture
+    assertNoForeignLeak("bitmap tier", writeFixture(bitmapBaskets))
+  }
+
+  test("join tier (63 big baskets) releases every internal persist (smallCounts/cands/items)") {
+    assertNoForeignLeak("join tier", writeFixture(joinTierBaskets))
+  }
+
+  test("Rounds.onFailure releases deferred persists on the exception path only") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val boom = new RuntimeException("mid-body failure")
+    val thrown = intercept[RuntimeException] {
+      operators.Rounds.onFailure { scope =>
+        val (df, rel) = operators.Rounds.persist(
+          Seq(1L, 2L, 3L).toDF("v"), reliable = false)
+        scope.defer(rel)
+        assert(df.count() == 3)
+        // the persisted round IS registered while the body runs
+        assert((sc.getPersistentRDDs.keySet -- before).nonEmpty)
+        throw boom
+      }
+    }
+    assert(thrown eq boom)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "onFailure did not release the deferred persist on the failure path")
+    // success path: the scope must NOT release (materializeFinal owns it)
+    val survivor = operators.Rounds.onFailure { scope =>
+      val (df, rel) = operators.Rounds.persist(
+        Seq(1L, 2L).toDF("v"), reliable = false)
+      scope.defer(rel)
+      (df, rel)
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "onFailure must leave persists alone on the success path")
+    survivor._2()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
+  /** 5 baskets × 200k items = exactly the 1M big-item bitmap-gate
+    * bound; the 3-item overlap {1,2,3} is the only support≥2 pair
+    * source. Validates (a) exactness at the admission bound, (b) the
+    * memory envelope the bound's doc comment claims: exchange reuse
+    * collapses the four withBits broadcast sites onto at most two
+    * distinct builds (measured: ONE, 64 MiB dataSize), each bounded. */
+  test("bitmap tier at the 1M big-item bound: exact, and two reused bounded broadcasts") {
+    val baskets: Map[Long, Seq[Long]] = (0 until 5).map { i =>
+      (100L + i) ->
+        (Seq(1L, 2L, 3L) ++ (0 until 199997).map(j => 1000000L * (i + 1) + j))
+    }.toMap
+    assert(baskets.values.map(_.size.toLong).sum == 1000000L)
+    val dir = writeFixture(baskets)
+    operators.PlanProbe.enabled = true
+    try {
+      operators.PlanProbe.clear()
+      val got = enginePairs(dir)
+      assert(got == Map((1L, 2L) -> 5L, (1L, 3L) -> 5L, (2L, 3L) -> 5L))
+      // the recorded plan is AQE-wrapped: flatten through the adaptive
+      // root and every finalized query stage to reach the exchanges
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec        => Seq(s.plan)
+        case other                    => other.children
+      }).flatMap(flatten)
+      val nodes = flatten(operators.PlanProbe.plans("q_itemset_pairs"))
+      def isMaskOut(p: SparkPlan): Boolean =
+        p.output.exists(a => a.name == "bits_a" || a.name == "bits_b")
+      val maskBuilds = nodes.collect {
+        case b: BroadcastExchangeExec if isMaskOut(b) => b
+      }
+      val maskReuses = nodes.collect {
+        case r: ReusedExchangeExec if isMaskOut(r) => r
+      }
+      assert(maskBuilds.nonEmpty, "no mask broadcast found in the plan")
+      val distinctBuilds = maskBuilds.distinct
+      assert(distinctBuilds.size <= 2,
+        s"expected ≤2 distinct mask broadcast builds (bits_a/bits_b), " +
+          s"got ${distinctBuilds.size} — exchange-reuse regression " +
+          "multiplies peak broadcast memory at the gate bound")
+      assert(maskBuilds.size + maskReuses.size > distinctBuilds.size,
+        "expected the second withBits site to reuse the first's broadcasts")
+      val sizes = distinctBuilds.map(_.metrics("dataSize").value)
+      assert(sizes.forall(sz => sz > 0L && sz <= 128L * 1024 * 1024),
+        s"mask broadcast dataSize out of the documented envelope: $sizes")
+      info(s"mask broadcast dataSize at 1M rows: ${sizes.mkString(", ")} bytes; " +
+        s"${distinctBuilds.size} distinct builds, " +
+        s"${maskBuilds.size + maskReuses.size} reference sites")
+    } finally operators.PlanProbe.enabled = false
   }
 
   test("q_item_lift emits both directions of each supported pair with exact lift") {
