@@ -190,6 +190,19 @@ object Bench {
     // absolute check: any calibration probe >1.5× the committed idle-host
     // reference means the WHOLE window (not just one pass) was contended
     val contended = probeTimes.exists(_ > ProbeRefSec * 1.5)
+    // the point check misses UNIFORM mild slowness (r16: probes ran a
+    // steady 1.32× ref on a ~10% hot host and contended_window stayed
+    // false — BASELINE.md calibration history shows uniform slowness
+    // is the recurring failure mode). The median over all calibration
+    // points is robust to the occasional clean probe AND to the
+    // occasional stalled one; >1.15× ref flags a window whose every
+    // number likely carries a constant factor.
+    val sortedProbes = probeTimes.sorted
+    val probeMedian =
+      if (sortedProbes.isEmpty) 0.0
+      else (sortedProbes((sortedProbes.size - 1) / 2) +
+        sortedProbes(sortedProbes.size / 2)) / 2.0
+    val contendedMedian = probeMedian > ProbeRefSec * 1.15
     val probeJson = probeTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
     val top30 = best.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       .take(30).map { case (k, v) => "\"" + k + "\":" + jnum(v) }
@@ -200,7 +213,7 @@ object Bench {
     val top3Json = top3.map { n =>
       "\"" + n + "\":" + top3Obs(n).map(jnum).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$top30,"queries_shown":${math.min(30, names.size)},"n_queries":${names.size},"requeried":$reqJson,"top3_runs":$top3Json,"pass_totals":$passTotals,"noisy_host":$noisy,"probe_ref_sec":$ProbeRefSec,"probe_times":$probeJson,"contended_window":$contended,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$top30,"queries_shown":${math.min(30, names.size)},"n_queries":${names.size},"requeried":$reqJson,"top3_runs":$top3Json,"pass_totals":$passTotals,"noisy_host":$noisy,"probe_ref_sec":$ProbeRefSec,"probe_times":$probeJson,"contended_window":$contended,"probe_median":${f"$probeMedian%.3f"},"contended_median":$contendedMedian,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -210,6 +210,11 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, srcDir, outDir, factor, skewPct)
+    // FIXTURES measurement records cite this id so measurements taken
+    // on silently-regenerated directories can never supersede each
+    // other unnoticed (r16: 199,484- vs 10,000-item hot baskets)
+    System.err.println(s"[scalegen] datagen_id=${tools.DataGenId.of(outDir)} " +
+      s"dir=$outDir src_datagen_id=${tools.DataGenId.of(srcDir)}")
     spark.stop()
   }
 }

@@ -101,26 +101,43 @@ object Queries {
 
   /** TPC-H Q1-style pricing summary: hash aggregate with map-side
     * partial aggregation; no shuffle beyond the single groupBy. */
-  def q1Agg(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
+  /** Default params reproduce the catalog entry bit-for-bit
+    * (PerturbSpec pins this); non-default values are driven by
+    * [[graft.tools.Perturb]]'s metamorphic variants — same body, same
+    * code path, perturbed constants/shape. */
+  def q1Agg(s: SparkSession, dir: String,
+      keys: Seq[String] = Seq("l_returnflag", "l_linestatus"),
+      maxQty: Option[Double] = None): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    maxQty.fold(li)(q => li.filter(col("l_quantity") <= q))
+      .groupBy(keys.map(col): _*)
       .agg(
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
         sum((col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))))
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(keys.map(col): _*)
   }
 
   /** A4/A6 — JSONPath membership filter over the events stream table:
     * props is a raw JSON string; get_json_object stays in codegen and
     * the event_type predicate pushes into the parquet scan. */
-  def qFilterJsonpath(s: SparkSession, dir: String): DataFrame = {
+  def qFilterJsonpath(s: SparkSession, dir: String,
+      types: Seq[String] = Seq("purchase", "click"),
+      ks: Seq[String] = Seq("1", "2", "3"),
+      jsonFirst: Boolean = false): DataFrame = {
     val ev = Tables.events(s, dir)
-    Filters.jsonPathFilter(
-        Filters.fieldPathFilter(ev, "event_type", Seq("purchase", "click")),
-        col("props"), "$.k", Seq("1", "2", "3"))
+    // jsonFirst swaps the filter application order (metamorphic:
+    // semantics-preserving; predicate pushdown must make them equal)
+    val filtered =
+      if (jsonFirst) Filters.fieldPathFilter(
+        Filters.jsonPathFilter(ev, col("props"), "$.k", ks),
+        "event_type", types)
+      else Filters.jsonPathFilter(
+        Filters.fieldPathFilter(ev, "event_type", types),
+        col("props"), "$.k", ks)
+    filtered
       .select(col("event_id"), col("event_type"),
               get_json_object(col("props"), "$.k").as("k"))
       .orderBy(col("event_id"))
@@ -238,12 +255,20 @@ object Queries {
 
   /** Multi-way join: orders⨝customer shuffle on custkey (both sides
     * large at scale), nation/region broadcast (small dims). */
-  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+  def qJoinBroadcast(s: SparkSession, dir: String,
+      swapSides: Boolean = false,
+      regionFilter: Option[String] = None): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
-    val r = Tables.region(s, dir)
-    o.join(c, o("o_custkey") === c("c_custkey"))
+    val r0 = Tables.region(s, dir)
+    val r = regionFilter.fold(r0)(name => r0.filter(col("r_name") === name))
+    // swapSides flips the fact/dim probe direction (metamorphic:
+    // semantics-preserving for inner joins)
+    val joined =
+      if (swapSides) c.join(o, o("o_custkey") === c("c_custkey"))
+      else o.join(c, o("o_custkey") === c("c_custkey"))
+    joined
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -254,10 +279,24 @@ object Queries {
 
   /** Large-large shuffle join lineitem⨝orders with pre-join filter
     * pushed to both scans. */
-  def qJoinShuffle(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).filter(col("l_discount") > 0.02)
-    val o = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "F")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+  def qJoinShuffle(s: SparkSession, dir: String,
+      minDiscount: Double = 0.02, statusNot: String = "F",
+      filterAfterJoin: Boolean = false): DataFrame = {
+    val li0 = Tables.lineitem(s, dir)
+    val o0 = Tables.orders(s, dir)
+    // filterAfterJoin states the predicates ABOVE the join instead of
+    // on the scans (metamorphic: Catalyst must push them back down)
+    val joined =
+      if (filterAfterJoin)
+        li0.join(o0, li0("l_orderkey") === o0("o_orderkey"))
+          .filter(col("l_discount") > minDiscount &&
+            col("o_orderstatus") =!= statusNot)
+      else {
+        val li = li0.filter(col("l_discount") > minDiscount)
+        val o = o0.filter(col("o_orderstatus") =!= statusNot)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+      }
+    joined
       .groupBy(col("o_orderpriority"))
       .agg(sum((col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))))
              .cast("double").as("revenue"),
@@ -706,19 +745,24 @@ object Queries {
     * transition mining shape that holds at any event volume because
     * nothing ever materializes per-user state beyond two lookahead
     * rows. */
-  def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+  def qEventPaths(s: SparkSession, dir: String,
+      topN: Int = 10, depth3: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-    Tables.events(s, dir)
+    val stepped = Tables.events(s, dir)
       .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"),
         col("event_type"))
       .withColumn("e2", lead(col("event_type"), 1).over(w))
-      .withColumn("e3", lead(col("event_type"), 2).over(w))
-      .filter(col("e2").isNotNull && col("e3").isNotNull)
-      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+    val (paths, keyNames) =
+      if (depth3) (stepped.withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e2").isNotNull && col("e3").isNotNull),
+        Seq("e2", "e3"))
+      else (stepped.filter(col("e2").isNotNull), Seq("e2"))
+    paths
+      .groupBy(col("event_type").as("e1") +: keyNames.map(col): _*)
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
-      .limit(10)
+      .orderBy(col("n").desc +: col("e1") +: keyNames.map(col): _*)
+      .limit(topN)
   }
 
   /** Ordered funnel analysis: signup → first click AT OR AFTER the
@@ -728,18 +772,20 @@ object Queries {
     * shuffles on the SAME key, so at scale the exchange is reusable
     * and no stage is ever a self-join explosion. µs timestamps for
     * oracle parity. */
-  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+  def qFunnel(s: SparkSession, dir: String,
+      steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(steps.length == 3)
     val e = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
     val s1 = e.groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "signup", col("t"))).as("t_signup"))
+      .agg(min(when(col("event_type") === steps(0), col("t"))).as("t_signup"))
     val s2 = e.join(s1, "user_id").groupBy(col("user_id"))
       .agg(min(col("t_signup")).as("t_signup"),
-        min(when(col("event_type") === "click" && col("t") >= col("t_signup"),
+        min(when(col("event_type") === steps(1) && col("t") >= col("t_signup"),
           col("t"))).as("t_click"))
     val s3 = e.join(s2, "user_id").groupBy(col("user_id"))
       .agg(min(col("t_signup")).as("t_signup"), min(col("t_click")).as("t_click"),
-        min(when(col("event_type") === "purchase" && col("t") >= col("t_click"),
+        min(when(col("event_type") === steps(2) && col("t") >= col("t_click"),
           col("t"))).as("t_purchase"))
     s3.agg(
       count(col("t_signup")).as("n_signup"),
@@ -961,13 +1007,13 @@ object Queries {
     * sort, so the shuffle carries ≤ k rows per group instead of the
     * whole group — the difference between top-k and full-sort at
     * 100 TB group sizes. Plan shape is asserted in QueriesSpec. */
-  def qTopkGrouped(s: SparkSession, dir: String): DataFrame = {
+  def qTopkGrouped(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("value").desc, col("event_id"))
     Tables.events(s, dir)
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= k)
       .select(col("event_type"), col("rk"), col("event_id"), col("value"))
       .orderBy(col("event_type"), col("rk"))
   }
@@ -983,17 +1029,19 @@ object Queries {
     * engine. Complements q_topk_grouped (same semantics stated as a
     * window) and q_correlated_subquery (scalar correlation): this is
     * the TABLE-valued correlation path. */
-  def qLateralTopk(s: SparkSession, dir: String): DataFrame = {
+  def qLateralTopk(s: SparkSession, dir: String,
+      k: Int = 2, asc: Boolean = false): DataFrame = {
     Tables.nation(s, dir).createOrReplaceTempView("nation_v")
     Tables.customer(s, dir).createOrReplaceTempView("customer_v")
-    s.sql("""
+    val d = if (asc) "ASC" else "DESC"
+    s.sql(s"""
       SELECT n.n_name AS nation, t.c_name AS cust_name,
              CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
       FROM nation_v n,
       LATERAL (SELECT c_name, c_acctbal FROM customer_v c
                WHERE c.c_nationkey = n.n_nationkey
-               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-      ORDER BY nation, bal_cents DESC, cust_name""")
+               ORDER BY c_acctbal $d, c_name LIMIT $k) t
+      ORDER BY nation, bal_cents $d, cust_name""")
   }
 
   /** Null-semantics battery: COUNT(col) vs COUNT(*), null-safe
@@ -1065,9 +1113,9 @@ object Queries {
     * `sequence`+`explode` generates rows (per-user bounded span), the
     * observed counts left-join in; no global calendar table, no skew:
     * generation and join both key on user_id. */
-  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+  def qGapFill(s: SparkSession, dir: String, maxUser: Long = 50): DataFrame = {
     val hr = expr("ts div 3600000000000").as("hr")
-    val ev = Tables.events(s, dir).filter(col("user_id") < 50)
+    val ev = Tables.events(s, dir).filter(col("user_id") < maxUser)
       .select(col("user_id"), hr)
     val counts = ev.groupBy(col("user_id"), col("hr"))
       .agg(count(lit(1)).as("n_obs"))
@@ -1207,9 +1255,11 @@ object Queries {
     * rank's bucket in one counting aggregation per pass
     * ([[Quantiles]]). Rank rule ceil(q·n) = lower-discrete quantile,
     * spelled out identically in the oracle via ROW_NUMBER. */
-  def qQuantileGlobal(s: SparkSession, dir: String): DataFrame =
-    Quantiles.quantiles(Tables.lineitem(s, dir), "l_extendedprice",
-      Seq(0.5, 0.95)).orderBy(col("q"))
+  def qQuantileGlobal(s: SparkSession, dir: String,
+      column: String = "l_extendedprice",
+      ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame =
+    Quantiles.quantiles(Tables.lineitem(s, dir), column, ps)
+      .orderBy(col("q"))
 
   /** CSV source/sink round-trip: write nation as CSV (header, Spark's
     * quoting), read it back with the EXPLICIT parquet schema (no
@@ -1429,14 +1479,15 @@ object Queries {
     * rank-ratio functions (exact rationals of small ints ⇒ bit-equal
     * doubles on any engine), lead and first_value. One shuffle on the
     * partition key; per-partition sort only. */
-  def qWindowRanks(s: SparkSession, dir: String): DataFrame = {
+  def qWindowRanks(s: SparkSession, dir: String,
+      partKey: String = "o_orderpriority", ntileN: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val w = Window.partitionBy(col(partKey))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"),
+      .select(col("o_orderkey"), col(partKey),
         dense_rank().over(w).cast("long").as("drank"),
-        ntile(4).over(w).cast("long").as("quartile"),
+        ntile(ntileN).over(w).cast("long").as("quartile"),
         percent_rank().over(w).as("prank"),
         cume_dist().over(w).as("cdist"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
@@ -1701,9 +1752,10 @@ object Queries {
   /** Exact dedup by content hash. Duplicates are synthesized
     * deterministically (shifted copies of doc_id<100) since the corpus
     * has none; keeper = min id per hash group. */
-  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+  def qDedupExact(s: SparkSession, dir: String,
+      dupBound: Long = 100): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val dupes = docs.filter(col("doc_id") < 100)
+    val dupes = docs.filter(col("doc_id") < dupBound)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
     docs.union(dupes)
       .groupBy(md5(col("text")).as("text_hash"))
@@ -1828,8 +1880,10 @@ object Queries {
     // signatures, no shipped arrays: intersections are COUNTED by the
     // adaptive token join (direct when Σdf² is benign — this corpus
     // has max df 25 — prefix-filtered against a Zipf head).
+    // doc_id-keyed set semantics — see qContainmentJoin (r17 dup sweep)
     val tokens = Dedup.withShingles(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .dropDuplicates(Seq("doc_id", "text")), "text")
       .select(col("doc_id"), explode(col("sh")).as("tok"))
     Dedup.exactSimJoin(tokens, "doc_id", 1, 2)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
@@ -1847,8 +1901,14 @@ object Queries {
     * brute-force O(n²) cross join, so the A-side-prefix filter's
     * recall-1 claim is checked pair-for-pair. */
   def qContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    // documents are keyed by doc_id: containment is over the doc's
+    // token SET, so duplicate (doc_id, text) rows must not double
+    // token multiplicities and inflate inter_n/n_a (r17 dup sweep);
+    // the dedupe rides a doc-keyed exchange far smaller than the
+    // token-keyed one the join itself pays
     val tokens = Dedup.withShingles(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .dropDuplicates(Seq("doc_id", "text")), "text")
       .select(col("doc_id"), explode(col("sh")).as("tok"))
     Dedup.containmentJoin(tokens, "doc_id", 1, 2)
       .filter(col("n_a") >= 10)
@@ -2119,7 +2179,10 @@ object Queries {
     * literals folded into the stage projection — no join, no window —
     * and the final rollup is one 4-group hash aggregate. */
   def qCurriculum(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // NULL docs have no curriculum stage — unfiltered, Spark's
+    // size(split(NULL)) = -1 would both skew the quantile bounds and
+    // dump them into stage 1 (r17 nullify metamorphic sweep)
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("m"))
     val bounds = Quantiles.quantiles(docs, "m", Seq(0.25, 0.5, 0.75))
@@ -2957,10 +3020,21 @@ object Queries {
       .select(col("doc_id"), col("n_selected"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** The embeddings table is a vector STORE keyed by vec_id: physical
+    * duplicates of an id (at-least-once upstream delivery ships them)
+    * are ONE logical vector. The ANN/clustering family reads through
+    * this dedupe so results are a function of the logical store, not
+    * of delivery multiplicity — unfiltered, a duplicated id occupies
+    * two top-k slots and double-weights k-means cells (r17 dup
+    * metamorphic sweep). The dedupe's exchange rides the store's own
+    * key and is dwarfed by every consumer's own shuffles. */
+  private def embStore(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).dropDuplicates(Seq("vec_id"))
+
   /** Brute-force cosine top-5 for query vectors (vec_id < 10):
     * broadcast queries against the vector table, windowed rank. */
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val vectors = Tables.embeddings(s, dir)
+    val vectors = embStore(s, dir)
     Similarity.bruteForceTopK(vectors, vectors.filter(col("vec_id") < 10), 5)
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -2981,7 +3055,7 @@ object Queries {
     * not scan). */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = Similarity.quantized(Tables.embeddings(s, dir))
+    val v = Similarity.quantized(embStore(s, dir))
       .select(col("vec_id"), col("qv"), col("norm2")).cache()
     val banded = Similarity.withHyperplaneBands(v, lshPlanes, 10)
       .select(col("vec_id"), col("band_idx"), col("band_key"))
@@ -3011,7 +3085,7 @@ object Queries {
     * equi-join on cent_id — the IVF scale path. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = Similarity.quantized(Tables.embeddings(s, dir))
+    val v = Similarity.quantized(embStore(s, dir))
       .select(col("vec_id"), col("qv"), col("norm2")).cache()
     val cents = v.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("norm2").as("cn"))
@@ -3142,7 +3216,9 @@ object Queries {
     * overlap filters and pair-distinct remove bin duplicates.
     * Timestamps are µs on both sides (DuckDB truncates ns parquet to
     * µs; `ts div 1000` mirrors it exactly). */
-  def qIntervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+  def qIntervalOverlapJoin(s: SparkSession, dir: String,
+      pWidthUs: Long = 3600L * 1000 * 1000,
+      vWidthUs: Long = 1800L * 1000 * 1000): DataFrame = {
     val hourUs = 3600L * 1000 * 1000
     val ev = Tables.events(s, dir).withColumn("t_us", expr("ts div 1000"))
     def windows(kind: String, widthUs: Long, pre: String) =
@@ -3152,8 +3228,8 @@ object Queries {
           (col("t_us") + lit(widthUs)).as(s"${pre}_hi"))
         .withColumn("bin",
           explode(sequence(expr(s"${pre}_lo div $hourUs"), expr(s"${pre}_hi div $hourUs"))))
-    windows("purchase", hourUs, "p")
-      .join(windows("view", hourUs / 2, "v"), Seq("user_id", "bin"))
+    windows("purchase", pWidthUs, "p")
+      .join(windows("view", vWidthUs, "v"), Seq("user_id", "bin"))
       .filter(col("p_lo") < col("v_hi") && col("v_lo") < col("p_hi"))
       .select(col("user_id"), col("p_id"), col("v_id")).distinct()
       .groupBy(col("user_id"))
@@ -3212,14 +3288,16 @@ object Queries {
   }
 
   /** Aggregation stats: exact distinct counts + min/max/decimal avg. */
-  def qAggStats(s: SparkSession, dir: String): DataFrame =
+  def qAggStats(s: SparkSession, dir: String,
+      byBucket: Boolean = false): DataFrame =
     Tables.events(s, dir)
-      .groupBy(col("event_type"))
+      .groupBy(if (byBucket) (col("user_id") % 16).as("bucket")
+               else col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"),
            min(col("value")).as("min_value"),
            max(col("value")).as("max_value"),
            (sum(col("value").cast(dec)).cast("double") / count(lit(1)).cast("double")).as("avg_value"))
-      .orderBy(col("event_type"))
+      .orderBy(if (byBucket) col("bucket") else col("event_type"))
 
   /** Custom typed UDAF (Aggregator): exact weighted average with a
     * decimal-cents accumulator; Catalyst plans partial+final like any
@@ -3235,23 +3313,37 @@ object Queries {
 
   /** Pivot: per-user event counts fanned into one column per type
     * (explicit value list keeps the schema static and plannable). */
-  def qPivot(s: SparkSession, dir: String): DataFrame =
+  def qPivot(s: SparkSession, dir: String,
+      types: Seq[String] =
+        Seq("click", "error", "purchase", "signup", "view")): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", types)
       .count().na.fill(0L)
       .orderBy(col("user_id"))
 
   /** Cube: all grouping combinations over (region, orderstatus). */
-  def qCube(s: SparkSession, dir: String): DataFrame = {
+  def qCube(s: SparkSession, dir: String,
+      dimsSwapped: Boolean = false, swapJoin: Boolean = false): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir)
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .cube(col("r_name"), col("o_orderstatus"))
+    // both toggles are semantics-preserving: CUBE is symmetric in its
+    // dims, and the customer⋈orders inner join commutes
+    val joined =
+      if (swapJoin) c.join(o, o("o_custkey") === c("c_custkey"))
+      else o.join(c, o("o_custkey") === c("c_custkey"))
+    val cubed =
+      if (dimsSwapped)
+        joined.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .cube(col("o_orderstatus"), col("r_name"))
+      else
+        joined.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .cube(col("r_name"), col("o_orderstatus"))
+    cubed
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("r_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
   }
@@ -3280,9 +3372,9 @@ object Queries {
     * integer arithmetic, one shuffle on user_id. Event times are
     * truncated to µs because DuckDB reads the ns timestamps
     * µs-truncated (see the determinism playbook). */
-  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+  def qSessionize(s: SparkSession, dir: String,
+      gapUs: Long = 86400000000L /* 1 day in µs */): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gapUs = 86400000000L // 1 day in µs
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
@@ -3622,7 +3714,7 @@ object Queries {
     * oracle. Broadcast centroids; argmin is one hash-agg. */
   def qKmeansEmbed(s: SparkSession, dir: String): DataFrame =
     operators.KMeans.assign(
-        Similarity.quantized(Tables.embeddings(s, dir))
+        Similarity.quantized(embStore(s, dir))
           .select(col("vec_id"), col("qv")),
         KmeansK, KmeansIters)
       .orderBy(col("vec_id"))
@@ -3634,7 +3726,7 @@ object Queries {
     * self-join never goes quadratic in the corpus. */
   def qSemdedup(s: SparkSession, dir: String): DataFrame =
     operators.KMeans.semanticDupPairs(
-        Tables.embeddings(s, dir), KmeansK, KmeansIters, 0.4)
+        embStore(s, dir), KmeansK, KmeansIters, 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
   val KmeansK = 8
@@ -3889,23 +3981,24 @@ object Queries {
   /** Per-vector scalar quantization (the vector-DB/int8 prep step):
     * µ-scaled integer components, per-vector min/max, and the 8-bit
     * code checksum Σ ((x−min)·255 div (max−min)) — all integer, so
-    * the quantization artifact is bit-exact on any engine. One
-    * vec-keyed shuffle: min/max ride a partitioned window over the
-    * exploded components, codes re-aggregate on the same key. */
-  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id"))
+    * the quantization artifact is bit-exact on any engine. Computed
+    * entirely per-row with array HOFs — ZERO shuffles (the earlier
+    * explode → window → re-aggregate shape paid a vec-keyed exchange
+    * AND silently merged duplicate vec_ids into one doubled-checksum
+    * row — found by the r17 dup metamorphic sweep; per-row HOFs are
+    * row-multiplicity-exact by construction). */
+  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .withColumn("xm", expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
-      .withColumn("mn", min(col("xm")).over(w))
-      .withColumn("mx", max(col("xm")).over(w))
-      .groupBy(col("vec_id"), col("mn"), col("mx"))
-      .agg(sum(expr(
-        "CASE WHEN mx > mn THEN ((xm - mn) * 255) div (mx - mn) ELSE 0 END")).as("checksum"))
-      .select(col("vec_id"), col("mn"), col("mx"), col("checksum"))
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("xm"))
+      .select(col("vec_id"), expr("array_min(xm)").as("mn"),
+        expr("array_max(xm)").as("mx"), col("xm"))
+      .select(col("vec_id"), col("mn"), col("mx"), expr(
+        "CAST(CASE WHEN mx > mn THEN aggregate(xm, CAST(0 AS BIGINT), " +
+          "(acc, v) -> acc + (v - mn) * 255 div (mx - mn)) " +
+          "ELSE CAST(0 AS BIGINT) END AS BIGINT)").as("checksum"))
       .orderBy(col("vec_id"))
-  }
 
   /** Language-ID evaluation: confusion matrix of the declared `lang`
     * column against the n-gram-heuristic topic prediction
@@ -4057,9 +4150,13 @@ object Queries {
     * type — the snapshot-over-snapshot distribution check (chi-square
     * covers the categorical case elsewhere in the catalog). */
   def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    // NULL observations are not samples: without the filter they form
+    // a CDF step whose position depends on engine NULL ordering
+    // (Spark NULLS FIRST vs DuckDB NULLS LAST — r17 nullify sweep)
     operators.Eval.ksStatistic(
-        Tables.events(s, dir).select(col("event_type"),
-          (col("ts") < lit(KsCutoffNs)).as("in_a"), col("value")),
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            (col("ts") < lit(KsCutoffNs)).as("in_a"), col("value")),
         "event_type", "in_a", "value")
       .orderBy(col("event_type"))
 
@@ -4105,11 +4202,11 @@ object Queries {
     * that semantic cells actually align with label structure. */
   def qClusterPurity(s: SparkSession, dir: String): DataFrame = {
     val assign = operators.KMeans.assign(
-        Similarity.quantized(Tables.embeddings(s, dir))
+        Similarity.quantized(embStore(s, dir))
           .select(col("vec_id"), col("qv")),
         KmeansK, KmeansIters)
       .select(col("vec_id"), col("cluster"))
-    val labels = Tables.embeddings(s, dir)
+    val labels = embStore(s, dir)
       .select(col("vec_id"), col("label"))
     operators.Eval.clusterPurity(assign.join(labels, "vec_id"),
         "cluster", "label")
@@ -4173,10 +4270,15 @@ object Queries {
         names.zipWithIndex.map { case (a, i) =>
           expr(s"CAST(floor(CAST(element_at(embedding, ${i + 1}) " +
             s"AS DOUBLE) * 1000) AS BIGINT)").as(a) }: _*)
+    // doubled-average ranks (see Eval.spearmanRho): identical rows
+    // get identical ranks, so the matrix is deterministic even under
+    // full-duplicate inputs (r17 dup metamorphic sweep)
     val ranked = names.foldLeft(src) { (d, c) =>
-      d.withColumn(s"r_$c", row_number().over(
-        Window.partitionBy(col("flag")).orderBy(col(c), col("vec_id")))
-        .cast("long"))
+      d.withColumn(s"r_$c",
+        rank().over(Window.partitionBy(col("flag"))
+          .orderBy(col(c), col("vec_id"))).cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy(col("flag"), col(c),
+          col("vec_id"))) - 1)
     }
     val pairNames = for { i <- names.indices; j <- names.indices if i < j }
       yield (names(i), names(j))
@@ -4192,8 +4294,8 @@ object Queries {
       .filter(col("n") > 1)
       .select(col("flag"), col("p.col_x").as("col_x"),
         col("p.col_y").as("col_y"),
-        expr("1000000 - CAST(p.sd2 * 6000000 div (CAST(n AS DECIMAL(38,0))" +
-          " * n * n - n) AS BIGINT)").as("rho_ppm"))
+        expr("1000000 - CAST(p.sd2 * 6000000 div ((CAST(n AS DECIMAL(38,0))" +
+          " * n * n - n) * 4) AS BIGINT)").as("rho_ppm"))
       .orderBy(col("flag"), col("col_x"), col("col_y"))
   }
 
@@ -4699,7 +4801,10 @@ object Queries {
     * rows share a value. */
   def qQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, dir)
+    // a NULL value has no quantile — rank only real observations
+    // (unfiltered, NULL rows take rank positions whose end depends on
+    // engine NULL ordering; r17 nullify sweep)
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
       .select(col("event_type"), col("event_id"),
         floor(col("value").cast("double") * 100).cast("long").as("cents"))
     // global sorted positions, 1-based, without a global window
@@ -4748,7 +4853,10 @@ object Queries {
     * full table. */
   def qFitTransform(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, dir)
+    // fit/transform over real observations only: NULL cents otherwise
+    // occupy rank positions whose end is engine NULL-ordering (r17
+    // nullify sweep — same class as q_quantile_normalize)
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
       .select(col("event_type"), col("event_id"),
         floor(col("value").cast("double") * 100).cast("long").as("cents"))
       .withColumn("b", operators.Sketches.hash32(col("event_id")) % 10)
@@ -5184,11 +5292,19 @@ object Queries {
       expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
       .rowsBetween(-14, Window.currentRow)
+    // n_win is the window ROW count (matches COUNT(*) OVER w), not the
+    // non-null count; collect_list skips NULL cents, so the median list
+    // can be SMALLER than n_win — or empty (all-null window), where
+    // med2 is NULL and an unguarded element_at(win, 0) is an error.
+    // Found by the r17 nullify metamorphic sweep.
     e.withColumn("win", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("n_win", count(lit(1)).over(w))
       .select(col("user_id"), col("event_id"), col("t"),
-        size(col("win")).cast("long").as("n_win"),
-        (element_at(col("win"), expr("CAST((size(win) + 1) div 2 AS INT)")) +
-          element_at(col("win"), expr("CAST(size(win) div 2 + 1 AS INT)")))
+        col("n_win").cast("long").as("n_win"),
+        when(size(col("win")) === 0, lit(null).cast("long"))
+          .otherwise(
+            element_at(col("win"), expr("CAST((size(win) + 1) div 2 AS INT)")) +
+            element_at(col("win"), expr("CAST(size(win) div 2 + 1 AS INT)")))
           .as("med2_cents"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -6510,7 +6626,12 @@ object Queries {
     * queries, candidates bounded by the LSH banding. */
   def qMinhashCalibration(s: SparkSession, dir: String): DataFrame = {
     val k = Dedup.MinhashK
-    val sig = minhashSigned(s, dir)
+    // documents are keyed by doc_id: dedupe AFTER the shared signature
+    // cache (identical rows sign identically), so duplicate physical
+    // rows can't quadruple every candidate pair (r17 dup sweep) while
+    // the cache stays shared with the rest of the dedup family
+    val sigRaw = minhashSigned(s, dir)
+    val sig = sigRaw.dropDuplicates(Seq("doc_id"))
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     val shingled = graft.functions.Shingles.shingles(col("text"), 3)
     val a = sig.select(Seq(col("doc_id").as("id_a"), shingled.as("sh_a")) ++
@@ -6534,7 +6655,7 @@ object Queries {
           expr("sum(err) div count(1)").as("mae_ppm"),
           max(col("err")).as("max_err_ppm"))
         .orderBy(col("bucket"))) {
-      sig.unpersist(blocking = false): Unit
+      sigRaw.unpersist(blocking = false): Unit
     }
   }
 
@@ -6553,7 +6674,10 @@ object Queries {
     * non-overlapping matches. */
   def qMultipatternScan(s: SparkSession, dir: String): DataFrame = {
     val patArr = scanPatterns.map(p => s"'$p'").mkString(",")
-    Tables.documents(s, dir)
+    // null docs can't be scanned; a source whose every doc is null is
+    // not reported (posexplode would drop them anyway — the filter
+    // makes the contract explicit and mirrors the oracle)
+    Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         graft.functions.MultiPattern.countAll(col("text"), scanPatterns)
           .as("cnts"))
@@ -6653,7 +6777,10 @@ object Queries {
   def qDedupPanel(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Shingles, SimHash}
     val k = Dedup.MinhashK
-    val sig = minhashSigned(s, dir)
+    // doc_id-keyed dedupe after the shared cache — see
+    // qMinhashCalibration (r17 dup sweep)
+    val sigRaw = minhashSigned(s, dir)
+    val sig = sigRaw.dropDuplicates(Seq("doc_id"))
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     val sh = Shingles.shingles(col("text"), 3)
     def side(tag: String, ms: String) = sig.select(
@@ -6698,7 +6825,7 @@ object Queries {
       .select(col("s.metric").as("metric"), col("s.n").as("n"))
     materializeFinal("q_dedup_panel",
       hist.unionByName(meth).orderBy(col("metric"))) {
-      sig.unpersist(blocking = false): Unit
+      sigRaw.unpersist(blocking = false): Unit
     }
   }
 
@@ -7433,25 +7560,25 @@ object Queries {
     "q_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     "q_split_stratified" -> (qSplitStratified _),
     "q_sample_weighted" -> (qSampleWeighted _),
-    "q1_agg" -> (q1Agg _),
-    "q_filter_jsonpath" -> (qFilterJsonpath _),
+    "q1_agg" -> ((s: SparkSession, d: String) => q1Agg(s, d)),
+    "q_filter_jsonpath" -> ((s: SparkSession, d: String) => qFilterJsonpath(s, d)),
     "q_filter_jsonpath_deep" -> (qFilterJsonpathDeep _),
     "q_mask_project" -> (qMaskProject _),
     "q_route_topics" -> (qRouteTopics _),
     "q_hash_canonical" -> (qHashCanonical _),
     "q_sync_antijoin" -> (qSyncAntijoin _),
-    "q_join_broadcast" -> (qJoinBroadcast _),
-    "q_join_shuffle" -> (qJoinShuffle _),
+    "q_join_broadcast" -> ((s: SparkSession, d: String) => qJoinBroadcast(s, d)),
+    "q_join_shuffle" -> ((s: SparkSession, d: String) => qJoinShuffle(s, d)),
     "q_bloom_join" -> (qBloomJoin _),
-    "q_interval_overlap" -> (qIntervalOverlapJoin _),
+    "q_interval_overlap" -> ((s: SparkSession, d: String) => qIntervalOverlapJoin(s, d)),
     "q_source_csv" -> (qSourceCsv _),
     "q_source_orc" -> (qSourceOrc _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_partitioned_scan" -> (qPartitionedScan _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_source_cfs" -> (qSourceCfs _),
-    "q_quantile_global" -> (qQuantileGlobal _),
-    "q_gapfill" -> (qGapFill _),
+    "q_quantile_global" -> ((s: SparkSession, d: String) => qQuantileGlobal(s, d)),
+    "q_gapfill" -> ((s: SparkSession, d: String) => qGapFill(s, d)),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -7495,14 +7622,14 @@ object Queries {
     "q_mv_rewrite" -> (qMvRewrite _),
     "q_mv_rollup" -> (qMvRollup _),
     "q_mv_rollup_avg" -> (qMvRollupAvg _),
-    "q_event_paths" -> (qEventPaths _),
+    "q_event_paths" -> ((s: SparkSession, d: String) => qEventPaths(s, d)),
     "q_star_join" -> (qStarJoin _),
     "q_table_diff" -> (qTableDiff _),
     "q_dense_ids" -> (qDenseIds _),
-    "q_funnel" -> (qFunnel _),
+    "q_funnel" -> ((s: SparkSession, d: String) => qFunnel(s, d)),
     "q_cohort_retention" -> (qCohortRetention _),
-    "q_topk_grouped" -> (qTopkGrouped _),
-    "q_lateral_topk" -> (qLateralTopk _),
+    "q_topk_grouped" -> ((s: SparkSession, d: String) => qTopkGrouped(s, d)),
+    "q_lateral_topk" -> ((s: SparkSession, d: String) => qLateralTopk(s, d)),
     "q_correlated_subquery" -> (qCorrelatedSubquery _),
     "q_array_fns" -> (qArrayFns _),
     "q_map_fns" -> (qMapFns _),
@@ -7514,7 +7641,7 @@ object Queries {
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_window_funcs" -> (qWindowFuncs _),
-    "q_window_ranks" -> (qWindowRanks _),
+    "q_window_ranks" -> ((s: SparkSession, d: String) => qWindowRanks(s, d)),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_topk" -> (qTopK _),
     "q_distinct" -> (qDistinct _),
@@ -7530,7 +7657,7 @@ object Queries {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_rollup" -> (qRollup _),
     "q_event_window" -> (qEventWindow _),
-    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_exact" -> ((s: SparkSession, d: String) => qDedupExact(s, d)),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -7566,15 +7693,15 @@ object Queries {
     "q_join_range" -> (qJoinRange _),
     "q_range_autobin" -> (qRangeAutobin _),
     "q_asof_join" -> (qAsofJoin _),
-    "q_agg_stats" -> (qAggStats _),
+    "q_agg_stats" -> ((s: SparkSession, d: String) => qAggStats(s, d)),
     "q_udaf_weighted" -> (qUdafWeighted _),
     "q_ann_ivf" -> (qAnnIvf _),
-    "q_sessionize" -> (qSessionize _),
+    "q_sessionize" -> ((s: SparkSession, d: String) => qSessionize(s, d)),
     "q_join_outer" -> (qJoinOuter _),
     "q_explode_wordcount" -> (qExplodeWordcount _),
     "q_array_agg" -> (qArrayAgg _),
-    "q_pivot" -> (qPivot _),
-    "q_cube" -> (qCube _),
+    "q_pivot" -> ((s: SparkSession, d: String) => qPivot(s, d)),
+    "q_cube" -> ((s: SparkSession, d: String) => qCube(s, d)),
     "q_setops_all" -> (qSetopsAll _),
     "q_date_fns" -> (qDateFns _),
     "q_avro_decode" -> (qAvroDecode _),
@@ -7661,7 +7788,7 @@ object Queries {
     val head =
       s"""qk AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
-         |  FROM embeddings),
+         |  FROM (SELECT DISTINCT vec_id, embedding, label FROM embeddings)),
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) cl,
          |  qv sums, CAST(1 AS BIGINT) n
          |  FROM (SELECT vec_id, qv FROM qk ORDER BY vec_id LIMIT $k))""".stripMargin
@@ -8002,7 +8129,7 @@ object Queries {
       s"""WITH pv AS (SELECT event_type, value,
          |  sum(CASE WHEN epoch_ns(ts) < ${KsCutoffNs} THEN 1 ELSE 0 END) ca,
          |  sum(CASE WHEN epoch_ns(ts) < ${KsCutoffNs} THEN 0 ELSE 1 END) cb
-         |  FROM events GROUP BY event_type, value),
+         |  FROM events WHERE value IS NOT NULL GROUP BY event_type, value),
          |sw AS (SELECT event_type,
          |  sum(ca) OVER (PARTITION BY event_type ORDER BY value
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_a,
@@ -8061,18 +8188,23 @@ object Queries {
         |  CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT) accuracy_ppm
         |FROM ag ORDER BY source""".stripMargin,
 
+    // tie-robust doubled-average ranks (2·rank + |peers| − 1), the
+    // engine's Eval.spearmanRho convention — row_number ranks are
+    // nondeterministic on fully-duplicated rows (r17 dup sweep)
     "q_spearman_rho" ->
       """WITH d AS (SELECT source, n_chars,
         |  len(string_split(text,' ')) wc, doc_id FROM documents),
         |r AS (SELECT source,
-        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) rx,
-        |  row_number() OVER (PARTITION BY source ORDER BY wc, doc_id) ry
+        |  2*rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+        |    + count(*) OVER (PARTITION BY source, n_chars, doc_id) - 1 rx2,
+        |  2*rank() OVER (PARTITION BY source ORDER BY wc, doc_id)
+        |    + count(*) OVER (PARTITION BY source, wc, doc_id) - 1 ry2
         |  FROM d),
         |ag AS (SELECT source, count(*) n,
-        |  sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) sd2 FROM r GROUP BY source)
-        |SELECT source, CAST(n AS BIGINT) n, CAST(sd2 AS BIGINT) sum_d2,
-        |  1000000 - CAST(sd2 * 6000000
-        |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) rho_ppm
+        |  sum(CAST(rx2 - ry2 AS HUGEINT) * (rx2 - ry2)) sd4 FROM r GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) n, CAST(sd4 AS BIGINT) sum_d2x4,
+        |  1000000 - CAST(sd4 * 6000000
+        |    // ((CAST(n AS HUGEINT) * n * n - n) * 4) AS BIGINT) rho_ppm
         |FROM ag WHERE n > 1 ORDER BY source""".stripMargin,
 
     "q_score_calibration" ->
@@ -8097,8 +8229,10 @@ object Queries {
       val sd2Cols = pairs.map { case (x, y) =>
         s"sum(CAST(r_$x - r_$y AS HUGEINT) * (r_$x - r_$y)) sd2_${x}_$y"
       }.mkString(",\n  ")
+      // doubled-average ranks, the engine's tie-robust convention
       val rankCols = names.map(c =>
-        s"row_number() OVER (PARTITION BY flag ORDER BY $c, vec_id) r_$c"
+        s"2*rank() OVER (PARTITION BY flag ORDER BY $c, vec_id) " +
+          s"+ count(*) OVER (PARTITION BY flag, $c, vec_id) - 1 r_$c"
       ).mkString(",\n  ")
       val dimCols = names.zipWithIndex.map { case (a, i) =>
         s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000) AS BIGINT) $a"
@@ -8118,7 +8252,7 @@ object Queries {
          |p AS ($pairUnion)
          |SELECT flag, col_x, col_y,
          |  1000000 - CAST(sd2 * 6000000
-         |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) rho_ppm
+         |    // ((CAST(n AS HUGEINT) * n * n - n) * 4) AS BIGINT) rho_ppm
          |FROM p WHERE n > 1 ORDER BY flag, col_x, col_y""".stripMargin
     },
 
@@ -8460,7 +8594,7 @@ object Queries {
     "q_quantile_normalize" ->
       """WITH e AS (SELECT event_type, event_id,
         |  CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) cents
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |g AS (SELECT cents gval,
         |  CAST(row_number() OVER (ORDER BY cents, event_id) AS BIGINT) gpos
         |  FROM e),
@@ -8483,7 +8617,7 @@ object Queries {
       """WITH e AS (SELECT event_type, event_id,
         |  CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) cents,
         |  ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,8))::BIGINT % 10 b
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |s AS (SELECT event_type, event_id, cents,
         |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
         |       ELSE 'test' END split FROM e),
@@ -8974,7 +9108,7 @@ object Queries {
     "q_cluster_purity" ->
       s"""WITH ${kmeansCte(Queries.KmeansK, Queries.KmeansIters)},
          |j AS (SELECT cl, label FROM a${Queries.KmeansIters}
-         |  JOIN embeddings USING (vec_id)),
+         |  JOIN (SELECT DISTINCT vec_id, label FROM embeddings) USING (vec_id)),
          |pl AS (SELECT cl, label, count(*) nl FROM j GROUP BY 1,2),
          |top AS (SELECT cl, label, nl,
          |  row_number() OVER (PARTITION BY cl ORDER BY nl DESC, label) rn,
@@ -9190,12 +9324,13 @@ object Queries {
         |p AS (SELECT user_id, event_id AS p_id, t_us AS p_lo,
         |    t_us + 3600000000 AS p_hi FROM e WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, event_id AS v_id, t_us AS v_lo,
-        |    t_us + 1800000000 AS v_hi FROM e WHERE event_type = 'view')
-        |SELECT p.user_id, COUNT(*) AS n_overlaps,
+        |    t_us + 1800000000 AS v_hi FROM e WHERE event_type = 'view'),
+        |ov AS (SELECT DISTINCT p.user_id, p_id, v_id
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |  WHERE p_lo < v_hi AND v_lo < p_hi)
+        |SELECT user_id, COUNT(*) AS n_overlaps,
         |  MIN(p_id * 100000 + v_id) AS min_pair
-        |FROM p JOIN v ON p.user_id = v.user_id
-        |WHERE p_lo < v_hi AND v_lo < p_hi
-        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+        |FROM ov GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // integer-ppm arithmetic end to end (1e6·C(bg) // C(prefix),
     // then // n_bigrams) — exact in both engines, no float drift;
@@ -9693,7 +9828,7 @@ object Queries {
     "q_source_cfs" ->
       """SELECT 'col_' || source AS collection, lang,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents
+        |FROM (SELECT DISTINCT source, doc_id, lang, n_chars FROM documents)
         |GROUP BY source, lang
         |ORDER BY collection, lang""".stripMargin,
 
@@ -9935,7 +10070,8 @@ object Queries {
         |  regexp_matches(text, 'data') AS has_data,
         |  LPAD(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
         |  REVERSE(lang) AS lang_rev,
-        |  split_part(text, ' ', 1) AS head_tok
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE split_part(text, ' ', 1) END AS head_tok
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
@@ -9989,8 +10125,10 @@ object Queries {
     // (>90 s) at sf0.1, leaving the 10× sweep unverifiable; this form
     // completes in ~2 s there. Still an independent check: DuckDB
     // hash-join+group-by vs the engine's PPJoin prefix filter.
+    // doc_id-keyed set semantics — see q_containment_join (r17 dup sweep)
     "q_sim_join_exact" ->
-      s"""WITH $shingleCte,
+      s"""WITH ${shingleCte.replace("FROM documents",
+             "FROM (SELECT DISTINCT doc_id, text FROM documents)")},
          |f AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
          |tok AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM f)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -10005,7 +10143,11 @@ object Queries {
     // 2I≥n_a impossible for n_a≥10, so dropping non-sharing pairs loses
     // nothing); replaces the >90 s O(n²) oracle at sf0.1
     "q_containment_join" ->
-      s"""WITH $shingleCte,
+      // documents are keyed by doc_id: duplicate rows must not double
+      // token multiplicities (set semantics — r17 dup sweep); mirrors
+      // the engine's dropDuplicates(doc_id, text)
+      s"""WITH ${shingleCte.replace("FROM documents",
+             "FROM (SELECT DISTINCT doc_id, text FROM documents)")},
          |tok AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s
          |        FROM sh WHERE len(sh) > 0)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -10143,7 +10285,8 @@ object Queries {
     // exact double on both sides); stage = 1 + #(boundaries < m)
     "q_curriculum" ->
       """WITH m AS (SELECT doc_id, n_chars,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS m FROM documents),
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS m
+        |  FROM documents WHERE text IS NOT NULL),
         |ranked AS (SELECT m AS v, ROW_NUMBER() OVER (ORDER BY m) AS rn,
         |    COUNT(*) OVER () AS n FROM m),
         |b AS (SELECT
@@ -10510,7 +10653,15 @@ object Queries {
       val terms = (0 until 32).map(j =>
         s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
         .mkString(" +\n    ")
-      s"""WITH $shingleCte,
+      // NULL-text docs are not dedup candidates (the engine's shingle
+      // pipeline drops them); without this filter every null doc gets
+      // the empty-list simhash 0 and they all band-join as exact dups
+      // (r17 nullify metamorphic sweep). The minhash-family oracles
+      // self-eliminate empty docs (NULL band keys never join) and need
+      // no filter.
+      val nonNullShingleCte =
+        shingleCte.replace("FROM documents", "FROM documents WHERE text IS NOT NULL")
+      s"""WITH $nonNullShingleCte,
          |h AS (SELECT doc_id, list_transform(sh, t -> ('0x'||substr(md5(t),1,8))::BIGINT) hs FROM sh),
          |sim AS (SELECT doc_id,
          |    $terms AS simhash FROM h),
@@ -10560,7 +10711,8 @@ object Queries {
         |  CAST(len(list_intersect(toks, ['stream','batch','window','event'])) AS DOUBLE)/len(toks) AS score_stream
         |FROM t)
         |SELECT doc_id,
-        |  CASE WHEN score_general = greatest(score_general, score_query, score_stream) THEN 'general'
+        |  CASE WHEN score_general IS NULL THEN NULL
+        |       WHEN score_general = greatest(score_general, score_query, score_stream) THEN 'general'
         |       WHEN score_query = greatest(score_general, score_query, score_stream) THEN 'query'
         |       ELSE 'stream' END AS pred_lang,
         |  score_general, score_query, score_stream
@@ -10585,19 +10737,25 @@ object Queries {
         |  CAST(ceil(CAST(length(text) AS DOUBLE)/4.0) AS BIGINT) est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // NULL text → NULL fingerprint (the engine null-propagates; the
+    // old coalesce('') silently fingerprinted null docs as md5('') —
+    // r17 nullify metamorphic sweep)
     "q_text_fingerprint" ->
       s"""WITH $shingleCte,
-         |f AS (SELECT doc_id,
-         |  list_sort(list_filter(list_transform(sh, t -> md5(t)), h -> substr(h,1,1) = '0')) sel
-         |FROM sh)
-         |SELECT doc_id, CAST(len(sel) AS BIGINT) n_selected,
-         |  md5(coalesce(array_to_string(sel, ''), '')) fingerprint
+         |f AS (SELECT s2.doc_id, d.text IS NULL AS tnull,
+         |  list_sort(list_filter(list_transform(s2.sh, t -> md5(t)), h -> substr(h,1,1) = '0')) sel
+         |FROM sh s2 JOIN (SELECT DISTINCT doc_id, text FROM documents) d
+         |  ON s2.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN tnull THEN NULL ELSE len(sel) END AS BIGINT) n_selected,
+         |  CASE WHEN tnull THEN NULL
+         |       ELSE md5(coalesce(array_to_string(sel, ''), '')) END fingerprint
          |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
-         |  FROM embeddings),
+         |  FROM (SELECT DISTINCT vec_id, embedding, label FROM embeddings)),
          |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
          |s AS (SELECT a.vec_id query_id, b.vec_id neighbor_id,
          |    list_dot_product(a.qv, b.qv)/(sqrt(a.norm2)*sqrt(b.norm2)) cos_sim
@@ -10619,7 +10777,7 @@ object Queries {
       }.mkString("\nUNION ALL\n")
       s"""WITH q AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
-         |  FROM embeddings),
+         |  FROM (SELECT DISTINCT vec_id, embedding, label FROM embeddings)),
          |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
          |banded AS (
          |$bandSelects),
@@ -10646,7 +10804,7 @@ object Queries {
       }.mkString("\nUNION ALL\n")
       s"""WITH q AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
-         |  FROM embeddings),
+         |  FROM (SELECT DISTINCT vec_id, embedding, label FROM embeddings)),
          |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
          |banded AS (
          |$bandSelects),
@@ -10728,17 +10886,20 @@ object Queries {
         |  CAST(len(list_intersect(toks, ['stream','batch','window','event'])) AS DOUBLE)/len(toks) AS score_stream
         |FROM t),
         |p AS (SELECT lang,
-        |  CASE WHEN score_general = greatest(score_general, score_query, score_stream) THEN 'general'
+        |  CASE WHEN score_general IS NULL THEN NULL
+        |       WHEN score_general = greatest(score_general, score_query, score_stream) THEN 'general'
         |       WHEN score_query = greatest(score_general, score_query, score_stream) THEN 'query'
         |       ELSE 'stream' END AS pred_lang
         |FROM s)
         |SELECT lang, pred_lang, count(*) AS n FROM p
-        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+        |GROUP BY lang, pred_lang
+        |ORDER BY lang, pred_lang NULLS FIRST""".stripMargin,
 
     "q_image_decode" ->
       """WITH d AS (SELECT doc_id, 32 + doc_id % 32 AS width,
-        |    16 + doc_id % 16 AS height FROM documents),
-        |px AS (SELECT doc_id, width, height,
+        |    16 + doc_id % 16 AS height,
+        |    row_number() OVER () AS rid FROM documents),
+        |px AS (SELECT rid, doc_id, width, height,
         |    (doc_id*7 + unnest(range(0, width*height))*13) % 256 AS v
         |  FROM d)
         |SELECT doc_id AS media_id, width, height,
@@ -10747,14 +10908,15 @@ object Queries {
         |  CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) h1,
         |  CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) h2,
         |  CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) h3
-        |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin,
+        |FROM px GROUP BY rid, doc_id, width, height ORDER BY media_id""".stripMargin,
 
     // block-constant JPEG: every 8x8 block is flat, so px_sum/hK are
     // 64x the per-block generator values
     "q_jpeg_decode" ->
       """WITH d AS (SELECT doc_id, 4 + doc_id % 4 AS bx,
-        |    2 + doc_id % 2 AS by FROM documents),
-        |b AS (SELECT doc_id, bx, by,
+        |    2 + doc_id % 2 AS by,
+        |    row_number() OVER () AS rid FROM documents),
+        |b AS (SELECT rid, doc_id, bx, by,
         |    (doc_id*7 + unnest(range(0, bx*by))*13) % 256 AS v
         |  FROM d)
         |SELECT doc_id AS media_id, CAST(8*bx AS BIGINT) width,
@@ -10764,7 +10926,7 @@ object Queries {
         |  CAST(64*SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) h1,
         |  CAST(64*SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) h2,
         |  CAST(64*SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) h3
-        |FROM b GROUP BY doc_id, bx, by ORDER BY media_id""".stripMargin,
+        |FROM b GROUP BY rid, doc_id, bx, by ORDER BY media_id""".stripMargin,
 
     "q_skipgram_pairs" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -10848,15 +11010,16 @@ object Queries {
         |ORDER BY label_a, label_b""".stripMargin,
 
     "q_audio_decode" ->
-      """WITH d AS (SELECT doc_id, 400 + doc_id % 256 AS n FROM documents),
-        |s AS (SELECT doc_id, n,
+      """WITH d AS (SELECT doc_id, 400 + doc_id % 256 AS n,
+        |    row_number() OVER () AS rid FROM documents),
+        |s AS (SELECT rid, doc_id, n,
         |    (doc_id*31 + unnest(range(0, n))*17) % 65536 - 32768 AS v
         |  FROM d)
         |SELECT doc_id AS media_id, n AS n_samples,
         |  CAST(SUM(v) AS BIGINT) sample_sum,
         |  CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) n_positive,
         |  CAST(MIN(v) AS BIGINT) s_min, CAST(MAX(v) AS BIGINT) s_max
-        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
+        |FROM s GROUP BY rid, doc_id, n ORDER BY media_id""".stripMargin,
 
     "q_multimodal_features" ->
       """WITH c AS (SELECT doc_id media_id, length(text) byte_len,
@@ -10953,7 +11116,7 @@ object Queries {
     "q_ann_ivf" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) qv
-        |  FROM embeddings),
+        |  FROM (SELECT DISTINCT vec_id, embedding, label FROM embeddings)),
         |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) norm2 FROM q),
         |c AS (SELECT vec_id cent_id, qv cv, norm2 cn FROM n WHERE vec_id % 50 = 0),
         |assign AS (
@@ -12155,7 +12318,8 @@ object Queries {
       val matches = (0 until Dedup.MinhashK)
         .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH $minhashCte,
+      s"""WITH ${minhashCte.replace("FROM documents",
+             "FROM (SELECT DISTINCT doc_id, text FROM documents)")},
          |pr AS (SELECT
          |    CAST($matches AS BIGINT) mt,
          |    CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) isz,
@@ -12181,7 +12345,8 @@ object Queries {
         |c AS (SELECT d.source, p.pattern,
         |    (length(d.text) - length(replace(d.text, p.pattern, '')))
         |      // length(p.pattern) n
-        |  FROM documents d CROSS JOIN p)
+        |  FROM documents d CROSS JOIN p
+        |  WHERE d.text IS NOT NULL)
         |SELECT source, pattern, CAST(sum(n) AS BIGINT) n_occ,
         |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) n_docs
         |FROM c GROUP BY source, pattern
@@ -12239,11 +12404,13 @@ object Queries {
       val terms = (0 until 32).map(j =>
         s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
         .mkString(" +\n    ")
-      s"""WITH $minhashCte,
+      s"""WITH ${minhashCte.replace("FROM documents",
+             "FROM (SELECT DISTINCT doc_id, text FROM documents)")},
          |sim AS (SELECT doc_id,
          |    $terms AS simhash FROM hsh),
          |pre AS (SELECT doc_id, regexp_replace(substr(text, 1, 40),
-         |    '[^\\x20-\\x7E]', '?', 'g') pre FROM documents),
+         |    '[^\\x20-\\x7E]', '?', 'g') pre
+         |  FROM (SELECT DISTINCT doc_id, text FROM documents)),
          |pr AS (SELECT
          |    CAST($matches AS BIGINT) mt,
          |    CAST(len(list_intersect(ha.sh, hb.sh)) AS BIGINT) isz,

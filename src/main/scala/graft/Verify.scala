@@ -29,6 +29,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stamp which data generation this dump was computed against
+    // (FIXTURES records cite it; see tools.DataGenId)
+    System.err.println(
+      s"[verify] datagen_id=${tools.DataGenId.of(sfDir)} dir=$sfDir")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -241,20 +241,23 @@ object Eval {
         expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)")
           .as("accuracy_ppm"))
 
-  /** Grouped Spearman rank correlation over a TOTAL order: ranks are
-    * assigned by (value, tiebreakCol), so ranks are distinct and the
-    * classical closed form ρ = 1 − 6Σd²/(n(n²−1)) is exact rational —
-    * no tie-corrected Pearson (which would drag a √ into the
-    * comparison). The deterministic tiebreak makes this "rank
-    * agreement of two signals under a fixed total order": the
+  /** Grouped Spearman rank correlation with tie-robust DOUBLED
+    * AVERAGE ranks: rows tied on the full (value, tiebreakCol) key
+    * share the integer 2·avgrank, so the statistic is a total
+    * function of the input multiset — duplicate rows (which make any
+    * row_number-ranked statistic nondeterministic) cannot perturb it.
+    * The classical closed form runs on the doubled ranks,
+    * ρ = 1 − 6Σ(2Δ)²/(4·n(n²−1)), exact rational — no tie-corrected
+    * Pearson (which would drag a √ into the comparison). This is the
     * monotone-association check between two heuristic scores before
     * one replaces the other. Two partitioned sorts + one aggregate.
     *
-    * @return (group, n, sum_d2, rho_ppm); groups with n < 2 drop
-    *         (ρ undefined). `sum_d2` is a DIAGNOSTIC column: its
-    *         BIGINT emit wraps past ~2×10⁶-row groups (Σd² is
-    *         n³-bounded); `rho_ppm` itself rides the DECIMAL path and
-    *         stays exact at any group size.
+    * @return (group, n, sum_d2x4, rho_ppm); groups with n < 2 drop
+    *         (ρ undefined). `sum_d2x4` = Σ(2Δ)² (4× the classical Σd²
+    *         on tie-free input) is a DIAGNOSTIC column: its BIGINT
+    *         emit wraps past ~10⁶-row groups (n³-bounded); `rho_ppm`
+    *         itself rides the DECIMAL path and stays exact at any
+    *         group size.
     */
   def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
                   yCol: String, tiebreakCol: String): DataFrame = {
@@ -262,18 +265,32 @@ object Eval {
       .orderBy(col(xCol), col(tiebreakCol))
     val wy = Window.partitionBy(col(groupCol))
       .orderBy(col(yCol), col(tiebreakCol))
-    df.withColumn("rx", row_number().over(wx).cast("long"))
-      .withColumn("ry", row_number().over(wy).cast("long"))
-      .withColumn("d2", expr(s"CAST(rx - ry AS $D38) * (rx - ry)"))
+    // DOUBLED AVERAGE ranks over peers of the full (value, tiebreak)
+    // key: 2·avgrank = 2·rank + |peers| − 1, an integer. row_number
+    // assigns fully-duplicated rows (same value AND tiebreak) an
+    // arbitrary relative order, independently for the x and y sorts —
+    // Σd² then varies run-to-run and engine-to-engine (r17 dup
+    // metamorphic sweep). Average ranks give identical rows identical
+    // ranks, so the statistic is total-function-of-the-multiset. On a
+    // unique tiebreak, 2·avgrank = 2·rank exactly.
+    val px = Window.partitionBy(col(groupCol), col(xCol), col(tiebreakCol))
+    val py = Window.partitionBy(col(groupCol), col(yCol), col(tiebreakCol))
+    df.withColumn("rx2",
+        (rank().over(wx).cast("long") * 2 + count(lit(1)).over(px) - 1))
+      .withColumn("ry2",
+        (rank().over(wy).cast("long") * 2 + count(lit(1)).over(py) - 1))
+      .withColumn("d2", expr(s"CAST(rx2 - ry2 AS $D38) * (rx2 - ry2)"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd4"))
       .filter(col("n") > 1)
       .select(col(groupCol), col("n"),
-        col("sd2").cast("long").as("sum_d2"),
+        // (2Δ)²-scaled diagnostic — 4× the classical Σd² on tie-free
+        // input; named to make the scaling explicit
+        col("sd4").cast("long").as("sum_d2x4"),
         // n(n²−1) built entirely in DECIMAL — a LONG n*n wraps past
         // ~3e9-row groups, inside the 100 TB envelope
-        expr(s"1000000 - CAST(sd2 * 6000000 div (CAST(n AS $D38) " +
-          "* n * n - n) AS BIGINT)").as("rho_ppm"))
+        expr(s"1000000 - CAST(sd4 * 6000000 div ((CAST(n AS $D38) " +
+          "* n * n - n) * 4) AS BIGINT)").as("rho_ppm"))
   }
 
   /** Grouped score-calibration bins: rank rows by (score, tiebreak)

@@ -151,6 +151,61 @@ object MediaCodec extends Serializable {
   def decodeJpegFeatures(id: Long, jpg: Array[Byte]): ImageFeatures =
     decodePngFeatures(id, jpg)
 
+  /** Pixel value of the NON-block-constant JPEG family: a smooth
+    * diagonal sinusoid plus a horizontal cosine, id-phased. Unlike
+    * [[jpegBlockValue]]'s flat blocks (DC-only), every 8×8 block here
+    * carries real AC coefficients, so the decode exercises the full
+    * coefficient path; smooth/bandlimited content keeps quality-1.0
+    * roundtrip error inside a small per-pixel band (MediaCodecSpec
+    * pins the band against this generator arithmetic — data shaped
+    * like real corpora, verified with tolerance instead of equality). */
+  def jpegVaryingValue(id: Long, x: Int, y: Int): Int = {
+    val v = 128.0 + 80.0 * math.sin((x + y + (id % 16).toDouble) * math.Pi / 16.0) +
+      24.0 * math.cos(x * math.Pi / 8.0)
+    math.max(0, math.min(255, math.round(v).toInt))
+  }
+
+  /** Encode the id-derived pixel-varying grayscale image as baseline
+    * JPEG (quality 1.0) — same container/encoder as [[encodeJpeg]]. */
+  def encodeJpegVarying(id: Long): Array[Byte] = {
+    val (bx, by) = (jpegBlocksX(id), jpegBlocksY(id))
+    val (w, h) = (bx * 8, by * 8)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, jpegVaryingValue(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    val wr = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      wr.setOutput(mos)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      wr.dispose()
+      mos.close()
+    }
+    out.toByteArray
+  }
+
+  /** Decoded grayscale raster via the engine's decode path (ImageIO's
+    * baseline pipeline) — for tolerance-band verification. */
+  def decodeGrayRaster(bytes: Array[Byte]): Array[Array[Int]] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    Array.tabulate(img.getHeight, img.getWidth)(
+      (y, x) => img.getRaster.getSample(x, y, 0))
+  }
+
   // ---------------------------------------------------------------
   // Audio: 16-bit PCM mono WAV
   // ---------------------------------------------------------------

@@ -22,13 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  case class MediaFeatures(media_id: Long, byte_len: Long, byte_sum: Long,
-                           h0: Long, h1: Long, h2: Long, h3: Long)
+  /** Stats are Option-typed: a NULL payload (upstream text/blob was
+    * NULL — real corpora carry those) yields a row of NULL features,
+    * matching SQL null-propagation, instead of a task-killing NPE
+    * (found by the r17 nullify metamorphic sweep). */
+  case class MediaFeatures(media_id: Long, byte_len: Option[Long],
+                           byte_sum: Option[Long], h0: Option[Long],
+                           h1: Option[Long], h2: Option[Long], h3: Option[Long])
 
   /** Deterministic stand-in for a media decoder: length, byte sum, and
     * a 4-bin histogram of the top-2 bits of each byte. */
   object FakeByteDecoder extends Serializable {
     def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      if (bytes == null)
+        return MediaFeatures(id, None, None, None, None, None, None)
       var sum = 0L
       val bins = new Array[Long](4)
       var i = 0
@@ -38,7 +45,8 @@ object Multimodal {
         bins(b >> 6) += 1
         i += 1
       }
-      MediaFeatures(id, bytes.length.toLong, sum, bins(0), bins(1), bins(2), bins(3))
+      MediaFeatures(id, Some(bytes.length.toLong), Some(sum), Some(bins(0)),
+        Some(bins(1)), Some(bins(2)), Some(bins(3)))
     }
   }
 

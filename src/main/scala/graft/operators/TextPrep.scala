@@ -29,7 +29,10 @@ object TextPrep {
       chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap < chunkTokens, "overlap must be smaller than the chunk")
     val stride = chunkTokens - overlap
-    val chunked = df
+    // a NULL text has no chunks: without the filter, size(NULL) = -1
+    // routes to nc = 1 and posexplode_outer emits one phantom
+    // NULL-chunk row per null doc (r17 nullify metamorphic sweep)
+    val chunked = df.filter(col(textCol).isNotNull)
       .withColumn("_toks", split(col(textCol), " "))
       .withColumn("_nc",
         when(size(col("_toks")) <= chunkTokens, lit(1))

@@ -77,7 +77,13 @@ object Soak {
         * inside the join-MV merge with its checkpoint uncommitted) */
       crashPoint: String = "pipeline",
       /** replayed MV batches the batch-id no-op gate absorbed */
-      mvNoopReplays: Long = 0L) {
+      mvNoopReplays: Long = 0L,
+      /** slowest micro-batch across all six queries and both phases
+        * (triggerExecution ms) — the skew-sensitivity signal: a hot
+        * session/LSH key shows up here long before it breaks a gate */
+      maxBatchMs: Long = 0L,
+      /** % of docs rewritten to one shared text (hot LSH bucket) */
+      docSkewPct: Int = 0) {
     def allOk: Boolean =
       hashStoreOk && cmsOk && driftOk && joinMvOk && sessionsOk && lshOk
   }
@@ -160,13 +166,36 @@ object Soak {
   private val sub = Subscription("soak", "soak", "*",
     FbOptions(syncMode = "sync", targetPath = "_aether/entities/{topic}"))
 
+  /** Deterministic boilerplate assigned to doc-skewed rows: long
+    * enough to shingle, constant so every skewed doc lands in the
+    * SAME LSH band buckets (one hot bucket holding docSkewPct% of the
+    * corpus — the stateful-LSH analog of the hot session user). */
+  private val hotDocText: String =
+    (1 to 40).map(i => s"boiler${i % 7} plate token").mkString(" ")
+
   def run(spark: SparkSession, sfDir: String, nEventFiles: Int,
-      nDocFiles: Int, crashPoint: String = "pipeline"): Result = {
+      nDocFiles: Int, crashPoint: String = "pipeline",
+      docSkewPct: Int = 0): Result = {
     require(nEventFiles >= 2, "the guaranteed-watermark band needs >=2 chunks")
     require(crashPoint == "pipeline" || crashPoint == "mv-merge",
       s"unknown crash point: $crashPoint")
+    require(docSkewPct >= 0 && docSkewPct <= 100)
     import spark.implicits._
     val t0 = System.nanoTime()
+    // lock-free max-batch-duration probe (a listener that takes locks
+    // can deadlock StreamExecution.start — see the jstack note in the
+    // repo's verify skill); updateAndGet on an AtomicLong never blocks
+    val maxBatchMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val probe = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs.get("triggerExecution")
+        if (d != null) { maxBatchMs.updateAndGet(m => math.max(m, d)); () }
+      }
+    }
+    spark.streams.addListener(probe)
 
     // ---- stage inputs (event-time order; docs by doc_id) ----
     val work = tmp("soak-work")
@@ -176,7 +205,16 @@ object Soak {
       .withColumnRenamed("event_id", "id")
       .drop("props")
     val chunkMaxTs = stageOrdered(ev, "ts", nEventFiles, evIn)
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docs0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // doc-skew: a fixed slice of the corpus shares ONE text, so the
+    // stateful LSH sees a single band bucket holding docSkewPct% of
+    // all docs; the batch recompute reads the same staged files, so
+    // the equality gates stay exact under the hot bucket
+    val docs =
+      if (docSkewPct == 0) docs0
+      else docs0.withColumn("text",
+        when(pmod(col("doc_id"), lit(100L)) < docSkewPct, lit(hotDocText))
+          .otherwise(col("text")))
     stageOrdered(docs, "doc_id", nDocFiles, docIn)
     val evSchema = spark.read.parquet(evIn).schema
     val docSchema = spark.read.parquet(docIn).schema
@@ -370,11 +408,12 @@ object Soak {
       .isEmpty
     val lshOk = membersOk && bucketsOk
 
+    spark.streams.removeListener(probe)
     Result(nEvents, nDocs, wallSec, crashAt,
       KeyedCountingSink.drain(sinkKey),
       sessionsEmitted, lshHits,
       hashStoreOk, cmsOk, driftOk, joinMvOk, sessionsOk, lshOk, work,
-      crashPoint, b.joinMv.noopReplays.get())
+      crashPoint, b.joinMv.noopReplays.get(), maxBatchMs.get(), docSkewPct)
   }
 }
 
@@ -396,8 +435,11 @@ object SoakBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val crashPoint = sys.env.getOrElse("SPARK_GRAFT_CRASH_POINT", "pipeline")
-    val r = Soak.run(spark, sfDir, nEventFiles, nDocFiles, crashPoint)
-    println(f"""{"metric":"soak_events_per_sec","value":${r.events / r.wallSec}%.1f,"unit":"events/sec","events":${r.events},"docs":${r.docs},"seconds":${r.wallSec}%.2f,"concurrent_queries":6,"crash_point":"${r.crashPoint}","crash_at_batch":${r.crashAtPipelineBatch},"mv_noop_replays":${r.mvNoopReplays},"pipeline_sink_commits":${r.pipelineSinkCommits},"sessions_emitted":${r.sessionsEmitted},"lsh_hits":${r.lshHits},"hash_store_ok":${r.hashStoreOk},"cms_ok":${r.cmsOk},"drift_ok":${r.driftOk},"join_mv_ok":${r.joinMvOk},"sessions_ok":${r.sessionsOk},"lsh_ok":${r.lshOk},"all_ok":${r.allOk},"sf":"$sfDir"}""")
+    val docSkewPct =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_SKEW_PCT", "0").toInt
+    val r = Soak.run(spark, sfDir, nEventFiles, nDocFiles, crashPoint,
+      docSkewPct)
+    println(f"""{"metric":"soak_events_per_sec","value":${r.events / r.wallSec}%.1f,"unit":"events/sec","events":${r.events},"docs":${r.docs},"seconds":${r.wallSec}%.2f,"concurrent_queries":6,"crash_point":"${r.crashPoint}","crash_at_batch":${r.crashAtPipelineBatch},"mv_noop_replays":${r.mvNoopReplays},"max_batch_ms":${r.maxBatchMs},"doc_skew_pct":${r.docSkewPct},"pipeline_sink_commits":${r.pipelineSinkCommits},"sessions_emitted":${r.sessionsEmitted},"lsh_hits":${r.lshHits},"hash_store_ok":${r.hashStoreOk},"cms_ok":${r.cmsOk},"drift_ok":${r.driftOk},"join_mv_ok":${r.joinMvOk},"sessions_ok":${r.sessionsOk},"lsh_ok":${r.lshOk},"all_ok":${r.allOk},"sf":"$sfDir"}""")
     spark.stop()
     if (!r.allOk) sys.exit(1)
   }

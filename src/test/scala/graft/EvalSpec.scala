@@ -132,7 +132,25 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     ).toDF("grp", "x", "y", "id")
     val out = Eval.spearmanRho(df, "grp", "x", "y", "id").collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
-    assert(out === Map("a" -> ((0L, 1000000L)), "b" -> ((8L, -1000000L))))
+    // sum_d2x4 = Σ(2Δ)² = 4·Σd² on tie-free input
+    assert(out === Map("a" -> ((0L, 1000000L)), "b" -> ((32L, -1000000L))))
+  }
+
+  test("spearmanRho is invariant under full row duplication (tie-robust ranks)") {
+    val base = Seq(
+      ("a", 1L, 20L, 1L), ("a", 2L, 10L, 2L), ("a", 3L, 30L, 3L))
+    val df = base.toDF("grp", "x", "y", "id")
+    val dup = (base ++ base).toDF("grp", "x", "y", "id")
+    val rho = Eval.spearmanRho(df, "grp", "x", "y", "id")
+      .collect().head.getLong(3)
+    val rhoDup = Eval.spearmanRho(dup, "grp", "x", "y", "id")
+      .collect().head.getLong(3)
+    // not equal to rho (n changed) but DETERMINISTIC: repeated runs
+    // and any partitioning agree — row_number ranks would not
+    val rhoDup2 = Eval.spearmanRho(
+      dup.repartition(7), "grp", "x", "y", "id").collect().head.getLong(3)
+    assert(rho == 500000L)
+    assert(rhoDup == rhoDup2)
   }
 
   test("calibrationBins: exact equal-count cuts and per-bin positive rates") {

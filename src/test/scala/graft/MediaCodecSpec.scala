@@ -99,4 +99,43 @@ class MediaCodecSpec extends AnyFunSuite with SparkTestBase {
       assert(aud(id) == MediaCodec.decodeWavFeatures(id, MediaCodec.encodeWav(id)))
     }
   }
+
+  /** Brief r17 #7: the block-constant JPEG family is bit-exact because
+    * flat blocks are DC-only; this pins the decoder on data shaped
+    * like real corpora — every block carries AC coefficients — with a
+    * tolerance band against the GENERATOR arithmetic (not against the
+    * encoder): per-pixel |decoded − generated| ≤ 2 at quality 1.0 on
+    * smooth content, mean error ≤ 0.5. A broken Huffman/dequant/IDCT
+    * stage produces errors orders of magnitude outside the band. */
+  test("varying-JPEG roundtrip stays inside the per-pixel tolerance band") {
+    var worst = 0
+    ids.foreach { id =>
+      val raster = MediaCodec.decodeGrayRaster(MediaCodec.encodeJpegVarying(id))
+      val (h, w) = (raster.length, raster(0).length)
+      assert(w == MediaCodec.jpegBlocksX(id) * 8 &&
+        h == MediaCodec.jpegBlocksY(id) * 8, s"id=$id dims $w x $h")
+      // the fixture must actually be non-flat WITHIN blocks (AC
+      // energy), or this would silently degrade to the DC-only family
+      val firstBlock = for (y <- 0 until 8; x <- 0 until 8) yield raster(y)(x)
+      assert(firstBlock.max - firstBlock.min > 32,
+        s"id=$id first block is near-flat (no AC energy)")
+      var errSum = 0L; var errMax = 0; var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val e = math.abs(raster(y)(x) - MediaCodec.jpegVaryingValue(id, x, y))
+          errSum += e; errMax = math.max(errMax, e); n += 1
+          x += 1
+        }
+        y += 1
+      }
+      assert(errMax <= 2,
+        s"id=$id max per-pixel error $errMax exceeds the band")
+      assert(errSum.toDouble / n <= 0.5,
+        s"id=$id mean error ${errSum.toDouble / n} exceeds 0.5")
+      worst = math.max(worst, errMax)
+    }
+    info(s"worst per-pixel roundtrip error across ${ids.size} ids: $worst")
+  }
 }
