@@ -2587,7 +2587,15 @@ object Queries {
     val nBig = gate.getLong(0)
     val bigItems = gate.getLong(1)
     val bigOkKeys = bigOks.select(col("ok"))
-    val small = items.join(broadcast(bigOkKeys), Seq("ok"), "left_anti")
+    // Zero-big collapse routes over `items` DIRECTLY: bigOkKeys is
+    // empty so the anti-join would be an identity, but executing it
+    // re-runs the bigOks aggregate inside the final plan — paying the
+    // gate's shuffle twice (StageProfile at sf10: a redundant 363 MB
+    // shuffle write + 56M-record aggregate, ~8% of the query's task
+    // time, for a relation the gate already proved empty).
+    val small =
+      if (nBig == 0L) items
+      else items.join(broadcast(bigOkKeys), Seq("ok"), "left_anti")
     val big = items.join(broadcast(bigOkKeys), Seq("ok"), "left_semi")
     def smallCountsPlan = small.select(col("ok"), col("pk").as("a"))
       .join(small.select(col("ok"), col("pk").as("b")), "ok")
