@@ -2817,6 +2817,10 @@ object Queries {
         struct(col("c").as("src"), col("sup").as("dst")),
         struct(col("sup").as("src"), col("c").as("dst")))).as("d"))
       .select(col("d.src").as("src"), col("d.dst").as("dst"))
+      // cached pre-partitioned on the BFS join key so each round
+      // shuffles only the frontier, never the graph (see
+      // q_diameter_2sweep's StageProfile note)
+      .repartition(col("src"))
       .cache()
     val sources = edges.select(col("src").as("node")).distinct()
       .filter(col("node") < 20 && col("node") % 2 === 0)
@@ -6888,8 +6892,19 @@ object Queries {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sup"))
       .distinct()
-    val edges = e0.select(col("c").as("src"), col("sup").as("dst"))
-      .unionAll(e0.select(col("sup").as("src"), col("c").as("dst")))
+    // One scan for both directions (a unionAll of two selects would
+    // run the orders×lineitem join + distinct twice at cache fill),
+    // cached PRE-PARTITIONED on the BFS join key: every frontier⋈edge
+    // round requires hashpartitioning(src), and an unpartitioned cache
+    // makes each round re-exchange the whole graph — StageProfile at
+    // sf0.1 showed 8 identical 10.5 MB edge shuffle-writes per query
+    // where the design intends "shuffle the frontier, never the graph"
+    // (q_pagerank's co-partitioned-cache discipline, SparkEntry:872).
+    val edges = e0.select(explode(array(
+        struct(col("c").as("src"), col("sup").as("dst")),
+        struct(col("sup").as("src"), col("c").as("dst")))).as("d"))
+      .select(col("d.src").as("src"), col("d.dst").as("dst"))
+      .repartition(col("src"))
       .cache()
     val seedRow = edges.agg(min(col("src")).as("node"))
     val d1 = operators.Graph.bfsHops(edges, seedRow, 6)
