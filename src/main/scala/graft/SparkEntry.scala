@@ -2447,16 +2447,17 @@ object Queries {
     * q_curriculum. One final single-group aggregate; the sum routes
     * through DECIMAL(18,2) on both engines (raw double sums are
     * partition-order sensitive). */
-  def qWinsorized(s: SparkSession, dir: String): DataFrame = {
+  def qWinsorized(s: SparkSession, dir: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
     val n = li.filter(col("v").isNotNull).count()
     // rank = ceil(q·0) = 0 is not a rank — on an empty relation skip
     // the refinement and emit the degenerate single-row aggregate
     // (count 0, null sums) with inert clip literals
     val lo = if (n == 0L) 0.0
-      else Quantiles.rankElement(li, "v", math.ceil(0.01 * n).toLong)
+      else Quantiles.rankElement(li, "v", math.ceil(pLo * n).toLong)
     val hi = if (n == 0L) 0.0
-      else Quantiles.rankElement(li, "v", math.ceil(0.99 * n).toLong)
+      else Quantiles.rankElement(li, "v", math.ceil(pHi * n).toLong)
     li.filter(col("v").isNotNull)
       .select(
         when(col("v") < lit(lo), lit(lo))
@@ -2807,7 +2808,8 @@ object Queries {
     * expansion — each round shuffles the frontier, never the graph;
     * the oracle is an independent recursive CTE (UNION-deduped, so
     * no path explosion) taking MIN(depth) per node. */
-  def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+  def qBfsHops(s: SparkSession, dir: String,
+      maxHops: Int = 3, seedBound: Long = 20L): DataFrame = {
     val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -2823,8 +2825,8 @@ object Queries {
       .repartition(col("src"))
       .cache()
     val sources = edges.select(col("src").as("node")).distinct()
-      .filter(col("node") < 20 && col("node") % 2 === 0)
-    val d = Graph.bfsHops(edges, sources, maxHops = 3)
+      .filter(col("node") < seedBound && col("node") % 2 === 0)
+    val d = Graph.bfsHops(edges, sources, maxHops)
     // eager node-sized result; free the edge cache and the BFS's final
     // round (bfsHops leaves it materialized for the caller — here the
     // caller is done with it once the ordered result lands)
@@ -3045,9 +3047,11 @@ object Queries {
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 10):
     * broadcast queries against the vector table, windowed rank. */
-  def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+  def qAnnBruteforce(s: SparkSession, dir: String,
+      k: Int = 5, queryBound: Long = 10L): DataFrame = {
     val vectors = embStore(s, dir)
-    Similarity.bruteForceTopK(vectors, vectors.filter(col("vec_id") < 10), 5)
+    Similarity.bruteForceTopK(vectors,
+        vectors.filter(col("vec_id") < queryBound), k)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -3607,9 +3611,11 @@ object Queries {
   /** Fixed-window token chunking with overlap (64-token chunks,
     * 16-token overlap): the long-document split for a context-bounded
     * model. Pure projection + posexplode — zero shuffles. */
-  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+  def qChunkDocs(s: SparkSession, dir: String,
+      chunkSize: Int = 64, overlap: Int = 16): DataFrame =
     operators.TextPrep.withChunks(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", 64, 16)
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text",
+        chunkSize, overlap)
       .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
         col("chunk_tokens"), col("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
@@ -5297,13 +5303,14 @@ object Queries {
     * pinned at 15, partitioned by user_id — per-user state, zero
     * global coordination, the same plan shape a 1000-executor run
     * wants. */
-  def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+  def qRollingMedian(s: SparkSession, dir: String,
+      lookback: Int = 14): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
       expr("ts div 1000000000").as("t"),
       expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
-      .rowsBetween(-14, Window.currentRow)
+      .rowsBetween(-lookback, Window.currentRow)
     // n_win is the window ROW count (matches COUNT(*) OVER w), not the
     // non-null count; collect_list skips NULL cents, so the median list
     // can be SMALLER than n_win — or empty (all-null window), where
@@ -5478,7 +5485,8 @@ object Queries {
     * ran eagerly); only the final dist round stays materialized — the
     * returned relation reads it (the [[operators.Rounds]] contract).
     * Weights and distances stay integer cents end-to-end. */
-  def qSsspBounded(s: SparkSession, dir: String): DataFrame = {
+  def qSsspBounded(s: SparkSession, dir: String,
+      seedBound: Long = 20L): DataFrame = {
     val ol = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice")),
@@ -5495,7 +5503,7 @@ object Queries {
       .cache()
     var (dist, releaseDist) = operators.Rounds.persist(
       e.select(col("src").as("node")).distinct()
-        .filter(col("node") % 2 === 0 && col("node") < 20)
+        .filter(col("node") % 2 === 0 && col("node") < seedBound)
         .select(col("node"), lit(0L).as("d")), reliable = false)
     // round-0 delta IS dist (same blocks) — only dist's thunk frees it
     var delta = dist
@@ -7546,11 +7554,11 @@ object Queries {
     "q_encoding_advisor" -> (qEncodingAdvisor _),
     "q_post_stratify" -> (qPostStratify _),
     "q_local_clustering" -> (qLocalClustering _),
-    "q_rolling_median" -> (qRollingMedian _),
+    "q_rolling_median" -> ((s: SparkSession, d: String) => qRollingMedian(s, d)),
     "q_char_entropy" -> (qCharEntropy _),
     "q_zonemap_compare" -> (qZonemapCompare _),
     "q_hits" -> (qHits _),
-    "q_sssp_bounded" -> (qSsspBounded _),
+    "q_sssp_bounded" -> ((s: SparkSession, d: String) => qSsspBounded(s, d)),
     "q_ewma" -> (qEwma _),
     "q_label_prop" -> (qLabelProp _),
     "q_cluster_purity" -> (qClusterPurity _),
@@ -7563,7 +7571,7 @@ object Queries {
     "q_boilerplate_ngrams" -> (qBoilerplateNgrams _),
     "q_boilerplate_fraction" -> (qBoilerplateFraction _),
     "q_redact_pii" -> (qRedactPii _),
-    "q_chunk_docs" -> (qChunkDocs _),
+    "q_chunk_docs" -> ((s: SparkSession, d: String) => qChunkDocs(s, d)),
     "q_pack_docs" -> (qPackDocs _),
     "q_quota_sample" -> (qQuotaSample _),
     "q_tfidf_topk" -> (qTfidfTopk _),
@@ -7626,14 +7634,14 @@ object Queries {
     "q_eval_leakage" -> (qEvalLeakage _),
     "q_approx_rewrite" -> (qApproxRewrite _),
     "q_contrastive_pairs" -> (qContrastivePairs _),
-    "q_winsorized" -> (qWinsorized _),
+    "q_winsorized" -> ((s: SparkSession, d: String) => qWinsorized(s, d)),
     "q_markov_transitions" -> (qMarkovTransitions _),
     "q_itemset_pairs" -> (qItemsetPairs _),
     "q_neighbor_agg" -> (qNeighborAgg _),
     "q_attribution" -> (qAttribution _),
     "q_trigram_search" -> (qTrigramSearch _),
     "q_approx_rewrite_mixed" -> (qApproxRewriteMixed _),
-    "q_bfs_hops" -> (qBfsHops _),
+    "q_bfs_hops" -> ((s: SparkSession, d: String) => qBfsHops(s, d)),
     "q_running_distinct" -> (qRunningDistinct _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_ohlc_bars" -> (qOhlcBars _),
@@ -7689,7 +7697,7 @@ object Queries {
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
-    "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_bruteforce" -> ((s: SparkSession, d: String) => qAnnBruteforce(s, d)),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_frames" -> (qMultimodalFrames _),

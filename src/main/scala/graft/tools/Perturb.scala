@@ -161,7 +161,41 @@ object Perturb {
       baseOracle("q_cube")),
     Variant("q_cube__join_swapped", "pres",
       (s, d) => Queries.qCube(s, d, swapJoin = true),
-      baseOracle("q_cube"))
+      baseOracle("q_cube")),
+    // ---- r17 continuation: families with no prior variant coverage —
+    // graph (hop bound / seed set), ANN (k / query set), robust stats
+    // (clip percentiles), text chunking (size/overlap), rolling
+    // windows (lookback). Every knob is a default-arg param on the
+    // catalog def, so the variants exercise the catalog's code path.
+    Variant("q_bfs_hops__hops_2", "shift",
+      (s, d) => Queries.qBfsHops(s, d, maxHops = 2),
+      baseOracle("q_bfs_hops").replace("b.d < 3", "b.d < 2")),
+    Variant("q_bfs_hops__seeds_lt_40", "shift",
+      (s, d) => Queries.qBfsHops(s, d, seedBound = 40L),
+      baseOracle("q_bfs_hops").replace("src < 20", "src < 40")),
+    Variant("q_sssp_bounded__seeds_lt_40", "shift",
+      (s, d) => Queries.qSsspBounded(s, d, seedBound = 40L),
+      baseOracle("q_sssp_bounded")
+        .replace("src % 2 = 0 AND src < 20", "src % 2 = 0 AND src < 40")),
+    Variant("q_ann_bruteforce__k_3", "shift",
+      (s, d) => Queries.qAnnBruteforce(s, d, k = 3),
+      baseOracle("q_ann_bruteforce").replace("rnk <= 5", "rnk <= 3")),
+    Variant("q_ann_bruteforce__queries_lt_25", "shift",
+      (s, d) => Queries.qAnnBruteforce(s, d, queryBound = 25L),
+      baseOracle("q_ann_bruteforce").replace("a.vec_id < 10", "a.vec_id < 25")),
+    Variant("q_winsorized__p05_95", "shift",
+      (s, d) => Queries.qWinsorized(s, d, pLo = 0.05, pHi = 0.95),
+      baseOracle("q_winsorized").replace("0.01", "0.05")
+        .replace("0.99", "0.95")),
+    Variant("q_chunk_docs__size_32_overlap_8", "shift",
+      (s, d) => Queries.qChunkDocs(s, d, chunkSize = 32, overlap = 8),
+      baseOracle("q_chunk_docs").replace("<= 64", "<= 32")
+        .replace("- 64 + 47) // 48 + 1", "- 32 + 23) // 24 + 1")
+        .replace("i * 48 + 1, i * 48 + 64", "i * 24 + 1, i * 24 + 32")),
+    Variant("q_rolling_median__window_6", "shift",
+      (s, d) => Queries.qRollingMedian(s, d, lookback = 6),
+      baseOracle("q_rolling_median")
+        .replace("14 PRECEDING", "6 PRECEDING"))
   )
 
   private def q1Qty(c: Int): Variant =
