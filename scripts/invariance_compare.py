@@ -15,12 +15,19 @@ import duckdb
 
 base, adv = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
-names = sorted(d for d in os.listdir(base)
-               if os.path.isdir(os.path.join(base, d)))
+# union of BOTH dumps' query dirs: a query present only on one side
+# (asymmetric dump — e.g. one run crashed mid-way) must be reported,
+# not silently skipped (ADVICE r17)
+def dirs(root):
+    return {d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))}
+names = sorted(dirs(base) | dirs(adv))
 fails = 0
 for name in names:
-    if not os.path.isdir(os.path.join(adv, name)):
-        print(f"{name}: MISSING in adversarial dump")
+    missing = [lbl for lbl, root in (("base", base), ("adversarial", adv))
+               if not os.path.isdir(os.path.join(root, name))]
+    if missing:
+        print(f"{name}: MISSING in {' and '.join(missing)} dump")
         fails += 1
         continue
     a = con.execute(

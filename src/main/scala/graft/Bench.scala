@@ -33,7 +33,7 @@ object Bench {
   private val ProbeRows = 500000000L
   /** Idle-host reference seconds for the probe (min of 6, this repo's
     * sandbox host, local[32]; see BASELINE.md "bench calibration"). */
-  val ProbeRefSec = 0.25 // recalibrated 2026-08-13 (r6): steady 0.23-0.25; the r5-era 0.50 was itself taken on a slow window and let 2x contention pass
+  val ProbeRefSec = 0.25 // re-verified 2026-08-16 (r18): the shallow-warmup probe-cal read ~0.31 but that was JIT residue — after the warmup fix below, three fresh-JVM runs read mins 0.262/0.282/0.276 and r17's own driver window probed 0.215-0.236 warm. Floor unchanged within noise; see BASELINE.md "bench calibration".
 
   def probeOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
@@ -76,8 +76,11 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (args.contains("--probe-cal")) {
-      probeOnce(spark) // warm codegen + JIT
-      val ts = Seq.fill(6)(probeOnce(spark))
+      // calibration must measure the same regime real bench probes run
+      // in — a fully JIT-warm JVM. 3 warmups read ~0.31 where a warm
+      // bench JVM reads ~0.25 (r18 measurement); 12 warmups converge.
+      (1 to 12).foreach(_ => probeOnce(spark))
+      val ts = Seq.fill(8)(probeOnce(spark))
       println("probe_cal_times=" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
         + f" min=${ts.min}%.3f")
       spark.stop(); return
@@ -125,11 +128,31 @@ object Bench {
     // re-time; the reported value is the min of all three runs and the
     // query is flagged in `requeried` so a reader can tell a re-timed
     // stall from a genuine regression.
-    val ref = loadRef()
-    val suspects = twoPassBest.collect {
-      case (n, v) if v >= 0 && ref.get(n).exists(r => v > r * 1.5 && v - r > 0.3) =>
-        (n, v / ref(n))
-    }.sortBy(-_._2).take(12).map(_._1)
+    val refAll = loadRef()
+    // `_probe_ref_sec` records the probe floor measured when the refs
+    // were certified (ADVICE r17): scaling refs by the CURRENT window's
+    // probe median ties the suspect gate to measured host speed — a
+    // faster host tightens the gate proportionally instead of silently
+    // weakening it, a mildly-contended window doesn't requery the
+    // world. Scale clamped to [0.7, 1.5]: beyond that the window is
+    // contended_median-flagged anyway and re-timing everything is noise.
+    val refProbe = refAll.getOrElse("_probe_ref_sec", ProbeRefSec)
+    val ref = refAll - "_probe_ref_sec"
+    val probesSoFar = probeTimes.sorted
+    val probeMedSoFar =
+      if (probesSoFar.isEmpty) refProbe
+      else (probesSoFar((probesSoFar.size - 1) / 2) +
+        probesSoFar(probesSoFar.size / 2)) / 2.0
+    val hostScale = math.min(1.5, math.max(0.7, probeMedSoFar / refProbe))
+    val suspectsAll = twoPassBest.collect {
+      case (n, v) if v >= 0 && ref.get(n).exists(r =>
+          v > r * hostScale * 1.5 && v - r * hostScale > 0.3) =>
+        (n, v / (ref(n) * hostScale))
+    }.sortBy(-_._2)
+    val suspects = suspectsAll.take(12).map(_._1)
+    // the cap exists so a catastrophically contended window can't turn
+    // the bench into a 3rd full pass — but a truncated list must SAY so
+    val suspectsDropped = suspectsAll.drop(12).map(_._1)
     val requeried: Map[String, Double] =
       if (suspects.isEmpty) Map.empty
       else {
@@ -210,10 +233,14 @@ object Bench {
     val bestMap = best.toMap
     val reqJson = suspects.map(n => "\"" + n + "\":" + jnum(bestMap(n)))
       .mkString("{", ",", "}")
+    // names capped at 8: the final line must stay inside the driver's
+    // 2000-char stdout window; `suspects_dropped_n` carries the true count
+    val droppedJson = suspectsDropped.take(8).map(n => "\"" + n + "\"")
+      .mkString("[", ",", "]")
     val top3Json = top3.map { n =>
       "\"" + n + "\":" + top3Obs(n).map(jnum).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$top30,"queries_shown":${math.min(30, names.size)},"n_queries":${names.size},"requeried":$reqJson,"top3_runs":$top3Json,"pass_totals":$passTotals,"noisy_host":$noisy,"probe_ref_sec":$ProbeRefSec,"probe_times":$probeJson,"contended_window":$contended,"probe_median":${f"$probeMedian%.3f"},"contended_median":$contendedMedian,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$top30,"queries_shown":${math.min(30, names.size)},"n_queries":${names.size},"requeried":$reqJson,"suspects_dropped":$droppedJson,"suspects_dropped_n":${suspectsDropped.size},"ref_probe_sec":$refProbe,"host_scale":${f"$hostScale%.3f"},"top3_runs":$top3Json,"pass_totals":$passTotals,"noisy_host":$noisy,"probe_ref_sec":$ProbeRefSec,"probe_times":$probeJson,"contended_window":$contended,"probe_median":${f"$probeMedian%.3f"},"contended_median":$contendedMedian,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,6 +43,20 @@ object Perturb {
 
   private def baseOracle(name: String): String = SparkEntry.oracleSql(name)
 
+  /** Variant oracles are built by textual rewrite of the base oracle
+    * SQL. A rewrite whose target substring has drifted out of the base
+    * text would silently no-op and surface later as a confusing hash
+    * mismatch — require the target instead, so oracle drift fails at
+    * variant-construction time with the missing fragment named
+    * (ADVICE r17). */
+  implicit final class OracleRewrite(private val sql: String) {
+    def replaceOrFail(target: String, replacement: String): String = {
+      require(sql.contains(target),
+        s"oracle rewrite target not found (base oracle drifted?): '$target'")
+      sql.replace(target, replacement)
+    }
+  }
+
   /** The variant catalog. ids are `<base>__<knob>`. */
   def variants: Seq[Variant] = Seq(
     // ---- q1_agg: group-key reorder (pres) + predicate constant (shift)
@@ -118,11 +132,11 @@ object Perturb {
     // ---- q_funnel: step sequence (shift)
     Variant("q_funnel__view_click_purchase", "shift",
       (s, d) => Queries.qFunnel(s, d, Seq("view", "click", "purchase")),
-      baseOracle("q_funnel").replace("= 'signup'", "= 'view'")),
+      baseOracle("q_funnel").replaceOrFail("= 'signup'", "= 'view'")),
     // ---- q_event_paths: LIMIT + path depth (shift)
     Variant("q_event_paths__limit_25", "shift",
       (s, d) => Queries.qEventPaths(s, d, topN = 25),
-      baseOracle("q_event_paths").replace("LIMIT 10", "LIMIT 25")),
+      baseOracle("q_event_paths").replaceOrFail("LIMIT 10", "LIMIT 25")),
     Variant("q_event_paths__depth_2", "shift",
       (s, d) => Queries.qEventPaths(s, d, depth3 = false),
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id,
@@ -140,12 +154,12 @@ object Perturb {
       (s, d) => Queries.qIntervalOverlapJoin(s, d,
         pWidthUs = 7200000000L, vWidthUs = 3600000000L),
       baseOracle("q_interval_overlap")
-        .replace("t_us + 3600000000 ", "t_us + 7200000000 ")
-        .replace("t_us + 1800000000 ", "t_us + 3600000000 ")),
+        .replaceOrFail("t_us + 3600000000 ", "t_us + 7200000000 ")
+        .replaceOrFail("t_us + 1800000000 ", "t_us + 3600000000 ")),
     // ---- q_dedup_exact: duplication bound (shift)
     Variant("q_dedup_exact__dupes_500", "shift",
       (s, d) => Queries.qDedupExact(s, d, dupBound = 500),
-      baseOracle("q_dedup_exact").replace("doc_id < 100", "doc_id < 500")),
+      baseOracle("q_dedup_exact").replaceOrFail("doc_id < 100", "doc_id < 500")),
     // ---- q_pivot: pivot value list (shift)
     Variant("q_pivot__types_2", "shift",
       (s, d) => Queries.qPivot(s, d, types = Seq("click", "view")),
@@ -169,40 +183,44 @@ object Perturb {
     // catalog def, so the variants exercise the catalog's code path.
     Variant("q_bfs_hops__hops_2", "shift",
       (s, d) => Queries.qBfsHops(s, d, maxHops = 2),
-      baseOracle("q_bfs_hops").replace("b.d < 3", "b.d < 2")),
+      baseOracle("q_bfs_hops").replaceOrFail("b.d < 3", "b.d < 2")),
     Variant("q_bfs_hops__seeds_lt_40", "shift",
       (s, d) => Queries.qBfsHops(s, d, seedBound = 40L),
-      baseOracle("q_bfs_hops").replace("src < 20", "src < 40")),
+      baseOracle("q_bfs_hops").replaceOrFail("src < 20", "src < 40")),
     Variant("q_sssp_bounded__seeds_lt_40", "shift",
       (s, d) => Queries.qSsspBounded(s, d, seedBound = 40L),
       baseOracle("q_sssp_bounded")
-        .replace("src % 2 = 0 AND src < 20", "src % 2 = 0 AND src < 40")),
+        .replaceOrFail("src % 2 = 0 AND src < 20", "src % 2 = 0 AND src < 40")),
     Variant("q_ann_bruteforce__k_3", "shift",
       (s, d) => Queries.qAnnBruteforce(s, d, k = 3),
-      baseOracle("q_ann_bruteforce").replace("rnk <= 5", "rnk <= 3")),
+      baseOracle("q_ann_bruteforce").replaceOrFail("rnk <= 5", "rnk <= 3")),
     Variant("q_ann_bruteforce__queries_lt_25", "shift",
       (s, d) => Queries.qAnnBruteforce(s, d, queryBound = 25L),
-      baseOracle("q_ann_bruteforce").replace("a.vec_id < 10", "a.vec_id < 25")),
+      baseOracle("q_ann_bruteforce").replaceOrFail("a.vec_id < 10", "a.vec_id < 25")),
     Variant("q_winsorized__p05_95", "shift",
       (s, d) => Queries.qWinsorized(s, d, pLo = 0.05, pHi = 0.95),
-      baseOracle("q_winsorized").replace("0.01", "0.05")
-        .replace("0.99", "0.95")),
+      baseOracle("q_winsorized").replaceOrFail("0.01", "0.05")
+        .replaceOrFail("0.99", "0.95")),
     Variant("q_chunk_docs__size_32_overlap_8", "shift",
       (s, d) => Queries.qChunkDocs(s, d, chunkSize = 32, overlap = 8),
-      baseOracle("q_chunk_docs").replace("<= 64", "<= 32")
-        .replace("- 64 + 47) // 48 + 1", "- 32 + 23) // 24 + 1")
-        .replace("i * 48 + 1, i * 48 + 64", "i * 24 + 1, i * 24 + 32")),
+      baseOracle("q_chunk_docs").replaceOrFail("<= 64", "<= 32")
+        .replaceOrFail("- 64 + 47) // 48 + 1", "- 32 + 23) // 24 + 1")
+        .replaceOrFail("i * 48 + 1, i * 48 + 64", "i * 24 + 1, i * 24 + 32")
+        // half the stride ⇒ ~2× the chunks per doc: double the chunk-
+        // index series bound so a long document can't silently truncate
+        // the oracle side while the engine emits all chunks (ADVICE r17)
+        .replaceOrFail("generate_series(0, 4095)", "generate_series(0, 8191)")),
     Variant("q_rolling_median__window_6", "shift",
       (s, d) => Queries.qRollingMedian(s, d, lookback = 6),
       baseOracle("q_rolling_median")
-        .replace("14 PRECEDING", "6 PRECEDING"))
+        .replaceOrFail("14 PRECEDING", "6 PRECEDING"))
   )
 
   private def q1Qty(c: Int): Variant =
     Variant(s"q1_agg__qty_le_$c", "shift",
       (s, d) => Queries.q1Agg(s, d, maxQty = Some(c.toDouble)),
       baseOracle("q1_agg")
-        .replace("FROM lineitem", s"FROM lineitem WHERE l_quantity <= $c"))
+        .replaceOrFail("FROM lineitem", s"FROM lineitem WHERE l_quantity <= $c"))
 
   private def jsonpathVariant(id: String, types: Seq[String],
       ks: Seq[String]): Variant =
@@ -219,7 +237,7 @@ object Perturb {
       (s, d) => Queries.qJoinBroadcast(s, d, swapSides = swap,
         regionFilter = Some(region)),
       baseOracle("q_join_broadcast")
-        .replace("GROUP BY r_name, n_name",
+        .replaceOrFail("GROUP BY r_name, n_name",
           s"WHERE r_name = '$region'\nGROUP BY r_name, n_name"))
 
   private def jsConsts(id: String, minDisc: Double, statusNot: String): Variant =
@@ -227,8 +245,8 @@ object Perturb {
       (s, d) => Queries.qJoinShuffle(s, d, minDiscount = minDisc,
         statusNot = statusNot),
       baseOracle("q_join_shuffle")
-        .replace("l_discount > 0.02", s"l_discount > $minDisc")
-        .replace("o_orderstatus <> 'F'", s"o_orderstatus <> '$statusNot'"))
+        .replaceOrFail("l_discount > 0.02", s"l_discount > $minDisc")
+        .replaceOrFail("o_orderstatus <> 'F'", s"o_orderstatus <> '$statusNot'"))
 
   private def windowRanksOracle(partKey: String, ntileN: Int): String =
     s"""SELECT o_orderkey, $partKey,
@@ -246,7 +264,7 @@ object Perturb {
   private def topkK(k: Int): Variant =
     Variant(s"q_topk_grouped__k_$k", "shift",
       (s, d) => Queries.qTopkGrouped(s, d, k = k),
-      baseOracle("q_topk_grouped").replace("rk <= 5", s"rk <= $k"))
+      baseOracle("q_topk_grouped").replaceOrFail("rk <= 5", s"rk <= $k"))
 
   private def lateralOracle(k: Int, dir: String): String =
     s"""SELECT n.n_name AS nation, t.c_name AS cust_name,
@@ -260,7 +278,7 @@ object Perturb {
   private def gapfillUsers(u: Int): Variant =
     Variant(s"q_gapfill__users_lt_$u", "shift",
       (s, d) => Queries.qGapFill(s, d, maxUser = u.toLong),
-      baseOracle("q_gapfill").replace("user_id < 50", s"user_id < $u"))
+      baseOracle("q_gapfill").replaceOrFail("user_id < 50", s"user_id < $u"))
 
   private def quantileOracle(column: String, ps: Seq[Double]): String = {
     val branches = ps.map(p =>
@@ -278,7 +296,7 @@ object Perturb {
   private def sessionGap(id: String, gapUs: Long): Variant =
     Variant(s"q_sessionize__$id", "shift",
       (s, d) => Queries.qSessionize(s, d, gapUs = gapUs),
-      baseOracle("q_sessionize").replace("> 86400000000", s"> $gapUs"))
+      baseOracle("q_sessionize").replaceOrFail("> 86400000000", s"> $gapUs"))
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import graft.Queries
@@ -39,6 +39,13 @@ object StageProfile {
     val sfDir = args(0)
     val queries = args.drop(1).toSeq
     require(queries.nonEmpty, "usage: StageProfile <sfDir> <query> [query...]")
+    // fail fast on a typo with the valid names, not a bare
+    // NoSuchElementException mid-run (ADVICE r17)
+    val unknown = queries.filterNot(Queries.all.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+        s"${unknown.mkString(", ")} — valid names are graft.Queries.all keys " +
+        s"(e.g. ${Queries.all.keys.toSeq.sorted.take(5).mkString(", ")}, ...)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "2").toInt
     val spark = SparkSession.builder()
@@ -52,14 +59,30 @@ object StageProfile {
     println(s"datagen_id=${DataGenId.of(sfDir)} dir=$sfDir cpus=$cpus")
 
     val rows = new ConcurrentLinkedQueue[StageRow]()
-    // mutated between runs on the driver only; listener events for a
-    // run are drained by the post-run sleep before these advance
-    @volatile var curQuery = ""
-    @volatile var curRun = 0
+    // Attribution is keyed by JOB GROUP, not by when the stage-completed
+    // event happens to arrive: each run sets a unique job-group id
+    // "run|query", SparkListenerJobStart (which carries the group
+    // property and the job's stage ids) records stageId→group, and
+    // stage-completed events look the group up — a slow event arriving
+    // after the driver moved to the next query still attributes to the
+    // stage's own run (ADVICE r17). The post-run sleep remains only to
+    // DRAIN events before printing, no longer for correctness.
+    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val g = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          .getOrElse("")
+        if (g.contains('|')) e.stageIds.foreach(id => stageGroup.put(id, g))
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         val m = si.taskMetrics
+        val g = stageGroup.getOrDefault(si.stageId, "")
+        val (curRun, curQuery) = g.split('|') match {
+          case Array(r, q) => (r.toInt, q)
+          case _           => (0, "?")
+        }
         if (m != null) rows.add(StageRow(curRun, curQuery, si.stageId,
           si.name.takeWhile(_ != '\n').take(60), si.numTasks,
           m.executorRunTime, m.executorCpuTime / 1000000L,
@@ -75,13 +98,15 @@ object StageProfile {
     spark.sparkContext.addSparkListener(listener)
 
     for (r <- 1 to runs; q <- queries) {
-      curRun = r; curQuery = q
+      spark.sparkContext.setJobGroup(s"$r|$q", s"StageProfile $q run $r")
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      Queries.all(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try Queries.all(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.clearJobGroup()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener bus is async — let this run's stage events drain
-      // before the labels move on
+      // listener bus is async — drain this run's stage events before
+      // printing its table (attribution itself is job-group-keyed and
+      // does not depend on this)
       Thread.sleep(2000)
       println(f"%n== run $r $q: $sec%.1f s ==")
       println(f"${"stage"}%-7s ${"tasks"}%5s ${"run_s"}%8s ${"cpu_s"}%8s " +
