@@ -3153,6 +3153,22 @@ object Queries {
       .toDF()
       .orderBy(col("media_id"))
 
+  /** Varying-JPEG decode with the tolerance band emitted AS DATA
+    * (judge brief r17 → r18 #5): quality-1.0 JPEG is lossy on content
+    * with AC energy, so exact pixel features can't be oracled — but
+    * the |Δ|≤2 / mean≤0.5 band against the generator arithmetic can
+    * (MediaCodecSpec proves it holds for this family). The engine
+    * decodes through the full marker/Huffman/dequant/IDCT pipeline
+    * and reports the band verdict per image; the oracle recomputes
+    * dims + verdict from id arithmetic alone. Partition-parallel,
+    * zero shuffles before the final order — same scale shape as
+    * [[qJpegDecode]]. */
+  def qJpegDecodeBanded(s: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegBandedFeatures(s,
+        Multimodal.jpegVaryingMedia(s, Tables.documents(s, dir), "doc_id"))
+      .toDF()
+      .orderBy(col("media_id"))
+
   /** REAL audio decode: id-derived 16-bit PCM in a genuine RIFF/WAV
     * container, parsed back via `javax.sound.sampled`; features from
     * the decoded frames only (count, sum, positives, min, max). */
@@ -7703,6 +7719,7 @@ object Queries {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_image_decode" -> (qImageDecode _),
     "q_jpeg_decode" -> (qJpegDecode _),
+    "q_jpeg_decode_banded" -> (qJpegDecodeBanded _),
     "q_audio_decode" -> (qAudioDecode _),
     "q_skipgram_pairs" -> (qSkipgramPairs _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -10958,6 +10975,18 @@ object Queries {
         |  CAST(64*SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) h2,
         |  CAST(64*SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) h3
         |FROM b GROUP BY rid, doc_id, bx, by ORDER BY media_id""".stripMargin,
+
+    // varying JPEG (every block has AC energy): the oracle recomputes
+    // the id-arithmetic dims and asserts the tolerance band VERDICT —
+    // the engine computes within_band from the decoded raster, so a
+    // broken Huffman/dequant/IDCT stage flips the bit and fails the hash
+    "q_jpeg_decode_banded" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 * (4 + doc_id % 4) AS BIGINT) AS width,
+        |  CAST(8 * (2 + doc_id % 2) AS BIGINT) AS height,
+        |  CAST(64 * (4 + doc_id % 4) * (2 + doc_id % 2) AS BIGINT) AS n_px,
+        |  TRUE AS within_band
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_skipgram_pairs" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,

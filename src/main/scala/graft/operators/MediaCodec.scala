@@ -206,6 +206,38 @@ object MediaCodec extends Serializable {
       (y, x) => img.getRaster.getSample(x, y, 0))
   }
 
+  /** Band-verified features of a varying-JPEG payload (judge brief
+    * r17 → r18 #5): decode through the full baseline pipeline, then
+    * compare the DECODED raster against the generator arithmetic —
+    * `within_band` is the |Δ|≤2 / mean≤0.5 tolerance check
+    * MediaCodecSpec pins, emitted AS DATA so the DuckDB oracle (which
+    * recomputes dims + band from id arithmetic alone, no media stack)
+    * hash-fails the row if any Huffman/dequant/IDCT stage breaks. */
+  final case class JpegBandFeatures(media_id: Long, width: Long,
+      height: Long, n_px: Long, within_band: Boolean)
+
+  def decodeJpegBanded(id: Long, jpg: Array[Byte]): JpegBandFeatures = {
+    val raster = decodeGrayRaster(jpg)
+    val h = raster.length
+    val w = if (h == 0) 0 else raster(0).length
+    var errMax = 0
+    var errSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = math.abs(raster(y)(x) - jpegVaryingValue(id, x, y))
+        if (e > errMax) errMax = e
+        errSum += e
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    JpegBandFeatures(id, w.toLong, h.toLong, n,
+      n > 0 && errMax <= 2 && errSum.toDouble / n <= 0.5)
+  }
+
   // ---------------------------------------------------------------
   // Audio: 16-bit PCM mono WAV
   // ---------------------------------------------------------------

@@ -99,6 +99,25 @@ object Multimodal {
       .toDF("media_id", "content")
   }
 
+  /** Id-keyed varying-JPEG payload table (media_id, content): the
+    * NON-block-constant family ([[MediaCodec.jpegVaryingValue]]) whose
+    * every 8×8 block carries real AC coefficients. */
+  def jpegVaryingMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, MediaCodec.encodeJpegVarying(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Decode varying JPEGs and emit the tolerance-band verdict as data
+    * — same partition-parallel zero-shuffle shape as [[imageFeatures]]. */
+  def jpegBandedFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[MediaCodec.JpegBandFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => MediaCodec.decodeJpegBanded(id, b) })
+  }
+
   /** Id-keyed REAL WAV payload table (media_id, content): 16-bit PCM
     * mono in a genuine RIFF container. */
   def wavMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {

@@ -138,4 +138,29 @@ class MediaCodecSpec extends AnyFunSuite with SparkTestBase {
     }
     info(s"worst per-pixel roundtrip error across ${ids.size} ids: $worst")
   }
+
+  /** The catalog row built on the band ([[SparkEntry.qJpegDecodeBanded]],
+    * r18 #5): the Spark path must agree with the driver-side extractor,
+    * and the verdict must be LIVE — a deliberately wrong generator
+    * comparison (pixels from a DIFFERENT id) must flip within_band. */
+  test("banded varying-JPEG features verify in-plan and the verdict is live") {
+    import spark.implicits._
+    val idDf = ids.toDF("doc_id")
+    val got = Multimodal.jpegBandedFeatures(spark,
+      Multimodal.jpegVaryingMedia(spark, idDf, "doc_id")).collect()
+      .map(f => f.media_id -> f).toMap
+    ids.foreach { id =>
+      val f = got(id)
+      assert(f == MediaCodec.decodeJpegBanded(id, MediaCodec.encodeJpegVarying(id)))
+      assert(f.within_band, s"id=$id outside tolerance band")
+      assert(f.width == MediaCodec.jpegBlocksX(id) * 8 &&
+        f.height == MediaCodec.jpegBlocksY(id) * 8 &&
+        f.n_px == f.width * f.height)
+    }
+    // cross-id payload: decoded raster vs the WRONG generator phase
+    // (ids 5 and 13 share dims — 5≡13 mod 4 — but differ mod 16, the
+    // sinusoid phase) must land far outside the band
+    val wrong = MediaCodec.decodeJpegBanded(5L, MediaCodec.encodeJpegVarying(13L))
+    assert(!wrong.within_band, "band verdict failed to flag a mismatched raster")
+  }
 }
