@@ -83,7 +83,12 @@ object Soak {
         * session/LSH key shows up here long before it breaks a gate */
       maxBatchMs: Long = 0L,
       /** % of docs rewritten to one shared text (hot LSH bucket) */
-      docSkewPct: Int = 0) {
+      docSkewPct: Int = 0,
+      /** Avro schema evolutions the pipeline's SchemaAwareDecoder
+        * observed and re-planned across (0 = evolution mode off) */
+      schemaChanges: Long = 0L,
+      /** chunk index at which the writer schema evolved (−1 = off) */
+      evolveAtChunk: Long = -1L) {
     def allOk: Boolean =
       hashStoreOk && cmsOk && driftOk && joinMvOk && sessionsOk && lshOk
   }
@@ -166,6 +171,52 @@ object Soak {
   private val sub = Subscription("soak", "soak", "*",
     FbOptions(syncMode = "sync", targetPath = "_aether/entities/{topic}"))
 
+  // ---- Avro schema-evolution mode (judge brief r17 → r18 #3): the
+  // pipeline query ingests avro-encoded payloads instead of bare
+  // columns, and the WRITER schema evolves mid-soak — v2 both ADDS a
+  // defaulted column (lang) and WIDENS a type (value float → double).
+  // The A17 re-plan path (Pipeline.SchemaAwareDecoder over
+  // AvroSchemaBridge fingerprints) has sbt coverage in StreamingSpec;
+  // here it runs under concurrent 6-query ingest with the crash
+  // landing AFTER the evolution, so the hash store must stay exactly
+  // equal to batch recompute across BOTH lifecycle events.
+  private[streaming] val evoV1: String =
+    """{"type":"record","name":"Ev","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"float"}]}""".stripMargin.replace("\n", "")
+  private[streaming] val evoV2: String =
+    """{"type":"record","name":"Ev","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"user_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"},
+      |{"name":"lang","type":"string","default":"und"}]}""".stripMargin.replace("\n", "")
+
+  /** Stage `df` as one file per PRECOMPUTED `chunkCol` value, written
+    * (and mtime-stamped) in ascending chunk order — the
+    * schema-evolution staging, where the writer-generation rule is
+    * keyed on the chunk id itself so chunk↔batch alignment is exact by
+    * construction (no ntile tie can move a row across the evolution
+    * boundary). */
+  private def stageChunked(df: DataFrame, chunkCol: String, dir: String): Unit = {
+    val chunks = df.select(col(chunkCol)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val seen = scala.collection.mutable.Set[java.io.File]()
+    val base = System.currentTimeMillis() - chunks.length * 1000L
+    chunks.zipWithIndex.foreach { case (i, idx) =>
+      df.filter(col(chunkCol) === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val t = java.nio.file.attribute.FileTime.fromMillis(base + idx * 1000L)
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filterNot(seen.contains).foreach { f =>
+          Files.setLastModifiedTime(f.toPath, t)
+          seen += f
+        }
+    }
+  }
+
   /** Deterministic boilerplate assigned to doc-skewed rows: long
     * enough to shingle, constant so every skewed doc lands in the
     * SAME LSH band buckets (one hot bucket holding docSkewPct% of the
@@ -175,11 +226,13 @@ object Soak {
 
   def run(spark: SparkSession, sfDir: String, nEventFiles: Int,
       nDocFiles: Int, crashPoint: String = "pipeline",
-      docSkewPct: Int = 0): Result = {
+      docSkewPct: Int = 0, schemaEvolve: Boolean = false): Result = {
     require(nEventFiles >= 2, "the guaranteed-watermark band needs >=2 chunks")
     require(crashPoint == "pipeline" || crashPoint == "mv-merge",
       s"unknown crash point: $crashPoint")
     require(docSkewPct >= 0 && docSkewPct <= 100)
+    require(!schemaEvolve || nEventFiles >= 4,
+      "schema evolution needs the evolve chunk strictly before the crash")
     import spark.implicits._
     val t0 = System.nanoTime()
     // lock-free max-batch-duration probe (a listener that takes locks
@@ -220,6 +273,62 @@ object Soak {
     val docSchema = spark.read.parquet(docIn).schema
     val nEvents = ev.count(); val nDocs = docs.count()
 
+    // ---- schema-evolution staging: avro-encoded payloads, writer
+    // generation keyed on an EXPLICIT chunk column (1-based ntile over
+    // ts) so chunk↔batch alignment is exact — chunks < evolveChunk are
+    // v1-written; the evolveChunk itself mixes v2 rows with v1
+    // STRAGGLERS (id % 5 == 0), which the fingerprint CaseWhen must
+    // decode under the evolved reader; later chunks are all v2. ----
+    val evolveChunk = if (schemaEvolve) math.max(2, nEventFiles / 4) else -1
+    val avroIn = s"$work/in-avro"
+    val schemaChanges = new java.util.concurrent.atomic.AtomicLong(0L)
+    val evoFps = Seq(evoV1, evoV2)
+      .map(s => graft.sources.AvroSchemaBridge.fingerprint(s).toString -> s)
+    if (schemaEvolve) {
+      import graft.functions.AvroColumns.avro_encode
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+      val chunked = ev.withColumn("chunk", ntile(nEventFiles).over(w))
+        .localCheckpoint(true)
+      val genV1 = col("chunk") < evolveChunk ||
+        (col("chunk") === evolveChunk && pmod(col("id"), lit(5L)) === 0)
+      val v1Struct = struct(col("id"), col("user_id"), col("event_type"),
+        col("value").cast("float").as("value"))
+      val v2Struct = struct(col("id"), col("user_id"), col("event_type"),
+        col("value"), substring(col("event_type"), 1, 2).as("lang"))
+      stageChunked(chunked.select(col("kafka_topic"),
+          when(genV1, lit(evoFps.head._1)).otherwise(lit(evoFps.last._1))
+            .as("schema_fp"),
+          when(genV1, avro_encode(v1Struct, evoV1))
+            .otherwise(avro_encode(v2Struct, evoV2)).as("value"),
+          col("chunk")),
+        "chunk", avroIn)
+      graft.operators.Rounds.releaseOf(chunked)()
+    }
+    def avroStream = spark.readStream
+      .schema(spark.read.parquet(avroIn).schema)
+      .option("maxFilesPerTrigger", "1").parquet(avroIn)
+      .select(col("kafka_topic"), col("schema_fp"), col("value"))
+
+    /** Per-launch re-planning decoder: the reference's registry reads
+      * each MESSAGE's schema (artifacts.py:314-318) — the stand-in
+      * sniffs the batch's fingerprints before decoding, so the
+      * generation list is content-driven and deterministic under
+      * crash/replay (a replayed batch re-derives the same reader). */
+    def mkDecoder(): DataFrame => DataFrame = {
+      val seenFps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      seenFps.add(evoFps.head._1) // the deploy-time generation
+      val inner = new Pipeline.SchemaAwareDecoder(
+        new graft.sources.SchemaRegistry(), "soak-evo",
+        () => evoFps.collect { case (f, s) if seenFps.contains(f) => s },
+        onChange = (_, _) => { schemaChanges.incrementAndGet(); () })
+      batch => {
+        batch.select(col("schema_fp")).distinct().collect()
+          .map(_.getString(0)).filter(f => evoFps.exists(_._1 == f))
+          .foreach(seenFps.add)
+        inner(batch)
+      }
+    }
+
     def evStream = spark.readStream.schema(evSchema)
       .option("maxFilesPerTrigger", "1").parquet(evIn)
     def docStream = spark.readStream.schema(docSchema)
@@ -241,8 +350,9 @@ object Soak {
         reuseMv: Option[StreamOps.JoinMvMaintainer] = None): Fleet = {
       val job = new StreamingJob(spark, Seq(sub), "tnt",
         () => new KeyedCountingSink(sinkKey),
-        s"$work/hashes", s"$work/pipeline-ckpt", Trigger.ProcessingTime(0L))
-      val pipeline = job.start(evStream)
+        s"$work/hashes", s"$work/pipeline-ckpt", Trigger.ProcessingTime(0L),
+        preBatch = if (schemaEvolve) Some(mkDecoder()) else None)
+      val pipeline = job.start(if (schemaEvolve) avroStream else evStream)
 
       val cms = new StreamOps.CmsMaintainer(spark)
       val drift = new StreamOps.DriftMaintainer(spark, 64, 0.0, 100.0)
@@ -313,10 +423,29 @@ object Soak {
     val batchInput = spark.read.parquet(evIn)
 
     // 1. pipeline hash store == batch route→mask→hash over the full
-    //    input (unique ids ⇒ the store holds every doc's hash)
-    val expectedHashes = Pipeline.dedupeBatch(
-        Pipeline.compileMulti(Seq(sub), "tnt", batchInput))
-      .select(col("target_path"), col("doc_id"), col("doc_hash"))
+    //    input (unique ids ⇒ the store holds every doc's hash). In
+    //    evolution mode the recompute models the reader SCHEDULE the
+    //    content-driven sniffer pins to chunk boundaries: chunks
+    //    before the evolution decode under the v1 reader (their
+    //    batches saw only v1 fingerprints), everything from the
+    //    evolveChunk on — v1 stragglers included — under the evolved
+    //    v2 reader (float widened to double, lang defaulted to "und").
+    val expectedHashes = {
+      def hashesOf(d: DataFrame) = Pipeline.dedupeBatch(
+          Pipeline.compileMulti(Seq(sub), "tnt", d))
+        .select(col("target_path"), col("doc_id"), col("doc_hash"))
+      if (!schemaEvolve) hashesOf(batchInput)
+      else {
+        val staged = spark.read.parquet(avroIn)
+        def dec(rows: DataFrame, gens: Seq[String]): DataFrame =
+          new Pipeline.SchemaAwareDecoder(new graft.sources.SchemaRegistry(),
+            "soak-evo-batch", () => gens)(
+            rows.select(col("kafka_topic"), col("schema_fp"), col("value")))
+        hashesOf(dec(staged.filter(col("chunk") < evolveChunk), Seq(evoV1)))
+          .unionByName(hashesOf(dec(staged.filter(col("chunk") >= evolveChunk),
+            Seq(evoV1, evoV2))))
+      }
+    }
     val hashStoreOk = sameMultiset(
       new HashStore(spark, s"$work/hashes").load(), expectedHashes)
 
@@ -413,7 +542,8 @@ object Soak {
       KeyedCountingSink.drain(sinkKey),
       sessionsEmitted, lshHits,
       hashStoreOk, cmsOk, driftOk, joinMvOk, sessionsOk, lshOk, work,
-      crashPoint, b.joinMv.noopReplays.get(), maxBatchMs.get(), docSkewPct)
+      crashPoint, b.joinMv.noopReplays.get(), maxBatchMs.get(), docSkewPct,
+      schemaChanges.get(), evolveChunk.toLong)
   }
 }
 
@@ -437,9 +567,11 @@ object SoakBench {
     val crashPoint = sys.env.getOrElse("SPARK_GRAFT_CRASH_POINT", "pipeline")
     val docSkewPct =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_SKEW_PCT", "0").toInt
+    val schemaEvolve =
+      sys.env.getOrElse("SPARK_GRAFT_SCHEMA_EVOLVE", "false").toBoolean
     val r = Soak.run(spark, sfDir, nEventFiles, nDocFiles, crashPoint,
-      docSkewPct)
-    println(f"""{"metric":"soak_events_per_sec","value":${r.events / r.wallSec}%.1f,"unit":"events/sec","events":${r.events},"docs":${r.docs},"seconds":${r.wallSec}%.2f,"concurrent_queries":6,"crash_point":"${r.crashPoint}","crash_at_batch":${r.crashAtPipelineBatch},"mv_noop_replays":${r.mvNoopReplays},"max_batch_ms":${r.maxBatchMs},"doc_skew_pct":${r.docSkewPct},"pipeline_sink_commits":${r.pipelineSinkCommits},"sessions_emitted":${r.sessionsEmitted},"lsh_hits":${r.lshHits},"hash_store_ok":${r.hashStoreOk},"cms_ok":${r.cmsOk},"drift_ok":${r.driftOk},"join_mv_ok":${r.joinMvOk},"sessions_ok":${r.sessionsOk},"lsh_ok":${r.lshOk},"all_ok":${r.allOk},"sf":"$sfDir"}""")
+      docSkewPct, schemaEvolve)
+    println(f"""{"metric":"soak_events_per_sec","value":${r.events / r.wallSec}%.1f,"unit":"events/sec","events":${r.events},"docs":${r.docs},"seconds":${r.wallSec}%.2f,"concurrent_queries":6,"crash_point":"${r.crashPoint}","crash_at_batch":${r.crashAtPipelineBatch},"mv_noop_replays":${r.mvNoopReplays},"max_batch_ms":${r.maxBatchMs},"doc_skew_pct":${r.docSkewPct},"schema_changes":${r.schemaChanges},"evolve_at_chunk":${r.evolveAtChunk},"pipeline_sink_commits":${r.pipelineSinkCommits},"sessions_emitted":${r.sessionsEmitted},"lsh_hits":${r.lshHits},"hash_store_ok":${r.hashStoreOk},"cms_ok":${r.cmsOk},"drift_ok":${r.driftOk},"join_mv_ok":${r.joinMvOk},"sessions_ok":${r.sessionsOk},"lsh_ok":${r.lshOk},"all_ok":${r.allOk},"sf":"$sfDir"}""")
     spark.stop()
     if (!r.allOk) sys.exit(1)
   }

@@ -45,4 +45,23 @@ class ConcurrentSoakSpec extends AnyFunSuite with SparkTestBase {
     assert(r.hashStoreOk && r.cmsOk && r.driftOk && r.joinMvOk &&
       r.sessionsOk && r.lshOk, "a state gate failed under the mv-merge crash")
   }
+
+  test("mid-soak Avro schema evolution: re-plan + crash, states stay batch-equal") {
+    // writer schema evolves (added defaulted column + float→double
+    // widening) at chunk 2 of 8, crash at ~4 — the decode re-plans
+    // mid-stream (A17), stragglers decode via their writer
+    // fingerprint, and every maintained state must still equal the
+    // batch recompute across BOTH lifecycle events
+    val r = Soak.run(spark, sf, nEventFiles = 8, nDocFiles = 3,
+      schemaEvolve = true)
+    assert(r.schemaChanges >= 1L,
+      "the evolution was never observed by the decoder")
+    assert(r.evolveAtChunk == 2L)
+    assert(r.pipelineSinkCommits >= r.events,
+      "pipeline sink saw fewer docs than staged (lost data)")
+    assert(r.hashStoreOk,
+      "pipeline hash store != batch recompute across the schema change")
+    assert(r.cmsOk && r.driftOk && r.joinMvOk && r.sessionsOk && r.lshOk,
+      "a state gate failed under schema evolution")
+  }
 }
