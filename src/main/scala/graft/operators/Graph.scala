@@ -148,13 +148,21 @@ object Graph {
     * with `n` distinct nodes. Package-private so GraphSpec can force
     * it regardless of graph size.
     *
-    * The bitmap lives in `ceil(n/64)` separate LONG COLUMNS, not an
-    * array: conditional `bit_or` aggregates build it and a flat sum of
-    * `bit_count(a_i & b_i)` terms intersects it — every expression is
-    * whole-stage-codegen'd straight-line code. (The array form with
-    * `aggregate`/`transform`/`zip_with` lambdas was 5-8 s on the same
-    * input: higher-order functions are interpreted and allocate a new
-    * array per element.) */
+    * The per-node bitmap is packed into ONE BinaryType column
+    * (ceil(n/64) LONG words via conditional `bit_or` aggregates →
+    * functions.PackLongsExpr), COLLECTED once — the dense-tier gate
+    * bounds the whole table to what the old plan already broadcast
+    * TWICE as join builds — and attached as a broadcast lookup array.
+    * The probe is then a single projection over the directed edge
+    * list (functions.BitmapLookupPopcountExpr: popcount(adj[aid] &
+    * adj[bid]) in one fused codegen loop): ZERO joins, zero per-edge
+    * bitmap materialization. r18 measurements at sf0.1
+    * (q_triangle_count, clean probe windows): per-word-column join
+    * plan 7.1 s → packed-binary join plan 4.9 s → joinless lookup
+    * plan, see FIXTURES r18. (The array-typed SQL form with
+    * `aggregate`/`zip_with` lambdas was 5-8 s on the same input back
+    * in r14: higher-order functions are interpreted and allocate per
+    * element — still the reason the words build uses flat columns.) */
   private[graft] def denseTriangles(e: DataFrame, nodes: DataFrame,
       n: Long): DataFrame = {
     // dense-rank nodes to 0..n-1 so ids index bitmap bits. The
@@ -169,46 +177,41 @@ object Graph {
         F.struct(col("u").as("a"), col("v").as("b")),
         F.struct(col("v").as("a"), col("u").as("b")))).as("d"))
       .select(col("d.a").as("a"), col("d.b").as("b"))
-    // eb feeds three consumers (bitmap build + both probe joins'
-    // stream side); adj feeds two broadcast exchanges that Spark
-    // cannot dedup (different output projections). Cache both — eb is
-    // |2E| narrow rows, adj is n rows — or each broadcast build
-    // re-runs the id-mapping joins.
+    // eb feeds two consumers (adjacency build collect + probe scan)
     val eb = both
       .join(broadcast(ids.select(col("node").as("a"), col("nid").as("aid"))), "a")
       .join(broadcast(ids.select(col("node").as("b"), col("nid").as("bid"))), "b")
       .cache()
     val words = ((n + 63) / 64).toInt
-    // adjacency bitmap per node: word bid/64 gets bit bid%64; one
-    // codegen'd hash aggregate, n rows out
     val pre = eb.select(col("aid"), expr("bid div 64").as("w"),
       expr("shiftleft(1L, CAST(bid % 64 AS INT))").as("b"))
     val aggs = (0 until words).map(wi =>
       expr(s"bit_or(CASE WHEN w = $wi THEN b ELSE 0L END)").as(s"bm_$wi"))
-    val adj = pre.groupBy(col("aid")).agg(aggs.head, aggs.tail: _*).cache()
-    val adjA = adj.select(col("aid") +:
-      (0 until words).map(wi => col(s"bm_$wi").as(s"a_bm_$wi")): _*)
-    val adjB = adj.select(col("aid").as("bid") +:
-      (0 until words).map(wi => col(s"bm_$wi").as(s"b_bm_$wi")): _*)
+    val adjArr = new Array[Array[Byte]](n.toInt)
+    pre.groupBy(col("aid")).agg(aggs.head, aggs.tail: _*)
+      .select(col("aid"), graft.functions.BitmapOps.pack_longs(
+        (0 until words).map(wi => col(s"bm_$wi"))).as("bm"))
+      .collect()
+      .foreach(r => adjArr(r.getLong(0).toInt) = r.getAs[Array[Byte]](1))
+    // every node has ≥1 edge by construction, but a hole must popcount
+    // to 0, not NPE
+    for (i <- adjArr.indices if adjArr(i) == null) adjArr(i) = Array.emptyByteArray
+    val bc = e.sparkSession.sparkContext.broadcast(adjArr)
     // tri(a) = ½ Σ_{b∈N(a)} popcount(bm[a] & bm[b]): one streamed pass
-    // over the directed edges, two broadcast joins, zero wide
-    // intermediates. The sum is even by construction, so `div 2` is
-    // exact.
-    val common = (0 until words)
-      .map(wi => expr(s"CAST(bit_count(a_bm_$wi & b_bm_$wi) AS BIGINT)"))
-      .reduce(_ + _)
+    // over the directed edges. The sum is even by construction, so
+    // `div 2` is exact.
     val res = PlanProbe.record("helper:graph.denseTriangles",
-      eb.join(broadcast(adjA), "aid")
-        .join(broadcast(adjB), "bid")
-        .select(col("a").as("node"), common.as("common"))
+      eb.select(col("a").as("node"), graft.functions.BitmapOps
+          .lookup_and_popcount(col("aid"), col("bid"), bc).as("common"))
         .groupBy(col("node"))
         .agg(expr("sum(common) div 2").as("n_triangles"))
         .filter(col("n_triangles") > 0))
-      // eager per-node result (bounded by |V|) so eb/adj release NOW —
-      // the same self-release contract as componentDenseTriangles
+      // eager per-node result (bounded by |V|) so eb and the broadcast
+      // release NOW — the same self-release contract as
+      // componentDenseTriangles
       .localCheckpoint(true)
     eb.unpersist()
-    adj.unpersist()
+    bc.destroy()
     res
   }
 
@@ -219,52 +222,68 @@ object Graph {
     * label, so each node's adjacency bitmap spans only
     * ceil(maxComponent/64) words instead of ceil(totalNodes/64).
     * Edges never cross components by definition, which is what makes
-    * the per-component id space sound. Same zero-wedge-materialization
-    * property as tier 1: the plan streams |E| rows through two
-    * broadcast joins and popcounts. */
+    * the per-component id space sound. Same joinless probe as tier 1
+    * (r18 #6): the adjacency — bounded by [[DenseBlockedMaxAdjBytes]],
+    * exactly what the old plan broadcast twice as join builds — is
+    * collected once into a lookup array indexed by a GLOBAL node id
+    * (per-label offset + in-label rank; bits inside each bitmap stay
+    * per-label ranks, and both probe endpoints share a label, so the
+    * intersect is sound), and the probe streams |E| rows through one
+    * projection. */
   private[graft] def componentDenseTriangles(e: DataFrame, labels: DataFrame,
       cmax: Long): DataFrame = {
     val ids = labels.withColumn("nid",
       F.row_number().over(
         Window.partitionBy(col("label")).orderBy(col("node"))).cast("long") - 1)
+    // global array index = label offset + in-label rank. The offset
+    // table is |labels| rows (≪ n) — a single-partition running sum
+    // over it is bounded by the component COUNT, not the node count.
+    val offs = ids.groupBy(col("label")).agg(F.count(F.lit(1)).as("cnt"))
+      .withColumn("off", F.coalesce(F.sum(col("cnt")).over(
+        Window.orderBy(col("label"))
+          .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
+      .select(col("label"), col("off"))
+    val gids = ids.join(broadcast(offs), "label")
+      .select(col("node"), col("label"), col("nid"),
+        (col("off") + col("nid")).as("gid"))
+    val n = gids.count()
     val both = e.select(F.explode(F.array(
         F.struct(col("u").as("a"), col("v").as("b")),
         F.struct(col("v").as("a"), col("u").as("b")))).as("d"))
       .select(col("d.a").as("a"), col("d.b").as("b"))
-    // label rides in from the a-side; the b-side id is the same
-    // component's local rank (edges stay within components)
+    // the b-side id is the same component's local rank (edges stay
+    // within components); gids ride in from both sides
     val eb = both
-      .join(broadcast(ids.select(col("node").as("a"), col("label"),
-        col("nid").as("aid"))), "a")
-      .join(broadcast(ids.select(col("node").as("b"), col("nid").as("bid"))), "b")
+      .join(broadcast(gids.select(col("node").as("a"), col("label"),
+        col("nid").as("aid"), col("gid").as("ga"))), "a")
+      .join(broadcast(gids.select(col("node").as("b"),
+        col("nid").as("bid"), col("gid").as("gb"))), "b")
       .cache()
     val words = ((cmax + 63) / 64).toInt
-    val pre = eb.select(col("label"), col("aid"), expr("bid div 64").as("w"),
+    val pre = eb.select(col("ga"), col("aid"), expr("bid div 64").as("w"),
       expr("shiftleft(1L, CAST(bid % 64 AS INT))").as("b"))
     val aggs = (0 until words).map(wi =>
       expr(s"bit_or(CASE WHEN w = $wi THEN b ELSE 0L END)").as(s"bm_$wi"))
-    val adj = pre.groupBy(col("label"), col("aid")).agg(aggs.head, aggs.tail: _*)
-      .cache()
-    val adjA = adj.select(col("label") +: col("aid") +:
-      (0 until words).map(wi => col(s"bm_$wi").as(s"a_bm_$wi")): _*)
-    val adjB = adj.select(col("label") +: col("aid").as("bid") +:
-      (0 until words).map(wi => col(s"bm_$wi").as(s"b_bm_$wi")): _*)
-    val common = (0 until words)
-      .map(wi => expr(s"CAST(bit_count(a_bm_$wi & b_bm_$wi) AS BIGINT)"))
-      .reduce(_ + _)
+    val adjArr = new Array[Array[Byte]](n.toInt)
+    pre.groupBy(col("ga")).agg(aggs.head, aggs.tail: _*)
+      .select(col("ga"), graft.functions.BitmapOps.pack_longs(
+        (0 until words).map(wi => col(s"bm_$wi"))).as("bm"))
+      .collect()
+      .foreach(r => adjArr(r.getLong(0).toInt) = r.getAs[Array[Byte]](1))
+    for (i <- adjArr.indices if adjArr(i) == null) adjArr(i) = Array.emptyByteArray
+    val bc = e.sparkSession.sparkContext.broadcast(adjArr)
     val res = PlanProbe.record("helper:graph.componentDenseTriangles",
-      eb.join(broadcast(adjA), Seq("label", "aid"))
-        .join(broadcast(adjB), Seq("label", "bid"))
-        .select(col("a").as("node"), common.as("common"))
+      eb.select(col("a").as("node"), graft.functions.BitmapOps
+          .lookup_and_popcount(col("ga"), col("gb"), bc).as("common"))
         .groupBy(col("node"))
         .agg(expr("sum(common) div 2").as("n_triangles"))
         .filter(col("n_triangles") > 0))
-      // eager per-node result (bounded by |V|) so the two caches this
-      // plan reads release NOW instead of lingering until the caller's
+      // eager per-node result (bounded by |V|) so the cache and the
+      // broadcast release NOW instead of lingering until the caller's
       // clearCache — the sparse branch's unpersist discipline
       .localCheckpoint(true)
     eb.unpersist()
-    adj.unpersist()
+    bc.destroy()
     res
   }
 
