@@ -87,6 +87,10 @@ object Soak {
       /** Avro schema evolutions the pipeline's SchemaAwareDecoder
         * observed and re-planned across (0 = evolution mode off) */
       schemaChanges: Long = 0L,
+      /** full StreamingQueryProgress JSON of the slowest batch — the
+        * hot-batch attribution record (durations breakdown + state
+        * operator metrics) */
+      maxBatchProgress: String = "",
       /** chunk index at which the writer schema evolved (−1 = off) */
       evolveAtChunk: Long = -1L) {
     def allOk: Boolean =
@@ -239,13 +243,34 @@ object Soak {
     // can deadlock StreamExecution.start — see the jstack note in the
     // repo's verify skill); updateAndGet on an AtomicLong never blocks
     val maxBatchMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // full progress JSON of the slowest batch (durations breakdown +
+    // state-operator metrics) — the attribution record for a hot-key
+    // batch (judge brief r18 #7); lock-free same as the max itself
+    val maxBatchJson =
+      new java.util.concurrent.atomic.AtomicReference[String]("")
     val probe = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      // optional full progress trace (one JSON line per micro-batch of
+      // every query) — offline per-query attribution of slow batches
+      private val trace = sys.env.get("SPARK_GRAFT_SOAK_PROGRESS_LOG")
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         val d = e.progress.durationMs.get("triggerExecution")
-        if (d != null) { maxBatchMs.updateAndGet(m => math.max(m, d)); () }
+        if (d != null) {
+          val prev = maxBatchMs.getAndUpdate(m => math.max(m, d))
+          if (d > prev) maxBatchJson.set(e.progress.json)
+          ()
+        }
+        trace.foreach { p =>
+          val line = e.progress.json + "\n"
+          // synchronized append — listener events can arrive concurrently
+          Soak.synchronized {
+            Files.writeString(java.nio.file.Paths.get(p), line,
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+          }
+        }
       }
     }
     spark.streams.addListener(probe)
@@ -543,7 +568,7 @@ object Soak {
       sessionsEmitted, lshHits,
       hashStoreOk, cmsOk, driftOk, joinMvOk, sessionsOk, lshOk, work,
       crashPoint, b.joinMv.noopReplays.get(), maxBatchMs.get(), docSkewPct,
-      schemaChanges.get(), evolveChunk.toLong)
+      schemaChanges.get(), maxBatchJson.get(), evolveChunk.toLong)
   }
 }
 
@@ -571,6 +596,9 @@ object SoakBench {
       sys.env.getOrElse("SPARK_GRAFT_SCHEMA_EVOLVE", "false").toBoolean
     val r = Soak.run(spark, sfDir, nEventFiles, nDocFiles, crashPoint,
       docSkewPct, schemaEvolve)
+    // hot-batch attribution record on its own stderr line (the stdout
+    // contract stays ONE JSON line)
+    System.err.println(s"[soak] max_batch_progress=${r.maxBatchProgress}")
     println(f"""{"metric":"soak_events_per_sec","value":${r.events / r.wallSec}%.1f,"unit":"events/sec","events":${r.events},"docs":${r.docs},"seconds":${r.wallSec}%.2f,"concurrent_queries":6,"crash_point":"${r.crashPoint}","crash_at_batch":${r.crashAtPipelineBatch},"mv_noop_replays":${r.mvNoopReplays},"max_batch_ms":${r.maxBatchMs},"doc_skew_pct":${r.docSkewPct},"schema_changes":${r.schemaChanges},"evolve_at_chunk":${r.evolveAtChunk},"pipeline_sink_commits":${r.pipelineSinkCommits},"sessions_emitted":${r.sessionsEmitted},"lsh_hits":${r.lshHits},"hash_store_ok":${r.hashStoreOk},"cms_ok":${r.cmsOk},"drift_ok":${r.driftOk},"join_mv_ok":${r.joinMvOk},"sessions_ok":${r.sessionsOk},"lsh_ok":${r.lshOk},"all_ok":${r.allOk},"sf":"$sfDir"}""")
     spark.stop()
     if (!r.allOk) sys.exit(1)
