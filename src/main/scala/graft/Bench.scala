@@ -133,9 +133,12 @@ object Bench {
     // were certified (ADVICE r17): scaling refs by the CURRENT window's
     // probe median ties the suspect gate to measured host speed — a
     // faster host tightens the gate proportionally instead of silently
-    // weakening it, a mildly-contended window doesn't requery the
-    // world. Scale clamped to [0.7, 1.5]: beyond that the window is
-    // contended_median-flagged anyway and re-timing everything is noise.
+    // weakening it. Scale clamped DOWNWARD ONLY, [0.7, 1.0] (ADVICE
+    // r18): an upward clamp of 1.5 made the effective gate v > ref*2.25
+    // on a mildly-contended window, shipping a genuine ~2× regression
+    // without a re-time; contention must never loosen the gate — on a
+    // slow window suspects simply requery at the unscaled threshold and
+    // the min-of-3 stays sound.
     val refProbe = refAll.getOrElse("_probe_ref_sec", ProbeRefSec)
     val ref = refAll - "_probe_ref_sec"
     val probesSoFar = probeTimes.sorted
@@ -143,7 +146,7 @@ object Bench {
       if (probesSoFar.isEmpty) refProbe
       else (probesSoFar((probesSoFar.size - 1) / 2) +
         probesSoFar(probesSoFar.size / 2)) / 2.0
-    val hostScale = math.min(1.5, math.max(0.7, probeMedSoFar / refProbe))
+    val hostScale = math.min(1.0, math.max(0.7, probeMedSoFar / refProbe))
     val suspectsAll = twoPassBest.collect {
       case (n, v) if v >= 0 && ref.get(n).exists(r =>
           v > r * hostScale * 1.5 && v - r * hostScale > 0.3) =>

@@ -18,9 +18,13 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * shrinks from 2+2·words fields to 4, and the generated code is a
   * single loop instead of a words-long expression chain.
   *
-  * Endianness-agnostic: both sides pack words identically (big-endian
-  * `CAST(long AS BINARY)` concat), and AND+popcount is invariant to
-  * byte order as long as the layouts match. A length mismatch
+  * Layout contract: both sides must be packed NATIVE-endian via
+  * `Platform.putLong` — i.e. produced by [[PackLongsExpr]] (or another
+  * `Platform.getLong`-compatible packer). AND+popcount is invariant to
+  * byte order only when the two layouts MATCH; intersecting a
+  * big-endian `CAST(long AS BINARY)`-concat bitmap with `pack_longs`
+  * output would silently miscount on little-endian hosts (both sides
+  * BinaryType, no type error). A length mismatch
   * intersects the common prefix (callers pack both sides to the same
   * width by construction); trailing non-multiple-of-8 bytes are
   * ignored (packed bitmaps are whole words by construction).

@@ -69,13 +69,25 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => FakeByteDecoder.decode(id, bytes) })
   }
 
-  /** Id-keyed REAL PNG payload table (media_id, content): each row's
-    * binary column is a genuine zlib-compressed PNG whose pixels are
-    * the oracle-shared generator function. Partition-parallel encode,
-    * no shuffle. */
-  def pngMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+  /** The id scan is a pruned single-column parquet read — a few hundred
+    * KB that Spark packs into ONE split, which would serialize the
+    * expensive per-row codec work behind it onto one core (measured:
+    * the whole sf1 JPEG family CPU is ~6 s, but ran on 1 task). One
+    * tiny shuffle of the bare ids buys full-cluster parallelism for
+    * the codec stage — the shape a 100 TB media pipeline needs, where
+    * compute per row dwarfs row width. */
+  private def spread(spark: SparkSession, ids: DataFrame, idCol: String) = {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  /** Id-keyed REAL PNG payload table (media_id, content): each row's
+    * binary column is a genuine zlib-compressed PNG whose pixels are
+    * the oracle-shared generator function. Partition-parallel encode. */
+  def pngMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    spread(spark, ids, idCol)
       .mapPartitions(_.map(id => (id, MediaCodec.encodePng(id))))
       .toDF("media_id", "content")
   }
@@ -94,7 +106,7 @@ object Multimodal {
     * exact-roundtrip family, see [[MediaCodec.jpegBlockValue]]). */
   def jpegMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    spread(spark, ids, idCol)
       .mapPartitions(_.map(id => (id, MediaCodec.encodeJpeg(id))))
       .toDF("media_id", "content")
   }
@@ -104,7 +116,7 @@ object Multimodal {
     * every 8×8 block carries real AC coefficients. */
   def jpegVaryingMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    spread(spark, ids, idCol)
       .mapPartitions(_.map(id => (id, MediaCodec.encodeJpegVarying(id))))
       .toDF("media_id", "content")
   }
@@ -122,7 +134,7 @@ object Multimodal {
     * mono in a genuine RIFF container. */
   def wavMedia(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    spread(spark, ids, idCol)
       .mapPartitions(_.map(id => (id, MediaCodec.encodeWav(id))))
       .toDF("media_id", "content")
   }

@@ -242,12 +242,10 @@ object Soak {
     // lock-free max-batch-duration probe (a listener that takes locks
     // can deadlock StreamExecution.start — see the jstack note in the
     // repo's verify skill); updateAndGet on an AtomicLong never blocks
-    val maxBatchMs = new java.util.concurrent.atomic.AtomicLong(0L)
-    // full progress JSON of the slowest batch (durations breakdown +
-    // state-operator metrics) — the attribution record for a hot-key
-    // batch (judge brief r18 #7); lock-free same as the max itself
-    val maxBatchJson =
-      new java.util.concurrent.atomic.AtomicReference[String]("")
+    // (ms, progress-json) updated as ONE value via CAS — two separate
+    // atomics let concurrent listener events record a non-slowest
+    // batch's JSON against the true max (ADVICE r18)
+    val maxBatch = new java.util.concurrent.atomic.AtomicReference[(Long, String)]((0L, ""))
     val probe = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -258,9 +256,11 @@ object Soak {
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         val d = e.progress.durationMs.get("triggerExecution")
         if (d != null) {
-          val prev = maxBatchMs.getAndUpdate(m => math.max(m, d))
-          if (d > prev) maxBatchJson.set(e.progress.json)
-          ()
+          var done = false
+          while (!done) {
+            val cur = maxBatch.get()
+            done = d <= cur._1 || maxBatch.compareAndSet(cur, (d.toLong, e.progress.json))
+          }
         }
         trace.foreach { p =>
           val line = e.progress.json + "\n"
@@ -567,8 +567,8 @@ object Soak {
       KeyedCountingSink.drain(sinkKey),
       sessionsEmitted, lshHits,
       hashStoreOk, cmsOk, driftOk, joinMvOk, sessionsOk, lshOk, work,
-      crashPoint, b.joinMv.noopReplays.get(), maxBatchMs.get(), docSkewPct,
-      schemaChanges.get(), maxBatchJson.get(), evolveChunk.toLong)
+      crashPoint, b.joinMv.noopReplays.get(), maxBatch.get()._1, docSkewPct,
+      schemaChanges.get(), maxBatch.get()._2, evolveChunk.toLong)
   }
 }
 
