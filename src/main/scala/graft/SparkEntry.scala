@@ -2562,8 +2562,11 @@ object Queries {
     * release even when the gate `head()`, the idx collect, or the
     * final materialization throws (ADVICE r16).
     * Returns ((a, b, c_ab), release), a < b, c_ab ≥ 2, exact. */
-  private def supportedPairs(items: DataFrame,
-      scope: operators.Rounds.ReleaseScope): (DataFrame, () => Unit) = {
+  private[graft] def supportedPairs(items: DataFrame,
+      scope: operators.Rounds.ReleaseScope,
+      bigBasketThreshold: Long = operators.GateKnobs.paircoreBigThreshold,
+      bitmapTierMaxDistinctBig: Long = operators.GateKnobs.paircoreMaxDistinctBig,
+      bitmapTierMaxBigItemsKnob: Long = operators.GateKnobs.paircoreMaxBigItems): (DataFrame, () => Unit) = {
     // Bitmap-tier admission bound on Σ big-basket items (= mask rows).
     // Validated AT the bound (PairCoreSpec "1M big-item bound"): the
     // persisted mask canonicalizes to ONE broadcast build — measured
@@ -2575,12 +2578,15 @@ object Queries {
     // join tier's key-join containment is the scale-correct path
     // anyway; the measured skew design point (~200k big items) sits
     // 5× under this gate.
-    val bitmapTierMaxBigItems = 1000000L
+    // (the gate constants are default args so tier-forcing sweeps —
+    // GateSweep — can pin each tier exact on real data; catalog
+    // callers always use the defaults)
+    val bitmapTierMaxBigItems = bitmapTierMaxBigItemsKnob
     // the split key set (baskets > 256 items) is anomalies-only by
     // construction — broadcast semi/anti beats re-shuffling the whole
     // item relation against its own size aggregate
     val bigOks = items.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > 256)
+      .filter(col("bsz") > bigBasketThreshold)
     // strategy gate: TWO bounded driver scalars from ONE aggregate
     // (items is caller-persisted, so this pays a cached scan, not I/O)
     val gate = bigOks
@@ -2602,9 +2608,11 @@ object Queries {
       .join(small.select(col("ok"), col("pk").as("b")), "ok")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_small"))
-    if (nBig == 0L)
+    if (nBig == 0L) {
+      operators.TierProbe.record("paircore", "zero-big")
       return (smallCountsPlan.filter(col("c_small") >= 2)
         .select(col("a"), col("b"), col("c_small").as("c_ab")), () => ())
+    }
     def interPlan = big.select(col("ok").as("okx"), col("pk"))
       .join(big.select(col("ok").as("oky"), col("pk")), "pk")
       .filter(col("okx") < col("oky"))
@@ -2614,7 +2622,8 @@ object Queries {
         Seq("okx", "oky"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    if (nBig <= 62L && bigItems <= bitmapTierMaxBigItems) {
+    if (nBig <= bitmapTierMaxDistinctBig && bigItems <= bitmapTierMaxBigItems) {
+      operators.TierProbe.record("paircore", "bitmap")
       // bitmap tier: basket index 0..61 from a bounded collect (gated
       // ≤62 rows — same class as the whitelisted Bloom-word collects);
       // 62 keeps the Σ2^idx aggregate inside BIGINT with headroom
@@ -2661,6 +2670,7 @@ object Queries {
       (out, () => { relSmall(); relMask() })
     } else {
       // join tier: candidate-first with persisted shared intermediates
+      operators.TierProbe.record("paircore", "join")
       val (smallCounts, relSmall) =
         operators.Rounds.persist(smallCountsPlan, reliable = false)
       scope.defer(relSmall)

@@ -255,12 +255,13 @@ object Dedup {
     *               `spark.catalog.clearCache()`) after materializing
     *               the result. */
   def exactSimJoin(tokens: DataFrame, idCol: String, tNum: Int, tDen: Int,
-      maxDirectPairs: Long = DirectSimJoinMaxPairs): DataFrame = {
+      maxDirectPairs: Long = GateKnobs.simJoinMaxDirectPairs): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
     val tok = tokens.cache()
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val directOk = pairVolume(dfreq).compareTo(
       java.math.BigDecimal.valueOf(maxDirectPairs)) <= 0
+    TierProbe.record("dedup.exactSimJoin", if (directOk) "direct" else "prefix")
     val inter =
       if (directOk) {
         tok.select(col(idCol).as("id_a"), col("tok"))
@@ -330,12 +331,13 @@ object Dedup {
     *               cached here and must outlive the returned lazy
     *               plan (same contract as [[exactSimJoin]]). */
   def containmentJoin(tokens: DataFrame, idCol: String, tNum: Int, tDen: Int,
-      maxDirectPairs: Long = DirectSimJoinMaxPairs): DataFrame = {
+      maxDirectPairs: Long = GateKnobs.simJoinMaxDirectPairs): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0,1]")
     val tok = tokens.cache()
     val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val directOk = pairVolume(dfreq).compareTo(
       java.math.BigDecimal.valueOf(maxDirectPairs)) <= 0
+    TierProbe.record("dedup.containmentJoin", if (directOk) "direct" else "prefix")
     val inter =
       if (directOk) {
         tok.select(col(idCol).as("id_a"), col("tok"))
@@ -459,7 +461,7 @@ object Dedup {
     * per-component-min labeling on any engine and partition order. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20, reliableCheckpointDir: Option[String] = None,
-      driverEdgeLimit: Long = 5000000L): DataFrame =
+      driverEdgeLimit: Long = GateKnobs.ccDriverEdgeLimit): DataFrame =
     connectedComponentsWithMethod(pairs, aCol, bCol, maxIters,
       reliableCheckpointDir, driverEdgeLimit)._1
 
@@ -470,7 +472,7 @@ object Dedup {
   private[graft] def connectedComponentsWithMethod(pairs: DataFrame,
       aCol: String, bCol: String,
       maxIters: Int = 20, reliableCheckpointDir: Option[String] = None,
-      driverEdgeLimit: Long = 5000000L): (DataFrame, String) = {
+      driverEdgeLimit: Long = GateKnobs.ccDriverEdgeLimit): (DataFrame, String) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     reliableCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -581,6 +583,7 @@ object Dedup {
     releaseFinal() // star path: free the final round's checkpointed blocks
     edges.unpersist() // union-find path: edges is the plain .cache() above
     p.unpersist()
+    TierProbe.record("dedup.cc", method)
     (out, method)
   }
 

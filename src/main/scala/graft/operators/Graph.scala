@@ -56,7 +56,8 @@ object Graph {
     * @return one row per node that participates in ≥1 triangle:
     *         (`node`, `n_triangles`).
     */
-  def triangleCounts(edges: DataFrame, denseMaxNodes: Int = 16384): DataFrame =
+  def triangleCounts(edges: DataFrame,
+      denseMaxNodes: Int = GateKnobs.triDenseMaxNodes): DataFrame =
     triangleCountsWithPath(edges, denseMaxNodes)._1
 
   /** Byte cap on the broadcast adjacency table of the dense-blocked
@@ -97,8 +98,8 @@ object Graph {
     *     oriented wedge join, O(m^1.5) worst case, the provably
     *     scalable general bound. */
   private[graft] def triangleCountsWithPath(edges: DataFrame,
-      denseMaxNodes: Int = 16384,
-      maxAdjBytes: Long = DenseBlockedMaxAdjBytes): (DataFrame, String) = {
+      denseMaxNodes: Int = GateKnobs.triDenseMaxNodes,
+      maxAdjBytes: Long = GateKnobs.triMaxAdjBytes): (DataFrame, String) = {
     // |V| decides the plan. Cache the canonical edge list — it is the
     // narrowest relation every downstream consumer derives from — and
     // pay the upstream edge-construction pipeline exactly once (the
@@ -112,6 +113,7 @@ object Graph {
       // edge cache has no remaining consumer
       val res = denseTriangles(e, nodes, n)
       e.unpersist()
+      TierProbe.record("graph.triangles", "dense")
       (res, "dense")
     }
     else {
@@ -134,11 +136,13 @@ object Graph {
         val res = componentDenseTriangles(e, labels, cmax)
         Rounds.releaseOf(labels)()
         e.unpersist()
+        TierProbe.record("graph.triangles", "dense-blocked")
         (res, "dense-blocked")
       }
       else {
         Rounds.releaseOf(labels)() // probe labels only fed cmax here
         e.unpersist()
+        TierProbe.record("graph.triangles", "sparse")
         (orientedTriangles(edges), "sparse")
       }
     }

@@ -45,7 +45,8 @@ object Quantiles {
     * subset, no collect, no single-partition sort — driver memory
     * stays O(buckets) on every path. */
   def rankElement(df: DataFrame, valueCol: String, k: Long,
-      buckets: Int = 1024, collectLimit: Long = 100000L): Double = {
+      buckets: Int = 1024,
+      collectLimit: Long = GateKnobs.quantileCollectLimit): Double = {
     require(k >= 1, s"rank must be >= 1, got $k")
     // `+ 0.0` normalizes -0.0 to 0.0 (identity for every other double,
     // NaN included) so the bit-space fallback — which distinguishes the
@@ -56,15 +57,16 @@ object Quantiles {
     var rank = k
     var iters = 0
     try {
-      while (iters < 20) {
+      while (iters < GateKnobs.quantileRefineIters) {
         val head = cur.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
         val n = head.getLong(0)
         require(rank <= n, s"rank $rank exceeds non-null count $n")
         val (lo, hi) = (head.getDouble(1), head.getDouble(2))
-        if (lo == hi) return lo // all remaining values identical
+        if (lo == hi) { TierProbe.record("quantiles.rank", "uniform"); return lo }
         if (n <= collectLimit) {
           val arr = cur.select(col("v")).collect().map(_.getDouble(0))
           java.util.Arrays.sort(arr)
+          TierProbe.record("quantiles.rank", "collect")
           return arr((rank - 1).toInt)
         }
         val width = (hi - lo) / buckets
@@ -99,6 +101,7 @@ object Quantiles {
       // discreteness of the double grid guarantees is an attained data
       // value (-0.0 already normalized away above). ≤64 passes, each
       // over the cached narrowed subset.
+      TierProbe.record("quantiles.rank", "bitsearch")
       val mm = cur.agg(min(col("v")), max(col("v"))).head()
       var loB = ordBits(mm.getDouble(0))
       var hiB = ordBits(mm.getDouble(1))
@@ -142,7 +145,8 @@ object Quantiles {
     * O(buckets) on every path; the collect fallback triggers on ROW
     * count (weight never inflates driver memory). */
   def weightedRankElement(df: DataFrame, valueCol: String, weightCol: String,
-      k: Long, buckets: Int = 1024, collectLimit: Long = 100000L): Double = {
+      k: Long, buckets: Int = 1024,
+      collectLimit: Long = GateKnobs.quantileCollectLimit): Double = {
     require(k >= 1, s"rank must be >= 1, got $k")
     var cur = df
       .select((col(valueCol).cast("double") + lit(0.0)).as("v"),
@@ -151,7 +155,7 @@ object Quantiles {
     var rank = k
     var iters = 0
     try {
-      while (iters < 20) {
+      while (iters < GateKnobs.quantileRefineIters) {
         val head = cur
           .agg(sum(col("wt")), min(col("v")), max(col("v")), count(lit(1)))
           .head()
@@ -159,8 +163,9 @@ object Quantiles {
         require(rank <= tw, s"rank $rank exceeds total weight $tw")
         val (lo, hi) = (head.getDouble(1), head.getDouble(2))
         val nRows = head.getLong(3)
-        if (lo == hi) return lo
+        if (lo == hi) { TierProbe.record("quantiles.weightedRank", "uniform"); return lo }
         if (nRows <= collectLimit) {
+          TierProbe.record("quantiles.weightedRank", "collect")
           val arr = cur.select(col("v"), col("wt")).collect()
             .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
           var cum = 0L
@@ -196,6 +201,7 @@ object Quantiles {
       }
       // stall fallback: binary search on ordered double bits, one
       // cumulative-weight aggregate per step (≤64 passes)
+      TierProbe.record("quantiles.weightedRank", "bitsearch")
       val mm = cur.agg(min(col("v")), max(col("v"))).head()
       var loB = ordBits(mm.getDouble(0))
       var hiB = ordBits(mm.getDouble(1))
