@@ -16,7 +16,7 @@ object Explain {
     val run = args.contains("--run")
     val names = args.drop(1).filterNot(_ == "--run")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.Tuning.engineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

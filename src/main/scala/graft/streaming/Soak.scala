@@ -700,7 +700,7 @@ object SoakBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nEventFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "24").toInt
     val nDocFiles = math.max(2, nEventFiles / 4)
-    val spark = SparkSession.builder()
+    val spark = graft.Tuning.engineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -48,7 +48,7 @@ object StageProfile {
         s"(e.g. ${Queries.all.keys.toSeq.sorted.take(5).mkString(", ")}, ...)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "2").toInt
-    val spark = SparkSession.builder()
+    val spark = graft.Tuning.engineDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // SPARK_GRAFT_AQE=false gives stages their REAL call-site names

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One shared local SparkSession for the whole test run. */
 object TestSpark {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val s = Tuning.engineDefaults(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
