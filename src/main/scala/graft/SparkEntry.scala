@@ -1764,6 +1764,26 @@ object Queries {
       .orderBy(col("keeper_id"))
   }
 
+  /** Widen a narrow scan before a per-row-expensive stage (shingling,
+    * k-hash minhash signatures, simhash, fingerprinting): a small
+    * parquet table arrives as ONE split, which packs the whole
+    * signature computation into a single task — the same
+    * serial-bottleneck shape the r19 media rework fixed for
+    * decode (StageProfile at sf0.1 showed 1.3 s single-task stages
+    * under the dedup family where 31 cores idled). No-op whenever the
+    * relation already carries at least the session's default
+    * parallelism: at cluster scale inputs ship hundreds of splits, so
+    * this never adds a payload shuffle where the layout is already
+    * parallel (guide §2.2/§8 — don't move heavy bytes you don't have
+    * to). Round-robin repartition is deterministic here: Spark sorts
+    * partitions locally before round-robin distribution
+    * (spark.sql.execution.sortBeforeRepartition), and every consumer
+    * re-keys or re-aggregates downstream. */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Signature table is cached: it feeds both sides of the candidate
     * self-join plus the similarity-estimate joins (at cluster scale
     * this would be a checkpointed/persisted intermediate). The shingle
@@ -1771,12 +1791,16 @@ object Queries {
     * 100-element string arrays costs more than recomputing them from
     * the cached text with the fused ShinglesExpr where needed
     * (qDedupNgram's verify is the only consumer). */
-  private def minhashSigned(s: SparkSession, dir: String): DataFrame =
-    Dedup.withMinhashSignature(
-      Dedup.withShingles(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text"))
+  private def minhashSigned(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val cached = Dedup.withMinhashSigArray(
+        Dedup.withShingles(
+          spread(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+          "text"))
       .drop("sh")
       .cache()
+    (Dedup.minhashColumns(cached),
+      () => { cached.unpersist(blocking = false): Unit })
+  }
 
   /** MinHash+LSH near-duplicate candidates: k=64 hash family, 16
     * bands of 4 (threshold ≈ 0.5, background-0.2 collision ≈ 2.5% —
@@ -1784,7 +1808,7 @@ object Queries {
     * stage); sim_est = fraction of matching minhashes (1/64 steps). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val k = Dedup.MinhashK
-    val sig = minhashSigned(s, dir)
+    val (sig, sigRelease) = minhashSigned(s, dir)
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     val a = sig.select(Seq(col("doc_id").as("id_a")) ++
       (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -1797,7 +1821,7 @@ object Queries {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           (matches.cast("double") / k.toDouble).as("sim_est"))
         .orderBy(col("doc_a"), col("doc_b"))) {
-      sig.unpersist(blocking = false): Unit
+      sigRelease()
     }
   }
 
@@ -1805,7 +1829,7 @@ object Queries {
     * the classic two-stage near-dup pipeline (candidates from LSH,
     * exact set similarity only on candidates). */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigned(s, dir)
+    val (sig, sigRelease) = minhashSigned(s, dir)
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     // verify sides recompute shingles from the cached TEXT with the
     // fused ShinglesExpr — cheaper than columnar-encoding the array
@@ -1819,7 +1843,7 @@ object Queries {
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))) {
-      sig.unpersist(blocking = false): Unit
+      sigRelease()
     }
   }
 
@@ -1829,7 +1853,7 @@ object Queries {
     * stays the only shuffle. Normalized similarity = 1 - dist/maxlen,
     * kept at >= 0.8 (integer distance and lengths ⇒ exact doubles). */
   def qDedupEditDistance(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigned(s, dir)
+    val (sig, sigRelease) = minhashSigned(s, dir)
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     // any pair that can reach sim >= 0.8 has dist <= 0.2·maxlen, so the
     // bounded (threshold) levenshtein — early-abandon O(thr·len), not
@@ -1861,7 +1885,7 @@ object Queries {
         col("edit_dist"), col("edit_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
     materializeFinal("q_dedup_editdist", verified) {
-      sig.unpersist(blocking = false): Unit
+      sigRelease()
     }
   }
 
@@ -1907,8 +1931,8 @@ object Queries {
     // the dedupe rides a doc-keyed exchange far smaller than the
     // token-keyed one the join itself pays
     val tokens = Dedup.withShingles(
-        Tables.documents(s, dir).select(col("doc_id"), col("text"))
-          .dropDuplicates(Seq("doc_id", "text")), "text")
+        spread(Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .dropDuplicates(Seq("doc_id", "text"))), "text")
       .select(col("doc_id"), explode(col("sh")).as("tok"))
     Dedup.containmentJoin(tokens, "doc_id", 1, 2)
       .filter(col("n_a") >= 10)
@@ -2401,7 +2425,7 @@ object Queries {
     * one ≈500-row bucket. No stage is quadratic in the corpus. */
   def qContrastivePairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = minhashSigned(s, dir)
+    val (sig, sigRelease) = minhashSigned(s, dir)
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), graft.functions.Shingles.shingles(col("text"), 3).as("sh"))
@@ -2433,7 +2457,7 @@ object Queries {
         .filter(col("neg_rank") <= 2)
         .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("neg_rank"))
         .orderBy(col("anchor_id"), col("neg_rank"))) {
-      sig.unpersist(blocking = false): Unit
+      sigRelease()
     }
   }
 
@@ -2953,7 +2977,7 @@ object Queries {
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimHash.simhash
     val sh = Dedup.withShingles(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      spread(Tables.documents(s, dir).select(col("doc_id"), col("text"))), "text")
       .select(col("doc_id"), simhash(col("sh")).as("simhash"))
       .cache()
     val chunks = (0 until 4).map(c =>
@@ -3040,7 +3064,8 @@ object Queries {
   def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withFingerprint(
         Dedup.withShingles(
-          Tables.documents(s, dir).select(col("doc_id"), col("text")), "text"))
+          spread(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+          "text"))
       .select(col("doc_id"), col("n_selected"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
@@ -5753,7 +5778,8 @@ object Queries {
     * (no join back against the exploded corpus). */
   def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.withShingles(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+        spread(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+        "text")
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val first = sh.groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("first_doc"))
@@ -6676,7 +6702,7 @@ object Queries {
     // cache (identical rows sign identically), so duplicate physical
     // rows can't quadruple every candidate pair (r17 dup sweep) while
     // the cache stays shared with the rest of the dedup family
-    val sigRaw = minhashSigned(s, dir)
+    val (sigRaw, sigRelease) = minhashSigned(s, dir)
     val sig = sigRaw.dropDuplicates(Seq("doc_id"))
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     val shingled = graft.functions.Shingles.shingles(col("text"), 3)
@@ -6701,7 +6727,7 @@ object Queries {
           expr("sum(err) div count(1)").as("mae_ppm"),
           max(col("err")).as("max_err_ppm"))
         .orderBy(col("bucket"))) {
-      sigRaw.unpersist(blocking = false): Unit
+      sigRelease()
     }
   }
 
@@ -6825,7 +6851,7 @@ object Queries {
     val k = Dedup.MinhashK
     // doc_id-keyed dedupe after the shared cache — see
     // qMinhashCalibration (r17 dup sweep)
-    val sigRaw = minhashSigned(s, dir)
+    val (sigRaw, sigRelease) = minhashSigned(s, dir)
     val sig = sigRaw.dropDuplicates(Seq("doc_id"))
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
     val sh = Shingles.shingles(col("text"), 3)
@@ -6871,7 +6897,7 @@ object Queries {
       .select(col("s.metric").as("metric"), col("s.n").as("n"))
     materializeFinal("q_dedup_panel",
       hist.unionByName(meth).orderBy(col("metric"))) {
-      sigRaw.unpersist(blocking = false): Unit
+      sigRelease()
     }
   }
 

@@ -98,6 +98,27 @@ object Dedup {
     * expression k times). Per-element semantics are identical, so the
     * DuckDB oracle (generated from the same A/B/P constants) still
     * hash-matches. */
+  /** df + `_sig` (k-element minhash array) computed ONCE per row,
+    * WITHOUT the per-hash column extraction. Split from
+    * [[minhashColumns]] deliberately: under whole-stage codegen,
+    * extracting the k columns in the SAME stage that computes the
+    * signature can inline the full shingle→md5→k-hash chain into
+    * every extraction — the r19 fill-stage profile measured ~44× the
+    * per-row cost (57 CPU-s vs 1.3 for 5000 docs) once an exchange
+    * re-shaped the stage. Materialize `_sig` first (cache or
+    * shuffle), then extract from the stored array for free. */
+  def withMinhashSigArray(df: DataFrame, k: Int = MinhashK): DataFrame =
+    df.withColumn("_sig",
+      graft.functions.MinhashOps.minhash_signature(
+        graft.functions.MinhashOps.md5_head8(col("sh")),
+        MinhashA.take(k), MinhashB.take(k), MinhashP))
+
+  /** m0..m(k-1) columns off a MATERIALIZED `_sig` array (see
+    * [[withMinhashSigArray]]). */
+  def minhashColumns(df: DataFrame, k: Int = MinhashK): DataFrame =
+    df.select(col("*") +: (0 until k).map(i =>
+      element_at(col("_sig"), i + 1).as(s"m$i")): _*).drop("_sig")
+
   def withMinhashSignature(df: DataFrame, k: Int = MinhashK): DataFrame = {
     val withBase = df.withColumn("_hs",
       graft.functions.MinhashOps.md5_head8(col("sh")))
