@@ -5224,45 +5224,78 @@ object Queries {
         "AS (col_name, v)"))
     // Run counting must NOT window per column — that is 5 partitions
     // regardless of data size (the sf1 sweep measured 120 s where the
-    // catalog median is <10). Instead: range-partition on the full
-    // sort key so parallelism follows shuffle partitions, count
-    // run-starts per partition, then repair the ≤(#partitions) seam
-    // continuations on a bounded per-partition bounds relation — the
-    // q_dense_ids pattern. n_runs is invariant to where the sampled
-    // range boundaries fall. (orderkey, linenumber) is NOT unique in
-    // the synthetic lineitem (FIXTURES r12 uniqueness audit) — v in
+    // catalog median is <10). r12–r18 used a sampled
+    // repartitionByRange + per-pid windows with seam repair; the r19
+    // profile showed that shape paying THREE full passes of the 3M-row
+    // stacked relation (the range sampler's pass, the range exchange,
+    // and the window's own hashpartitioning(pid) re-exchange — the
+    // cache can't satisfy the window's required distribution) plus a
+    // cache fill. Replaced by DETERMINISTIC bucketing on the leading
+    // sort key: bkt = l_orderkey div bw is monotone in the sort order,
+    // so global order ≡ (col_name, bkt, within-bucket order), the
+    // window partitions by (col_name, bkt) directly — ONE exchange of
+    // the stacked rows, total — and the runs + bucket-bounds aggregate
+    // reuses that exact partitioning (zero further exchanges; AQE
+    // confirms exchange reuse in the plan). n_runs stays invariant to
+    // where bucket boundaries fall via the same ≤(#buckets) seam
+    // repair, now over min/max structs computed IN the same pass.
+    // Bucket width is scale-adaptive: ~8 buckets per core of the
+    // session, derived from max(l_orderkey) (a bounded driver scalar,
+    // the standard gate-scalar pattern) — no constant tuned to either
+    // local mode or the cluster. (orderkey, linenumber) is NOT unique
+    // in the synthetic lineitem (FIXTURES r12 uniqueness audit) — v in
     // the sort key makes any residual ties carry equal values.
-    val ranged = stacked.repartitionByRange(col("col_name"),
-        col("l_orderkey"), col("l_linenumber"), col("v"))
-      .withColumn("pid", spark_partition_id())
-      .cache() // both consumers must observe identical boundaries
-    val wp = Window.partitionBy(col("pid"))
-      .orderBy(col("col_name"), col("l_orderkey"), col("l_linenumber"),
-        col("v"))
-    val starts = ranged
-      .withColumn("pcn", lag(col("col_name"), 1).over(wp))
+    val par = s.sparkContext.defaultParallelism
+    val mxOk = Option(li.agg(max(col("l_orderkey"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val bw = math.max(1L, mxOk / (8L * par) + 1L)
+    val bucketed = stacked.withColumn("bkt", expr(s"l_orderkey div $bw"))
+    val wp = Window.partitionBy(col("col_name"), col("bkt"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("v"))
+    val k = struct(col("l_orderkey"), col("l_linenumber"), col("v"))
+    // one pass: per-bucket run starts (first row of the bucket counts
+    // as a start) + the bucket's first/last sort-key structs for the
+    // seam repair. sum(chg)/min/max partial-aggregate map-side, so the
+    // only rows that move after the window exchange are ≤(#buckets)·5.
+    val perBucket = bucketed
       .withColumn("pv", lag(col("v"), 1).over(wp))
-      .withColumn("chg", when(col("pcn").isNull ||
-        col("pcn") =!= col("col_name") || col("pv") =!= col("v"), 1L)
-        .otherwise(0L))
-      .groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("n_distinct"),
-        sum(col("chg")).as("n_runs0"))
-    val k = struct(col("col_name"), col("l_orderkey"), col("l_linenumber"),
-      col("v"))
-    val bounds = ranged.groupBy(col("pid"))
-      .agg(min(k).as("first"), max(k).as("last"))
-    val wb = Window.orderBy(col("pid")) // bounded: one row per partition
-    val seams = bounds
+      .withColumn("chg",
+        when(col("pv").isNull || col("pv") =!= col("v"), 1L).otherwise(0L))
+      .groupBy(col("col_name"), col("bkt"))
+      .agg(sum(col("chg")).as("r"), min(k).as("first"), max(k).as("last"))
+    // a run continues across a bucket seam when the previous NON-EMPTY
+    // bucket's last value equals this bucket's first (empty buckets
+    // can't break a run — lag over the bounds relation skips them)
+    val wb = Window.partitionBy(col("col_name")).orderBy(col("bkt"))
+    val starts = perBucket
       .withColumn("pl", lag(col("last"), 1).over(wb))
-      .filter(col("pl").isNotNull &&
-        col("pl.col_name") === col("first.col_name") &&
-        col("pl.v") === col("first.v"))
-      .groupBy(col("first.col_name").as("col_name"))
-      .agg(count(lit(1)).as("cont"))
-    starts.join(seams, Seq("col_name"), "left")
-      .select(col("col_name"), col("n"), col("n_distinct"),
-        (col("n_runs0") - coalesce(col("cont"), lit(0L))).as("n_runs"))
+      .withColumn("cont", when(col("pl").isNotNull &&
+        col("pl.v") === col("first.v"), 1L).otherwise(0L))
+      .groupBy(col("col_name"))
+      .agg((sum(col("r")) - sum(col("cont"))).as("n_runs"))
+    // n is the same row count for every stacked column (stack emits
+    // exactly one row per source row per column); the five distinct
+    // counts come off the UNSTACKED source projection — countDistinct
+    // over the IDENTICAL string expressions the stack emits, so the
+    // values coincide by construction. The r19 profile caught the
+    // previous countDistinct(v) riding the stacked groupBy: a mixed
+    // distinct/non-distinct aggregate EXPANDS, so the whole 3M-row
+    // relation crossed a second 42 MB exchange and paid a 23-CPU-s
+    // final aggregate — for five numbers the 600k-row projection
+    // computes with map-side partial distincts (guide §2.3 "aggregate
+    // before you shuffle").
+    val dist = li.agg(count(lit(1)).as("n"),
+        countDistinct(col("l_returnflag")).as("d0"),
+        countDistinct(col("l_linestatus")).as("d1"),
+        countDistinct(col("shipday")).as("d2"),
+        countDistinct(col("qty")).as("d3"),
+        countDistinct(col("pk")).as("d4"))
+      .select(col("n"), expr(
+        "stack(5, 'l_returnflag', d0, 'l_linestatus', d1, " +
+          "'l_shipdate_day', d2, 'l_quantity', d3, 'l_partkey', d4) " +
+          "AS (col_name, n_distinct)"))
+    starts
+      .join(broadcast(dist), Seq("col_name"))
       .select(col("col_name"), col("n"), col("n_distinct"), col("n_runs"),
         when(col("n_runs") * 4 <= col("n"), "rle")
           .when(col("n_distinct") * 100 <= col("n"), "dict")
