@@ -121,13 +121,29 @@ object Quantiles {
   def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(valueCol).cast("double").as("v"))
+    // `+ 0.0` normalizes -0.0 (same contract as rankElement)
+    val base = df.select((col(valueCol).cast("double") + lit(0.0)).as("v"))
       .filter(col("v").isNotNull).cache()
     try {
       val n = base.count()
       // zero non-null rows ⇒ ceil(q·n) = 0, which is not a rank: the
       // quantile of an empty multiset is no rows, not a crash
       if (n == 0L) Seq.empty[(Double, Double)].toDF("q", "v")
+      else if (n <= GateKnobs.quantileCollectLimit) {
+        // batched collect tier (r19): every rank reads the SAME sorted
+        // array, so a 5-quantile request costs ONE collect instead of
+        // five full rankElement cycles (cache + head-aggregate +
+        // collect each) — rankElement would have taken this exact
+        // collect exit per rank anyway, so the values are identical
+        // by construction. The >collectLimit path below is untouched:
+        // at scale each rank still refines independently.
+        val arr = base.select(col("v")).collect().map(_.getDouble(0))
+        java.util.Arrays.sort(arr)
+        TierProbe.record("quantiles.rank", "collect")
+        qs.map { q =>
+          (q, arr((math.ceil(q * n).toLong - 1).toInt))
+        }.toDF("q", "v")
+      }
       else qs.map { q =>
         val k = math.ceil(q * n).toLong
         (q, rankElement(base, "v", k))
@@ -228,10 +244,32 @@ object Quantiles {
         col(weightCol).cast("long").as("wt"))
       .filter(col("v").isNotNull && col("wt") > 0).cache()
     try {
-      val tw = base.agg(coalesce(sum(col("wt")), lit(0L))).head().getLong(0)
+      val head = base.agg(coalesce(sum(col("wt")), lit(0L)), count(lit(1)))
+        .head()
+      val tw = head.getLong(0)
+      val nRows = head.getLong(1)
       // zero total weight (empty or all-zero-weight input) ⇒ no rank
       // mass anywhere: emit no rows, mirroring [[quantiles]]
       if (tw == 0L) Seq.empty[(Double, Double)].toDF("q", "v")
+      else if (nRows <= GateKnobs.quantileCollectLimit) {
+        // batched collect tier — one collect + cumulative walk answers
+        // every rank (see [[quantiles]]); identical to the per-rank
+        // weightedRankElement collect exit by construction
+        val arr = base.select(col("v"), col("wt")).collect()
+          .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+        TierProbe.record("quantiles.weightedRank", "collect")
+        def at(k: Long): Double = {
+          var cum = 0L
+          var j = 0
+          while (j < arr.length) {
+            cum += arr(j)._2
+            if (cum >= k) return arr(j)._1
+            j += 1
+          }
+          throw new IllegalStateException("unreachable: rank <= total weight")
+        }
+        qs.map(q => (q, at(math.ceil(q * tw).toLong))).toDF("q", "v")
+      }
       else qs.map { q =>
         val k = math.ceil(q * tw).toLong
         (q, weightedRankElement(base, "v", "wt", k))

@@ -113,9 +113,9 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_quantile_normalize" -> ("the q_dense_ids partition-offset " +
       "prefix sum (shuffle-partition-count rows) for global positions; " +
       "per-row ranks are partitioned by pid/type"),
-    "q_encoding_advisor" -> ("seam-repair lag over the per-partition " +
-      "bounds relation (one row per shuffle partition); the run " +
-      "counting itself windows per pid"),
+    // q_encoding_advisor left the whitelist in r19: the deterministic-
+    // bucket rewrite partitions the seam-repair lag by col_name, so no
+    // global window remains in its plan.
     "q_dense_ids" -> ("partition-offset prefix sum over the pid-count " +
       "relation (shuffle-partition-count rows), broadcast back; the " +
       "per-row ranking itself is partitioned"),
