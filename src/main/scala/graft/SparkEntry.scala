@@ -1929,10 +1929,15 @@ object Queries {
     // token SET, so duplicate (doc_id, text) rows must not double
     // token multiplicities and inflate inter_n/n_a (r17 dup sweep);
     // the dedupe rides a doc-keyed exchange far smaller than the
-    // token-keyed one the join itself pays
+    // token-keyed one the join itself pays. NO spread() here (r20):
+    // the r19 round-robin repartition before the shingle explode read
+    // 1.60→1.29 s in a within-window A/B but the driver bench said
+    // 2.60→3.20 s and the 8-core run beat 32-core (ratio 0.73) — the
+    // dropDuplicates exchange already widens the scan, so the extra
+    // RoundRobinPartitioning(32) exchange was pure overhead.
     val tokens = Dedup.withShingles(
-        spread(Tables.documents(s, dir).select(col("doc_id"), col("text"))
-          .dropDuplicates(Seq("doc_id", "text"))), "text")
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .dropDuplicates(Seq("doc_id", "text")), "text")
       .select(col("doc_id"), explode(col("sh")).as("tok"))
     Dedup.containmentJoin(tokens, "doc_id", 1, 2)
       .filter(col("n_a") >= 10)
@@ -2990,13 +2995,20 @@ object Queries {
       col("chunk_idx"), col("chunk_val"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
       col("chunk_idx"), col("chunk_val"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+    // eager final so the sh cache releases NOW instead of lingering
+    // until the session clearCache (ADVICE r19 — the minhashSigned
+    // family's release discipline)
+    materializeFinal("q_dedup_simhash",
+      a.join(b, Seq("chunk_idx", "chunk_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))) {
+      sh.unpersist(blocking = false)
+    }
   }
 
   /** 192 deterministic ±1 hyperplanes = 16 LSH bands × 12 planes for
@@ -4984,11 +4996,19 @@ object Queries {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
     val edges = sym.join(deg, "src").cache()
     val nodes = deg.select(col("src").as("node"))
-    // source set: customer nodes 0–9 (ids 2k, k<10) present in the graph
-    val sources = nodes.filter(col("node") % 2 === 0 && col("node") < 20)
+    // source set: customer nodes 0–9 (ids 2k, k<10) present in the
+    // graph. Source-ness is a PREDICATE of the node id, so every
+    // relation in the loop tests it as an expression instead of
+    // joining against a sources relation — the r19 plan rebuilt a
+    // BroadcastExchange of the sources subtree twice per iteration
+    // plus once in the final projection (7 broadcast builds + their
+    // AQE stage latency for a row-identical result); a when() on the
+    // node column is free (r20, guide §3 "pick the strategy
+    // deliberately" — here the join itself was removable).
+    val isSrc = col("node") % 2 === 0 && col("node") < 20
+    val sources = nodes.filter(isSrc)
     val ns = sources.count() // bounded scalar (≤10)
-    var r = nodes.join(sources.withColumnRenamed("node", "node"),
-        Seq("node"), "left_semi")
+    var r = nodes.filter(isSrc)
       .select(col("node"), lit(1000000000L / ns).as("r"))
     for (_ <- 1 to 3) {
       val contrib = edges
@@ -5000,10 +5020,9 @@ object Queries {
       // teleport mass returns ONLY to sources; walked mass goes anywhere
       r = nodes
         .join(contrib, Seq("node"), "left")
-        .join(sources.withColumn("is_src", lit(1L)), Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("walk"), lit(0L)) +
-            when(col("is_src") === 1L, lit(150000000L / ns))
+            when(isSrc, lit(150000000L / ns))
               .otherwise(lit(0L))).as("r"))
         .filter(col("r") > 0) // sparse: untouched nodes carry no mass
     }
@@ -5011,8 +5030,7 @@ object Queries {
     // (the qRfmScores pattern) instead of lingering until the caller
     // clears the session cache
     materializeFinal("q_ppr",
-      r.join(sources.withColumn("is_src", lit(1L)), Seq("node"), "left")
-        .filter(col("is_src").isNull)
+      r.filter(!isSrc)
         .select(col("node"), col("r").as("ppr_ppb"))
         .orderBy(col("ppr_ppb").desc, col("node")).limit(30)
         .orderBy(col("ppr_ppb").desc, col("node"))) {
@@ -5246,8 +5264,10 @@ object Queries {
     // in the synthetic lineitem (FIXTURES r12 uniqueness audit) — v in
     // the sort key makes any residual ties carry equal values.
     val par = s.sparkContext.defaultParallelism
-    val mxOk = Option(li.agg(max(col("l_orderkey"))).head().get(0))
-      .fold(0L)(_.asInstanceOf[Long])
+    // cast("long") + getLong: schema-width tolerant if a future data
+    // generation writes int32 orderkeys (ADVICE r19)
+    val mxRow = li.agg(max(col("l_orderkey").cast("long"))).head()
+    val mxOk = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
     val bw = math.max(1L, mxOk / (8L * par) + 1L)
     val bucketed = stacked.withColumn("bkt", expr(s"l_orderkey div $bw"))
     val wp = Window.partitionBy(col("col_name"), col("bkt"))
@@ -5281,9 +5301,10 @@ object Queries {
     // previous countDistinct(v) riding the stacked groupBy: a mixed
     // distinct/non-distinct aggregate EXPANDS, so the whole 3M-row
     // relation crossed a second 42 MB exchange and paid a 23-CPU-s
-    // final aggregate — for five numbers the 600k-row projection
-    // computes with map-side partial distincts (guide §2.3 "aggregate
-    // before you shuffle").
+    // final aggregate. NOTE (ADVICE r19): five countDistinct columns
+    // here ALSO plan through Expand (5× the 600k-row projection) —
+    // the win is the 5× smaller relation feeding it, not an avoided
+    // expansion (guide §2.3 "aggregate before you shuffle").
     val dist = li.agg(count(lit(1)).as("n"),
         countDistinct(col("l_returnflag")).as("d0"),
         countDistinct(col("l_linestatus")).as("d1"),
@@ -5559,16 +5580,18 @@ object Queries {
     * k, so re-relaxing it cannot improve anything — per-round results
     * are identical to full relaxation, but the edge join is sized by
     * the (shrinking) frontier's adjacency instead of the whole
-    * labeled set's. Rounds follow the [[operators.Rounds.persist]]
-    * release discipline of [[operators.Graph.bfsHops]]: each round
-    * materializes dist + delta with truncated lineage (a plain cache
-    * chain doubles the plan tree per round) and frees the previous
-    * round's blocks the moment the next lands; a bounded convergence
-    * probe on the materialized delta early-exits dead rounds. The
-    * cached edge relation is unpersisted before return (the rounds
-    * ran eagerly); only the final dist round stays materialized — the
-    * returned relation reads it (the [[operators.Rounds]] contract).
-    * Weights and distances stay integer cents end-to-end. */
+    * labeled set's. Rounds follow the one-job-per-round
+    * [[operators.Rounds.persistCounted]] discipline (r20): dist rows
+    * carry the round that last improved them, so the frontier is a
+    * filter of the materialized round rather than a second
+    * checkpoint, the improved-row count that doubles as the
+    * convergence probe rides the materializing job itself, and the
+    * previous round's blocks are freed the moment the next lands.
+    * The cached edge relation is unpersisted before return (the
+    * rounds ran eagerly); only the final dist round stays
+    * materialized — the returned relation reads it (the
+    * [[operators.Rounds]] contract). Weights and distances stay
+    * integer cents end-to-end. */
   def qSsspBounded(s: SparkSession, dir: String,
       seedBound: Long = 20L): DataFrame = {
     val ol = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
@@ -5585,37 +5608,39 @@ object Queries {
       .select(col("d.src").as("src"), col("d.dst").as("dst"), col("d.w").as("w"))
       .repartition(col("src"))
       .cache()
-    var (dist, releaseDist) = operators.Rounds.persist(
+    // r20 round fusion: dist rows carry `rnd`, the round that last
+    // improved them, so the frontier (delta) is a filter of the SAME
+    // materialized relation instead of a second checkpoint, and the
+    // convergence probe is the count that materializes the round
+    // ([[operators.Rounds.persistCounted]]) — ONE driver-synchronous
+    // job per round where the r19 form paid three (delta checkpoint +
+    // dist checkpoint + isEmpty). Per-round relaxation results are
+    // identical: rnd is bookkeeping the final projection drops.
+    var (dist, releaseDist, _) = operators.Rounds.persistCounted(
       e.select(col("src").as("node")).distinct()
         .filter(col("node") % 2 === 0 && col("node") < seedBound)
-        .select(col("node"), lit(0L).as("d")), reliable = false)
-    // round-0 delta IS dist (same blocks) — only dist's thunk frees it
-    var delta = dist
-    var releaseDelta: () => Unit = () => ()
+        .select(col("node"), lit(0L).as("d"), lit(0L).as("rnd")),
+      reliable = false)
     var r = 1
     var converged = false
     while (r <= 4 && !converged) {
-      val cand = e.join(delta.withColumnRenamed("node", "src"), "src")
+      val delta = dist.filter(col("rnd") === (r - 1L))
+      val cand = e.join(delta.select(col("node").as("src"), col("d")), "src")
         .select(col("dst").as("node"), (col("d") + col("w")).as("cand"))
         .groupBy(col("node")).agg(min(col("cand")).as("cand"))
       val improved = cand
-        .join(dist.withColumnRenamed("d", "old"), Seq("node"), "left")
+        .join(dist.select(col("node"), col("d").as("old")), Seq("node"), "left")
         .filter(col("old").isNull || col("cand") < col("old"))
-        .select(col("node"), col("cand").as("d"))
-      val (nextDelta, nextDeltaRelease) =
-        operators.Rounds.persist(improved, reliable = false)
-      val (nextDist, nextDistRelease) = operators.Rounds.persist(
-        dist.join(nextDelta, Seq("node"), "left_anti").unionAll(nextDelta),
-        reliable = false)
-      releaseDelta(); releaseDist()
-      delta = nextDelta; releaseDelta = nextDeltaRelease
+        .select(col("node"), col("cand").as("d"), lit(r.toLong).as("rnd"))
+      val (nextDist, nextDistRelease, nImproved) =
+        operators.Rounds.persistCounted(
+          dist.join(improved, Seq("node"), "left_anti").unionAll(improved),
+          reliable = false, pred = Some(col("rnd") === r.toLong))
+      releaseDist()
       dist = nextDist; releaseDist = nextDistRelease
-      // bounded probe on the materialized delta; skipped on the final
-      // round, where its result could never be read
-      converged = if (r < 4) delta.isEmpty else true
+      converged = nImproved == 0L
       r += 1
     }
-    releaseDelta()
     e.unpersist(blocking = false)
     dist.select(col("node"), col("d").as("dist_cents")).orderBy(col("node"))
   }
@@ -5665,12 +5690,12 @@ object Queries {
     * [[qSsspBounded]]: each round propagates labels out of ONLY the
     * nodes whose label improved last round (an unchanged label has
     * already been offered to every neighbor — identical per-round
-    * results, frontier-sized edge join), with the
-    * [[operators.Rounds.persist]] release discipline of the k-core
-    * peel — lineage cut + previous round freed as the next lands, a
-    * bounded convergence probe on the materialized delta, the edge
-    * cache unpersisted before return. The emitted census aggregates
-    * the final node-sized label round (the only block set left). */
+    * results, frontier-sized edge join), with the one-job-per-round
+    * [[operators.Rounds.persistCounted]] discipline — lineage cut +
+    * previous round freed as the next lands, the convergence count
+    * fused into the materializing job, the edge cache unpersisted
+    * before return. The emitted census aggregates the final
+    * node-sized label round (the only block set left). */
   def qLabelProp(s: SparkSession, dir: String): DataFrame = {
     val pts = operators.Spatial.scaledPoints(Tables.embeddings(s, dir))
     val eps2 = operators.Spatial.dynamicEps2(1000000L, pts.count())
@@ -5682,35 +5707,37 @@ object Queries {
       .select(col("d.src").as("src"), col("d.dst").as("dst"))
       .repartition(col("src"))
       .cache()
-    var (lab, releaseLab) = operators.Rounds.persist(
+    // r20 round fusion: same round-tagged one-job-per-round shape as
+    // [[qSsspBounded]] — the frontier is the materialized round's
+    // rnd = r-1 slice, and the improved-label count that doubles as
+    // the convergence probe rides the materializing job
+    // ([[operators.Rounds.persistCounted]]; the r19 form paid three
+    // driver-synchronous jobs per round).
+    var (lab, releaseLab, _) = operators.Rounds.persistCounted(
       e.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lab")), reliable = false)
-    // round-0 delta IS lab (same blocks) — only lab's thunk frees it
-    var delta = lab
-    var releaseDelta: () => Unit = () => ()
+        .select(col("node"), col("node").as("lab"), lit(0L).as("rnd")),
+      reliable = false)
     var r = 1
     var converged = false
     while (r <= 3 && !converged) {
-      val cand = e.join(delta.withColumnRenamed("node", "src"), "src")
+      val delta = lab.filter(col("rnd") === (r - 1L))
+      val cand = e.join(delta.select(col("node").as("src"), col("lab")), "src")
         .select(col("dst").as("node"), col("lab"))
         .groupBy(col("node")).agg(min(col("lab")).as("cand"))
       // every node already carries a label, so `old` is never null
       val improved = cand
-        .join(lab.withColumnRenamed("lab", "old"), Seq("node"), "left")
+        .join(lab.select(col("node"), col("lab").as("old")), Seq("node"), "left")
         .filter(col("cand") < col("old"))
-        .select(col("node"), col("cand").as("lab"))
-      val (nextDelta, nextDeltaRelease) =
-        operators.Rounds.persist(improved, reliable = false)
-      val (nextLab, nextLabRelease) = operators.Rounds.persist(
-        lab.join(nextDelta, Seq("node"), "left_anti").unionAll(nextDelta),
-        reliable = false)
-      releaseDelta(); releaseLab()
-      delta = nextDelta; releaseDelta = nextDeltaRelease
+        .select(col("node"), col("cand").as("lab"), lit(r.toLong).as("rnd"))
+      val (nextLab, nextLabRelease, nImproved) =
+        operators.Rounds.persistCounted(
+          lab.join(improved, Seq("node"), "left_anti").unionAll(improved),
+          reliable = false, pred = Some(col("rnd") === r.toLong))
+      releaseLab()
       lab = nextLab; releaseLab = nextLabRelease
-      converged = if (r < 3) delta.isEmpty else true
+      converged = nImproved == 0L
       r += 1
     }
-    releaseDelta()
     e.unpersist(blocking = false)
     lab.groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
       .select(col("lab").as("label"), col("n_members"))

@@ -17,12 +17,14 @@ import org.apache.spark.sql.SparkSession
   * this path; forcing the serialized (Unsafe) writer — one sorted
   * file + index per map task — cut the iterative-query family 35-55%
   * (q_pagerank 5.25→2.90 s, q_hits 8.64→3.87 s, q_sssp_bounded
-  * 4.51→2.70 s, fresh-JVM min-of-2 at sf0.1/32 cores). The setting is
-  * scale-neutral, not a local-mode tune: on a production cluster every
-  * data-bearing shuffle has R > 200, so the bypass path never engages
-  * there and threshold 0 changes nothing; it only removes the
-  * small-R pathology that local/bench scale exposes. Env-overridable
-  * for A/B (`SPARK_GRAFT_BYPASS_MERGE_THRESHOLD`).
+  * 4.51→2.70 s, fresh-JVM min-of-2 at sf0.1/32 cores). Scale note
+  * (ADVICE r19): clusters DO run small-R shuffles too (post-AQE
+  * coalesced exchanges, small dimension aggregates), so threshold 0
+  * engages the serialized writer there as well — writer choice is
+  * semantics-neutral and at worst costs the small map-side sort+copy
+  * the r19 pair-core A/B measured at ~0.1-0.4 s, while data-bearing
+  * cluster shuffles (R > 200) never used the bypass path anyway.
+  * Env-overridable for A/B (`SPARK_GRAFT_BYPASS_MERGE_THRESHOLD`).
   */
 object Tuning {
   def engineDefaults(b: SparkSession.Builder): SparkSession.Builder =

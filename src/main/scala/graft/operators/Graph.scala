@@ -355,25 +355,26 @@ object Graph {
     require(k >= 1, "k must be positive")
     reliableCheckpointDir.foreach(
       edges.sparkSession.sparkContext.setCheckpointDir)
-    // Rounds.persist truncates lineage AND materializes (eager), so
-    // the count() below reads the stored blocks, not a recompute; the
-    // release thunk frees a round's blocks the moment the next round
-    // lands (Dataset.unpersist is a silent no-op on checkpointed data)
-    def persistRound(df: DataFrame): (DataFrame, () => Unit) =
-      Rounds.persist(df, reliableCheckpointDir.isDefined)
-    var (cur, curRelease) = persistRound(edges.select(col("u"), col("v")))
-    var prevCount = cur.count()
+    // Rounds.persistCounted truncates lineage and materializes the
+    // round through the SAME job that returns the surviving-edge
+    // count (r20 fusion: the eager-checkpoint-then-count pair cost 2
+    // driver-synchronous jobs per peel round); the release thunk
+    // frees a round's blocks the moment the next round lands
+    // (Dataset.unpersist is a silent no-op on checkpointed data)
+    def persistRound(df: DataFrame): (DataFrame, () => Unit, Long) =
+      Rounds.persistCounted(df, reliableCheckpointDir.isDefined)
+    var (cur, curRelease, prevCount) =
+      persistRound(edges.select(col("u"), col("v")))
     var rounds = 0
     var converged = false
     while (!converged && (maxRounds == 0 || rounds < maxRounds)) {
       val deg = cur.select(F.explode(F.array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      val (next, nextRelease) = persistRound(cur
+      val (next, nextRelease, nextCount) = persistRound(cur
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")))
-      val nextCount = next.count()
       curRelease()
       cur = next
       curRelease = nextRelease
@@ -429,55 +430,67 @@ object Graph {
     * minimal) hop count, and the per-round shuffle is sized by the
     * frontier, not the graph.
     *
-    * Round storage follows the same [[Rounds.persist]] release
-    * discipline as the k-core peel and star-contraction CC: each
-    * round materializes ONE label relation (`dist` so far — the new
-    * frontier is just its `dist = r` slice, so no separate frontier
-    * cache exists) with truncated lineage, and the previous round's
-    * blocks are released the moment the next round lands. A plain
-    * `.cache()` chain would instead accumulate O(maxHops) label-set
-    * copies in executor storage until the session cleared its cache
-    * (GraphSpec pins the release via `getPersistentRDDs`). The FINAL
-    * round stays materialized — the returned relation IS it; its
-    * storage is reclaimed by the ContextCleaner when the caller drops
-    * the reference (the [[Rounds]] contract). Lineage truncation also
-    * severs the sources-derive-from-edges lineage that otherwise
-    * trips Spark's ambiguous-self-join detection on the frontier⋈edge
-    * join. Pass `reliableCheckpointDir` on a real cluster so rounds
-    * survive executor loss (same contract as [[kcorePeel]]). */
+    * Round storage (r20 form): each round lazily local-checkpoints
+    * ONLY the new frontier and materializes it through the counting
+    * aggregate that doubles as the convergence probe
+    * ([[Rounds.persistCounted]] — one driver-synchronous job per
+    * round, not an eager checkpoint plus a separate isEmpty probe);
+    * the returned label relation is the unionAll of the per-round
+    * frontier checkpoints, so total block storage across the sweep is
+    * exactly the labeled set, a round writes O(|frontier|) blocks
+    * instead of rewriting everything labeled so far, and nothing is
+    * ever double-held. A plain `.cache()` chain would instead
+    * accumulate un-truncated lineage until the driver choked
+    * (GraphSpec pins the storage discipline via `getPersistentRDDs`).
+    * The returned union stays materialized; callers free it
+    * deterministically with [[Rounds.releaseOf]] (which unpersists
+    * every per-round leaf) or let the ContextCleaner reclaim it.
+    * Lineage truncation also severs the sources-derive-from-edges
+    * lineage that otherwise trips Spark's ambiguous-self-join
+    * detection on the frontier⋈edge join. Pass
+    * `reliableCheckpointDir` on a real cluster so rounds survive
+    * executor loss (same contract as [[kcorePeel]]). */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
       reliableCheckpointDir: Option[String] = None): DataFrame = {
     reliableCheckpointDir.foreach(
       edges.sparkSession.sparkContext.setCheckpointDir)
     val reliable = reliableCheckpointDir.isDefined
-    var (dist, release) = Rounds.persist(
+    // r20 round fusion (guide §2 / the r19 scaling-block diagnosis:
+    // the graph family was scheduling-bound on per-round jobs, not
+    // data-bound). Each round now costs ONE driver-synchronous job
+    // instead of two: the new frontier is lazily local-checkpointed
+    // and the count that materializes it IS the convergence probe
+    // ([[Rounds.persistCounted]]). And each round persists only the
+    // FRONTIER (the rows labeled this round) instead of rewriting the
+    // whole accumulated label set — `dist` is the running unionAll of
+    // the per-round frontier checkpoints, so round r writes O(|new|)
+    // blocks, not O(|labeled so far|), and total block storage across
+    // the sweep is exactly |labeled| (the old form peaked at 2× while
+    // two consecutive label sets coexisted). Results are identical by
+    // construction: the union holds the same (node, first-hop) rows
+    // the rewrite produced, and a node still enters exactly once (the
+    // anti-join is against the full union). [[Rounds.releaseOf]]
+    // unpersists every per-round leaf of the returned union.
+    var (frontier, _, n0) = Rounds.persistCounted(
       sources.select(col("node"), lit(0L).as("dist")).distinct(), reliable)
-    // Early exit when a round labels nothing new: the probe is one
-    // bounded count per round on the ALREADY-materialized relation
-    // (the kcorePeel convergence-probe pattern). Without it every
-    // remaining round still pays a full join + distinct + anti-join
-    // cycle against an empty frontier — on a graph whose eccentricity
-    // undershoots maxHops that is pure wasted cluster time (measured:
-    // the double-sweep diameter query ran 4 empty rounds of 12 at
-    // sf0.1 before this).
+    var dist = frontier
     var r = 1
-    var converged = false
+    var converged = n0 == 0L
     while (r <= maxHops && !converged) {
-      val frontier = dist.filter(col("dist") === (r - 1)).select(col("node"))
-      val reached = frontier.as("f")
+      val reached = frontier.select(col("node")).as("f")
         .join(edges.as("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node")).distinct()
       val fresh = reached.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("dist"))
-      val (next, nextRelease) = Rounds.persist(dist.unionAll(fresh), reliable)
-      release()
-      dist = next
-      release = nextRelease
-      // the probe only feeds the NEXT round's loop guard — on the
-      // final round its result could never be read, so skip the count
-      converged =
-        if (r < maxHops) dist.filter(col("dist") === r.toLong).isEmpty
-        else true
+      val (freshCk, freshRelease, n) = Rounds.persistCounted(fresh, reliable)
+      if (n == 0L) {
+        // empty round: nothing to add — drop its (empty) blocks now
+        freshRelease()
+        converged = true
+      } else {
+        dist = dist.unionAll(freshCk)
+        frontier = freshCk
+      }
       r += 1
     }
     dist

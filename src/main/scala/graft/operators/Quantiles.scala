@@ -141,7 +141,12 @@ object Quantiles {
         java.util.Arrays.sort(arr)
         TierProbe.record("quantiles.rank", "collect")
         qs.map { q =>
-          (q, arr((math.ceil(q * n).toLong - 1).toInt))
+          // same rank contract as rankElement's require(1 <= k <= n):
+          // an out-of-range q must fail identically on both tiers,
+          // not as a bare ArrayIndexOutOfBounds (ADVICE r19)
+          val k = math.ceil(q * n).toLong
+          require(k >= 1 && k <= n, s"rank k=$k out of range [1, $n] (q=$q)")
+          (q, arr((k - 1).toInt))
         }.toDF("q", "v")
       }
       else qs.map { q =>
@@ -259,6 +264,10 @@ object Quantiles {
           .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
         TierProbe.record("quantiles.weightedRank", "collect")
         def at(k: Long): Double = {
+          // same rank contract as weightedRankElement's require:
+          // k=0 must not silently return the minimum (ADVICE r19)
+          require(k >= 1 && k <= tw,
+            s"weighted rank k=$k out of range [1, $tw]")
           var cum = 0L
           var j = 0
           while (j < arr.length) {

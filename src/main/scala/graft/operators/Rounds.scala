@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Round persistence for iterative fixpoint operators (k-core peel,
@@ -38,18 +38,58 @@ private[graft] object Rounds {
       (out, releaseOf(out))
     }
 
+  /** One-job round (r20, guide §2/iteration discipline): LAZILY
+    * local-checkpoint `df`, then materialize it through a single
+    * count-bearing aggregate — the round's blocks land AND the
+    * convergence scalar returns from the SAME job, replacing the
+    * eager-checkpoint-then-probe pair every iterative operator paid
+    * before (2-3 driver-synchronous jobs per round → 1; at sf0.1 the
+    * whole graph family was scheduling-bound on exactly these jobs —
+    * 8 cores ≈ 32 cores in the r19 driver scaling block).
+    *
+    * `n` counts the rows satisfying `pred` (all rows when None) —
+    * the aggregate scans every partition, so every block of the
+    * lazy checkpoint is materialized by it, exactly as the eager
+    * form would have. Values are identical by construction: the
+    * probe the caller used to run separately read the same
+    * materialized relation.
+    *
+    * Reliable rounds keep the eager durable checkpoint (files must
+    * land whether or not anyone counts) and pay the separate count —
+    * the cluster-durability path is unchanged. */
+  def persistCounted(df: DataFrame, reliable: Boolean,
+      pred: Option[Column] = None): (DataFrame, () => Unit, Long) = {
+    def countOf(out: DataFrame): Long =
+      pred.fold(out.count())(p =>
+        out.agg(F.count(F.when(p, F.lit(1)))).head.getLong(0))
+    if (reliable) {
+      val out = df.checkpoint(true)
+      (out, () => (), countOf(out))
+    } else {
+      val out = df.localCheckpoint(false)
+      val n = countOf(out)
+      (out, releaseOf(out), n)
+    }
+  }
+
   /** Release thunk for a relation that is ALREADY locally
     * checkpointed — e.g. a final round handed back by an iterative
     * operator ([[graft.operators.Graph.bfsHops]]) whose storage the
     * caller wants to free deterministically once it has derived and
     * materialized its own result from it, instead of waiting for the
-    * ContextCleaner. Same destroy-once contract as [[persist]]'s
-    * thunk; no-op on plans that are not a bare checkpoint. */
-  def releaseOf(df: DataFrame): () => Unit =
-    df.queryExecution.analyzed match {
-      case lr: LogicalRDD => () => { lr.rdd.unpersist(blocking = false); () }
-      case _              => () => ()
+    * ContextCleaner. Since r20 the handed-back relation may be a
+    * UNION of per-round frontier checkpoints (bfsHops accumulates
+    * frontiers instead of rewriting the whole label set every
+    * round), so the thunk unpersists EVERY checkpointed leaf in the
+    * plan — all of them are rounds the operator owns. Same
+    * destroy-once contract as [[persist]]'s thunk; no-op on plans
+    * with no checkpointed leaf. */
+  def releaseOf(df: DataFrame): () => Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd
     }
+    () => { rdds.foreach(_.unpersist(blocking = false)); () }
+  }
 
   /** Registry of release thunks for the FAILURE path of a query that
     * persists intermediates before its final materialization. On the

@@ -137,12 +137,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // shortcut makes 3 a 1-hop node, so 4 is 2 and 5 is 3; 2 stays 2
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L,
       4L -> 2L, 5L -> 3L))
-    // same release contract as the k-core peel: only the FINAL round
-    // may stay registered with the block manager
+    // storage contract (r20 accumulated-frontier form): every block
+    // set still registered must be a per-round frontier the RETURNED
+    // union reads — total rows across them is exactly the labeled
+    // set, never a rounds× copy — and the empty convergence round
+    // must have been dropped. releaseOf must then free them all.
+    val own = res.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
     val leaked = sc.getPersistentRDDs.keySet -- before
-    assert(leaked.size <= 1,
-      s"${leaked.size} persisted RDDs survive a 5-round BFS " +
-        "(expected at most the final round); round releases are not firing")
+    val foreign = leaked.filterNot(own)
+    assert(foreign.isEmpty,
+      s"persisted RDDs $foreign survive a 5-round BFS but are not " +
+        "blocks the returned union reads; round releases are not firing")
+    assert(leaked.size <= 4, // hops 0..3 label rows; round 4 is empty
+      s"${leaked.size} persisted RDDs survive (expected ≤4 frontiers: " +
+        "the empty final round must release itself)")
+    operators.Rounds.releaseOf(res)()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "releaseOf(bfs result) must unpersist every per-round frontier")
   }
 
   test("dense-blocked tier: per-component bitmaps match brute force; gate order pinned") {
@@ -197,5 +210,31 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val star = (1L to 10L).map(x => (0L, x))
     assert(Graph.triangleCounts(edgeDf(star), denseMaxNodes = 1000).count() == 0)
     assert(Graph.orientedTriangles(edgeDf(star)).count() == 0)
+  }
+
+  test("persistCounted: one relation materializes, counts, and releases") {
+    import spark.implicits._
+    import graft.operators.Rounds
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = (0L until 100L).toDF("x")
+    // unfiltered count
+    val (out, release, n) = Rounds.persistCounted(df, reliable = false)
+    assert(n == 100L)
+    // the checkpoint is materialized: reading it back needs no lineage
+    assert(out.agg(sum(col("x"))).head.getLong(0) == 4950L)
+    // predicate count matches a separate filter-count, from ONE job
+    val (out2, release2, n2) = Rounds.persistCounted(
+      df.select(col("x"), (col("x") % 2).as("r")), reliable = false,
+      pred = Some(col("r") === 1L))
+    assert(n2 == 50L && out2.count() == 100L)
+    // empty relation: pred-count is 0, not a null NPE
+    val (out3, release3, n3) = Rounds.persistCounted(
+      df.filter(col("x") < 0L), reliable = false,
+      pred = Some(col("x") === 1L))
+    assert(n3 == 0L && out3.count() == 0L)
+    release(); release2(); release3()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "persistCounted release thunks must unpersist the round's blocks")
   }
 }
