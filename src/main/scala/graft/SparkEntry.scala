@@ -1405,10 +1405,16 @@ object Queries {
     * the original table. */
   def qSourceCfs(s: SparkSession, dir: String): DataFrame = {
     val root = freshScratchDir("cfs")
-    Tables.documents(s, dir)
+    // spread before the store write (r20): the documents table
+    // arrives as ONE parquet split, so the per-doc file upserts all
+    // ran in a single task (StageProfile: a 1-task, 1.8 s write stage
+    // while 31 cores idled — the same serial-bottleneck shape the
+    // media rework fixed). The sink is an idempotent (collection,
+    // doc_id) upsert, so task layout cannot change the stored bytes.
+    spread(Tables.documents(s, dir)
       .select(concat(lit("col_"), col("source")).as("collection"),
         col("doc_id").cast("string").as("doc_id"),
-        to_json(struct(col("lang"), col("n_chars"))).as("json"))
+        to_json(struct(col("lang"), col("n_chars"))).as("json")))
       .write.format("graft-cfs").option("root", root).mode("append").save()
     s.read.format("graft-cfs").option("root", root).load()
       .select(col("collection"),
@@ -1798,6 +1804,16 @@ object Queries {
           "text"))
       .drop("sh")
       .cache()
+    // NO materialize-before-fanout here (r20, measured): an eager
+    // count() that fills the cache before the consumer stages fan out
+    // looked right on paper (the r19 panel profile showed consumer
+    // stages blocked on the fill's per-partition cache locks with
+    // zero CPU), but the within-window A/B read net NEGATIVE — panel
+    // 2.94→2.80 and calibration −0.07 against minhash −0.14,
+    // contrastive −0.19, curation −0.35: the racing fill overlaps
+    // productively with the other consumers' independent stages, so
+    // serializing it lengthens the critical path more than the lock
+    // waits cost.
     (Dedup.minhashColumns(cached),
       () => { cached.unpersist(blocking = false): Unit })
   }
@@ -2252,8 +2268,12 @@ object Queries {
     val exactHits = batch.withColumn("h", md5(col("text")))
       .join(corpus.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
       .select(col("doc_id"))
+    // fused band keys (r20): signature + band md5s in ONE expression,
+    // so no exchange-reshaped stage can ever inline the k-hash chain
+    // per extracted column (the r19 wide-extract trap this path still
+    // carried via withMinhashSignature's 64-column extraction)
     def bands(df: DataFrame) =
-      Dedup.withLshBands(Dedup.withMinhashSignature(Dedup.withShingles(df, "text")))
+      Dedup.withLshBandKeys(Dedup.withShingles(df, "text"))
         .select(col("doc_id"), col("band_idx"), col("band_key"))
     val nearHits = bands(batch)
       .join(bands(corpus).select(col("band_idx"), col("band_key")).distinct(),

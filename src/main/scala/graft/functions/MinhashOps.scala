@@ -136,6 +136,116 @@ case class Md5Head8Expr(child: org.apache.spark.sql.catalyst.expressions.Express
   }
 }
 
+/** All LSH band keys of a base-hash array in ONE fused expression —
+  * the k minhash minima AND the per-band md5 keys in a single
+  * evaluation, so no plan shape can ever re-evaluate the signature
+  * chain per band (the r19 wide-extract trap: an expensive expression
+  * referenced by k outputs of one codegen stage may be inlined k
+  * times; measured ~44× per row once an exchange reshaped the dedup
+  * fill stage). Built for the banding-only consumers
+  * (q_incremental_dedup, the streaming LSH maintainers) that
+  * previously computed the full signature and extracted 64 columns
+  * just to md5 them in groups of 4.
+  *
+  * Value parity with the fused-extract pipeline is EXACT, including
+  * the degenerate rows: band_key(b) = lowercase-hex md5 of the UTF-8
+  * concatenation of the band's `rows` minima as decimal strings —
+  * identical to md5(concat(cast(m_i AS STRING)...)) — and a NULL or
+  * empty base-hash array (doc with < n words, or null text) yields an
+  * array of `bands` NULL keys, exactly as element_at(NULL, i) nulled
+  * every m_i and md5(concat(NULL..)) nulled every key. The expression
+  * is therefore never null itself and always emits `bands` elements,
+  * so a posexplode produces the same 16 rows per doc the old
+  * explode(array(struct...)) did. */
+case class MinhashBandKeysExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    a: IndexedSeq[Long], b: IndexedSeq[Long], p: Long, rows: Int)
+    extends UnaryExpression {
+
+  private lazy val aArr: Array[Long] = a.toArray
+  private lazy val bArr: Array[Long] = b.toArray
+  private val k = a.length
+  private val nBands = k / rows
+  require(b.length == k, "coefficient vectors must have equal length")
+  require(rows >= 1 && k % rows == 0, "rows must divide k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false // null input ⇒ array of null keys
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): MinhashBandKeysExpr =
+    copy(child = newChild)
+
+  @transient private lazy val digests =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Shared by interpreted eval and codegen; handles NULL input. */
+  def bands(input: ArrayData): ArrayData = {
+    if (input == null || input.numElements() == 0)
+      return new GenericArrayData(new Array[Any](nBands)) // nBands nulls
+    val n = input.numElements()
+    val minima = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = input.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (aArr(j) * h + bArr(j)) % p
+        if (v < minima(j)) minima(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val md = digests.get()
+    val sb = new java.lang.StringBuilder(rows * 20)
+    val out = new Array[Any](nBands)
+    var bi = 0
+    while (bi < nBands) {
+      sb.setLength(0)
+      var j = bi * rows
+      while (j < (bi + 1) * rows) { sb.append(minima(j)); j += 1 }
+      md.reset()
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var ci = 0
+      while (ci < 16) {
+        hex(2 * ci) = hexDigits((d(ci) >> 4) & 0xF)
+        hex(2 * ci + 1) = hexDigits(d(ci) & 0xF)
+        ci += 1
+      }
+      out(bi) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(new String(hex))
+      bi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    bands(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("minhashBandKeys", this,
+      classOf[MinhashBandKeysExpr].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $ref.bands(${childGen.isNull} ?
+            null : (org.apache.spark.sql.catalyst.util.ArrayData) ${childGen.value});
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+}
+
 object MinhashOps {
   /** Fused k-hash minhash signature (see [[MinhashSigExpr]]). */
   def minhash_signature(hs: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
@@ -145,4 +255,10 @@ object MinhashOps {
   /** Fused per-element md5 base hash (see [[Md5Head8Expr]]). */
   def md5_head8(sh: Column): Column =
     ColumnBridge.column(Md5Head8Expr(ColumnBridge.expression(sh)))
+
+  /** Fused signature + LSH band keys (see [[MinhashBandKeysExpr]]). */
+  def minhash_band_keys(hs: Column, a: Seq[Long], b: Seq[Long], p: Long,
+      rows: Int): Column =
+    ColumnBridge.column(MinhashBandKeysExpr(ColumnBridge.expression(hs),
+      a.toIndexedSeq, b.toIndexedSeq, p, rows))
 }

@@ -129,6 +129,27 @@ object Dedup {
     withSig.select(col("*") +: minCols: _*).drop("_hs", "_sig")
   }
 
+  /** df + (band_idx, band_key) exploded rows computed straight from
+    * the `sh` shingle column by ONE fused expression
+    * ([[graft.functions.MinhashBandKeysExpr]]): the k-hash signature
+    * and the per-band md5 keys evaluate in a single pass, so no plan
+    * shape can re-evaluate the signature chain per band — the r19
+    * wide-extract codegen trap that `withLshBands ∘
+    * withMinhashSignature` carries whenever an exchange reshapes the
+    * stage (measured ~44×/row elsewhere). Drop-in replacement for
+    * that composition for consumers that need ONLY the band keys
+    * (incremental dedup's corpus index, the streaming LSH
+    * maintainers); row-for-row value parity including the degenerate
+    * shapes (short/empty/null text ⇒ 16 null-key rows) is pinned by
+    * DedupSpec. */
+  def withLshBandKeys(df: DataFrame, k: Int = MinhashK,
+      rows: Int = LshRows): DataFrame =
+    df.select(col("*"),
+      posexplode(graft.functions.MinhashOps.minhash_band_keys(
+        graft.functions.MinhashOps.md5_head8(col("sh")),
+        MinhashA.take(k), MinhashB.take(k), MinhashP, rows))
+        .as(Seq("band_idx", "band_key")))
+
   /** df + (band_idx, band_key) exploded rows: bands of `rows` adjacent
     * minhashes, keyed by md5 of their concatenation. */
   def withLshBands(df: DataFrame, k: Int = MinhashK, rows: Int = LshRows): DataFrame = {

@@ -84,11 +84,31 @@ final class JsonFileSink(root: String) extends DocumentSink with DocumentReader 
     dir
   }
 
+  // Per-doc write cost discipline (r20): the old path paid FOUR
+  // filesystem/entropy ops per document — createDirectories (even
+  // when the dir existed), Files.createTempFile (a SecureRandom name
+  // draw + create-retry loop, which CONTENDS across writer tasks:
+  // the 32-task parallel store write burned 13× the CPU per doc of
+  // the serial one, all in metadata ops), the data write, and the
+  // atomic move. Now: the mkdir is memoized per collection (sink
+  // instances are per-task), and the tmp name is a cheap unique
+  // (pid, thread, counter) triple — unique per live writer by
+  // construction, and a stale crash leftover with the same name is
+  // simply truncated and re-moved, which the idempotent-upsert
+  // contract already permits. Readers never see tmp files (they
+  // filter on the .json suffix); the write remains tmp+ATOMIC_MOVE.
+  @transient private lazy val mkdirSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @transient private lazy val tmpSeq =
+    new java.util.concurrent.atomic.AtomicLong()
+  @transient private lazy val pid = ProcessHandle.current().pid()
+
   override def commitBatch(docs: Seq[DocumentSink.Doc]): Unit =
     docs.foreach { d =>
       val dir = collectionDir(d.targetPath)
-      Files.createDirectories(dir)
-      val tmp = Files.createTempFile(dir, ".doc", ".tmp")
+      if (mkdirSeen.add(dir.toString)) Files.createDirectories(dir)
+      val tmp = dir.resolve(
+        s".doc-$pid-${Thread.currentThread().getId}-${tmpSeq.incrementAndGet()}.tmp")
       Files.write(tmp, d.json.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, dir.resolve(s"${sanitize(d.docId)}.json"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)

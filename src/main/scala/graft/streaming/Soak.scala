@@ -660,9 +660,11 @@ object Soak {
     val lshHits = streamedLsh.filter(!col("is_first")).count()
     val batchBanded = {
       import graft.operators.Dedup
-      Dedup.withLshBands(Dedup.withMinhashSignature(Dedup.withShingles(
+      // same fused band-key expression the streaming maintainer uses
+      // (r20) — the replay gate compares like against like
+      Dedup.withLshBandKeys(Dedup.withShingles(
           spark.read.parquet(docIn).select(col("doc_id").cast("long"), col("text")),
-          "text")))
+          "text"))
         .select(col("band_idx"), col("band_key"), col("doc_id"))
     }
     val membersOk = sameMultiset(

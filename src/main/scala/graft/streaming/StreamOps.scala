@@ -146,8 +146,12 @@ object StreamOps {
       timeoutMinutes: Option[Int] = None): Dataset[BandHit] = {
     import spark.implicits._
     import graft.operators.Dedup
-    val banded = Dedup.withLshBands(Dedup.withMinhashSignature(
-        Dedup.withShingles(docs.select(col("doc_id").cast("long"), col("text")), "text")))
+    // fused band keys (r20): one expression computes the signature
+    // and the band md5s, so the micro-batch plan can never inline the
+    // k-hash chain per extracted column (the r19 wide-extract trap);
+    // value parity with the batch path is pinned by DedupSpec
+    val banded = Dedup.withLshBandKeys(
+        Dedup.withShingles(docs.select(col("doc_id").cast("long"), col("text")), "text"))
       .select(col("doc_id"), col("band_idx"), col("band_key"))
       .as[(Long, Int, String)]
     val timeoutConf = if (timeoutMinutes.isDefined)

@@ -370,4 +370,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!lines.slice(probeIdx + 1, scanIdx).exists(_.contains("Exchange")),
       s"exchange between probe filter and scan:\n$plan")
   }
+
+  test("withLshBandKeys ≡ withLshBands∘withMinhashSignature, degenerate rows included") {
+    // the fused band-key expression must be row-for-row identical to
+    // the signature-then-extract pipeline — including the shapes that
+    // null the signature: text with < 3 words (empty shingle array)
+    // and NULL text must still emit 16 rows with NULL band keys
+    val docs = Seq[(Long, String)](
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document with its own words inside"),
+      (4L, "two words"), // < n words -> empty shingles -> null keys
+      (5L, ""),
+      (6L, null)).toDF("doc_id", "text")
+    val sh = Dedup.withShingles(docs, "text")
+    val old = Dedup.withLshBands(Dedup.withMinhashSignature(sh))
+      .select($"doc_id", $"band_idx", $"band_key")
+    val fused = Dedup.withLshBandKeys(sh)
+      .select($"doc_id", $"band_idx", $"band_key")
+    // schema parity (band_idx stays INT, band_key stays STRING)
+    assert(fused.schema == old.schema,
+      s"schema drift: ${fused.schema} vs ${old.schema}")
+    val o = old.collect().map(r =>
+      (r.getLong(0), r.getInt(1), Option(r.getString(2)))).sorted
+    val f = fused.collect().map(r =>
+      (r.getLong(0), r.getInt(1), Option(r.getString(2)))).sorted
+    assert(o.length == 6 * Dedup.LshBands && f.sameElements(o),
+      s"fused band keys diverge from the extract pipeline")
+    // duplicate docs collide on every band; distinct docs on none
+    val byDoc = f.filter(_._3.isDefined).groupBy(_._1)
+    assert(byDoc(1L).map(_._3).sameElements(byDoc(2L).map(_._3)))
+    assert(byDoc(1L).map(_._3).toSet.intersect(byDoc(3L).map(_._3).toSet).isEmpty)
+    // degenerate docs emitted all-null keys
+    Seq(4L, 5L, 6L).foreach { id =>
+      val rows = f.filter(_._1 == id)
+      assert(rows.length == Dedup.LshBands && rows.forall(_._3.isEmpty),
+        s"doc $id must emit ${Dedup.LshBands} null-key rows")
+    }
+  }
 }
