@@ -430,24 +430,25 @@ object Graph {
     * minimal) hop count, and the per-round shuffle is sized by the
     * frontier, not the graph.
     *
-    * Round storage (r20 form): each round lazily local-checkpoints
-    * ONLY the new frontier and materializes it through the counting
-    * aggregate that doubles as the convergence probe
-    * ([[Rounds.persistCounted]] — one driver-synchronous job per
-    * round, not an eager checkpoint plus a separate isEmpty probe);
-    * the returned label relation is the unionAll of the per-round
-    * frontier checkpoints, so total block storage across the sweep is
-    * exactly the labeled set, a round writes O(|frontier|) blocks
-    * instead of rewriting everything labeled so far, and nothing is
-    * ever double-held. A plain `.cache()` chain would instead
-    * accumulate un-truncated lineage until the driver choked
-    * (GraphSpec pins the storage discipline via `getPersistentRDDs`).
-    * The returned union stays materialized; callers free it
-    * deterministically with [[Rounds.releaseOf]] (which unpersists
-    * every per-round leaf) or let the ContextCleaner reclaim it.
-    * Lineage truncation also severs the sources-derive-from-edges
-    * lineage that otherwise trips Spark's ambiguous-self-join
-    * detection on the frontier⋈edge join. Pass
+    * Round storage (r20 form): each round materializes ONE label
+    * relation (`dist` so far — the new frontier is just its
+    * `dist = r` slice) through [[Rounds.persistCounted]], whose
+    * single-stage counting action doubles as the convergence probe —
+    * one driver-synchronous job per round where the r19 form paid an
+    * eager checkpoint plus a separate isEmpty probe. (An
+    * accumulated-union-of-frontiers variant that writes only
+    * O(|frontier|) blocks per round was measured and REJECTED: the
+    * anti-join over the growing leaf set read consistently slower
+    * and noisier under the bench harness than the single-relation
+    * rewrite — see OPTIMIZATION_r20.md.) The previous round's blocks
+    * are released the moment the next round lands; a plain `.cache()`
+    * chain would instead accumulate O(maxHops) label-set copies
+    * (GraphSpec pins the release via `getPersistentRDDs`). The FINAL
+    * round stays materialized — the returned relation IS it; free it
+    * deterministically with [[Rounds.releaseOf]] or let the
+    * ContextCleaner reclaim it. Lineage truncation also severs the
+    * sources-derive-from-edges lineage that otherwise trips Spark's
+    * ambiguous-self-join detection on the frontier⋈edge join. Pass
     * `reliableCheckpointDir` on a real cluster so rounds survive
     * executor loss (same contract as [[kcorePeel]]). */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
@@ -458,39 +459,30 @@ object Graph {
     // r20 round fusion (guide §2 / the r19 scaling-block diagnosis:
     // the graph family was scheduling-bound on per-round jobs, not
     // data-bound). Each round now costs ONE driver-synchronous job
-    // instead of two: the new frontier is lazily local-checkpointed
-    // and the count that materializes it IS the convergence probe
-    // ([[Rounds.persistCounted]]). And each round persists only the
-    // FRONTIER (the rows labeled this round) instead of rewriting the
-    // whole accumulated label set — `dist` is the running unionAll of
-    // the per-round frontier checkpoints, so round r writes O(|new|)
-    // blocks, not O(|labeled so far|), and total block storage across
-    // the sweep is exactly |labeled| (the old form peaked at 2× while
-    // two consecutive label sets coexisted). Results are identical by
-    // construction: the union holds the same (node, first-hop) rows
-    // the rewrite produced, and a node still enters exactly once (the
-    // anti-join is against the full union). [[Rounds.releaseOf]]
-    // unpersists every per-round leaf of the returned union.
-    var (frontier, _, n0) = Rounds.persistCounted(
+    // instead of two: the round is lazily local-checkpointed and the
+    // single-stage count that materializes it IS the convergence
+    // probe ([[Rounds.persistCounted]], counting the dist = r slice).
+    // Results are identical by construction — the relation holds the
+    // same (node, first-hop) rows, and a node still enters exactly
+    // once (the anti-join against the full label set).
+    var (dist, release, n0) = Rounds.persistCounted(
       sources.select(col("node"), lit(0L).as("dist")).distinct(), reliable)
-    var dist = frontier
     var r = 1
     var converged = n0 == 0L
     while (r <= maxHops && !converged) {
+      val frontier = dist.filter(col("dist") === (r - 1L))
       val reached = frontier.select(col("node")).as("f")
         .join(edges.as("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node")).distinct()
       val fresh = reached.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("dist"))
-      val (freshCk, freshRelease, n) = Rounds.persistCounted(fresh, reliable)
-      if (n == 0L) {
-        // empty round: nothing to add — drop its (empty) blocks now
-        freshRelease()
-        converged = true
-      } else {
-        dist = dist.unionAll(freshCk)
-        frontier = freshCk
-      }
+      val (nextDist, nextRelease, n) = Rounds.persistCounted(
+        dist.unionAll(fresh), reliable,
+        pred = Some(col("dist") === r.toLong))
+      release()
+      dist = nextDist
+      release = nextRelease
+      converged = n == 0L
       r += 1
     }
     dist

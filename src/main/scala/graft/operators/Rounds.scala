@@ -59,9 +59,17 @@ private[graft] object Rounds {
     * the cluster-durability path is unchanged. */
   def persistCounted(df: DataFrame, reliable: Boolean,
       pred: Option[Column] = None): (DataFrame, () => Unit, Long) = {
+    // The count MUST stay exchange-free: a Dataset-level count/agg
+    // plans a partial+final aggregate with a shuffle between, which
+    // under AQE is two sequential query-stage materializations — MORE
+    // driver round-trips than the eager-checkpoint-plus-isEmpty pair
+    // this helper replaces (measured: q_diameter_2sweep +0.5 s with
+    // the agg form). An RDD count over the (optionally filtered)
+    // checkpoint plan is one single-stage job with per-partition
+    // counts summed on the driver: it materializes every block AND
+    // returns the scalar in one round trip.
     def countOf(out: DataFrame): Long =
-      pred.fold(out.count())(p =>
-        out.agg(F.count(F.when(p, F.lit(1)))).head.getLong(0))
+      pred.fold(out)(p => out.filter(p)).queryExecution.toRdd.count()
     if (reliable) {
       val out = df.checkpoint(true)
       (out, () => (), countOf(out))
@@ -77,13 +85,13 @@ private[graft] object Rounds {
     * operator ([[graft.operators.Graph.bfsHops]]) whose storage the
     * caller wants to free deterministically once it has derived and
     * materialized its own result from it, instead of waiting for the
-    * ContextCleaner. Since r20 the handed-back relation may be a
-    * UNION of per-round frontier checkpoints (bfsHops accumulates
-    * frontiers instead of rewriting the whole label set every
-    * round), so the thunk unpersists EVERY checkpointed leaf in the
-    * plan — all of them are rounds the operator owns. Same
-    * destroy-once contract as [[persist]]'s thunk; no-op on plans
-    * with no checkpointed leaf. */
+    * ContextCleaner. Since r20 the thunk unpersists EVERY
+    * checkpointed leaf in the plan, not just a bare top-level one —
+    * robust to relations derived from a checkpoint (unions,
+    * projections) where the old single-node match silently leaked.
+    * Callers pass only relations whose checkpointed leaves they own.
+    * Same destroy-once contract as [[persist]]'s thunk; no-op on
+    * plans with no checkpointed leaf. */
   def releaseOf(df: DataFrame): () => Unit = {
     val rdds = df.queryExecution.analyzed.collect {
       case lr: LogicalRDD => lr.rdd

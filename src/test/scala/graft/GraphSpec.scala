@@ -137,11 +137,9 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // shortcut makes 3 a 1-hop node, so 4 is 2 and 5 is 3; 2 stays 2
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L,
       4L -> 2L, 5L -> 3L))
-    // storage contract (r20 accumulated-frontier form): every block
-    // set still registered must be a per-round frontier the RETURNED
-    // union reads — total rows across them is exactly the labeled
-    // set, never a rounds× copy — and the empty convergence round
-    // must have been dropped. releaseOf must then free them all.
+    // storage contract (r20 one-job rounds): only the FINAL round may
+    // stay registered, and it must be the blocks the returned
+    // relation reads; releaseOf must then free it deterministically
     val own = res.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }.toSet
@@ -149,13 +147,13 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val foreign = leaked.filterNot(own)
     assert(foreign.isEmpty,
       s"persisted RDDs $foreign survive a 5-round BFS but are not " +
-        "blocks the returned union reads; round releases are not firing")
-    assert(leaked.size <= 4, // hops 0..3 label rows; round 4 is empty
-      s"${leaked.size} persisted RDDs survive (expected ≤4 frontiers: " +
-        "the empty final round must release itself)")
+        "blocks the returned relation reads; round releases are not firing")
+    assert(leaked.size <= 1,
+      s"${leaked.size} persisted RDDs survive a 5-round BFS " +
+        "(expected at most the final round)")
     operators.Rounds.releaseOf(res)()
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
-      "releaseOf(bfs result) must unpersist every per-round frontier")
+      "releaseOf(bfs result) must unpersist the final round")
   }
 
   test("dense-blocked tier: per-component bitmaps match brute force; gate order pinned") {
