@@ -2556,12 +2556,10 @@ object Queries {
     * the classic per-basket self-join, linear in lineitems. */
   def qItemsetPairs(s: SparkSession, dir: String): DataFrame =
     operators.Rounds.onFailure { scope =>
-      val (items, relItems) = operators.Rounds.persist(
-        Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct(), reliable = false)
+      val (items, relItems) = operators.Rounds.persistLazy(
+        distinctBasketItems(s, dir))
       scope.defer(relItems)
-      val (pairs, relPairs) = supportedPairs(items, scope)
+      val (pairs, relPairs, _) = supportedPairs(items, scope)
       val res = pairs
         .select(col("a").as("p_a"), col("b").as("p_b"),
           col("c_ab").as("support"))
@@ -2569,6 +2567,25 @@ object Queries {
         .limit(50)
       materializeFinal("q_itemset_pairs", res) { relPairs(); relItems() }
     }
+
+  /** The (ok, pk)-distinct basket item relation both pair-core
+    * queries checkpoint. The dedup's exchange hash-partitions on the
+    * FULL key at the engine's default parallelism, pinned against AQE
+    * coalescing: the downstream per-basket self-join does its
+    * CPU-bound pair explosion BEFORE any exchange, so the
+    * checkpoint's partition count IS that stage's task count — AQE's
+    * byte-based coalescing saw ~6 MB here and squeezed it to 5 tasks,
+    * serializing the dominant stage on a 32-core host (StageProfile
+    * r20: q_item_lift 3.5 s run ≈ 3.4 s CPU on 5 tasks). Width
+    * derives from defaultParallelism, never a constant; the exchange
+    * count is unchanged (the pinned repartition REPLACES the
+    * distinct's own exchange — hash(ok, pk) satisfies the dedup
+    * aggregate's clustering, so partial and final fuse in-stage). */
+  private def distinctBasketItems(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(s.sparkContext.defaultParallelism, col("ok"), col("pk"))
+      .distinct()
 
   /** Exact co-occurrence pair counts with support ≥ 2 over an
     * (ok, pk) item relation — the skew-immune candidate-first core
@@ -2583,7 +2600,7 @@ object Queries {
     * byte-based skew split cannot see; a salted join spreads
     * generation but still aggregates ~5·10⁷ doomed pairs).
     *
-    * Big-basket containment is tiered by two bounded driver scalars
+    * Big-basket containment is tiered by bounded driver scalars
     * (one aggregate job over the caller-persisted `items`):
     *
     *  - **No big baskets** (every unskewed SF): the whole machinery
@@ -2605,17 +2622,21 @@ object Queries {
     *    returned thunk releases them and MUST run after the caller
     *    materializes its final.
     *
-    * `items` must be (ok, pk)-distinct and ALREADY persisted by the
-    * caller (it feeds the gate aggregate plus up to four subtrees);
-    * internal persists are deferred into the caller's `scope` so they
-    * release even when the gate `head()`, the idx collect, or the
-    * final materialization throws (ADVICE r16).
-    * Returns ((a, b, c_ab), release), a < b, c_ab ≥ 2, exact. */
+    * `items` must be (ok, pk)-distinct and persisted by the caller —
+    * eagerly, or lazily ([[operators.Rounds.persistLazy]]): the gate
+    * aggregate here is the first job over it and doubles as the lazy
+    * checkpoint's materializer (it feeds that gate plus up to four
+    * subtrees); internal persists are deferred into the caller's
+    * `scope` so they release even when the gate `head()`, the idx
+    * collect, or the final materialization throws (ADVICE r16).
+    * Returns ((a, b, c_ab), release, nBaskets), a < b, c_ab ≥ 2,
+    * exact; nBaskets = COUNT(DISTINCT ok), a bounded scalar the gate
+    * aggregate already pays for (qItemLift's lift denominator N). */
   private[graft] def supportedPairs(items: DataFrame,
       scope: operators.Rounds.ReleaseScope,
       bigBasketThreshold: Long = operators.GateKnobs.paircoreBigThreshold,
       bitmapTierMaxDistinctBig: Long = operators.GateKnobs.paircoreMaxDistinctBig,
-      bitmapTierMaxBigItemsKnob: Long = operators.GateKnobs.paircoreMaxBigItems): (DataFrame, () => Unit) = {
+      bitmapTierMaxBigItemsKnob: Long = operators.GateKnobs.paircoreMaxBigItems): (DataFrame, () => Unit, Long) = {
     // Bitmap-tier admission bound on Σ big-basket items (= mask rows).
     // Validated AT the bound (PairCoreSpec "1M big-item bound"): the
     // persisted mask canonicalizes to ONE broadcast build — measured
@@ -2634,14 +2655,22 @@ object Queries {
     // the split key set (baskets > 256 items) is anomalies-only by
     // construction — broadcast semi/anti beats re-shuffling the whole
     // item relation against its own size aggregate
-    val bigOks = items.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > bigBasketThreshold)
-    // strategy gate: TWO bounded driver scalars from ONE aggregate
-    // (items is caller-persisted, so this pays a cached scan, not I/O)
-    val gate = bigOks
-      .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L))).head()
-    val nBig = gate.getLong(0)
-    val bigItems = gate.getLong(1)
+    val basketSizes = items.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
+    val bigOks = basketSizes.filter(col("bsz") > bigBasketThreshold)
+    // strategy gate: THREE bounded driver scalars from ONE aggregate
+    // over the per-basket sizes (r20: the total basket count rides
+    // along so qItemLift's N never needs its own distinct-count
+    // subtree). This is the FIRST job over `items`, so a lazily
+    // checkpointed caller relation materializes its blocks here —
+    // the gate doubles as the persist job (guide §2, one-job rounds).
+    val gate = basketSizes.agg(
+      count(lit(1)),
+      coalesce(sum(when(col("bsz") > bigBasketThreshold, lit(1L))), lit(0L)),
+      coalesce(sum(when(col("bsz") > bigBasketThreshold, col("bsz"))),
+        lit(0L))).head()
+    val nBaskets = gate.getLong(0)
+    val nBig = gate.getLong(1)
+    val bigItems = gate.getLong(2)
     val bigOkKeys = bigOks.select(col("ok"))
     // Zero-big collapse routes over `items` DIRECTLY: bigOkKeys is
     // empty so the anti-join would be an identity, but executing it
@@ -2660,7 +2689,8 @@ object Queries {
     if (nBig == 0L) {
       operators.TierProbe.record("paircore", "zero-big")
       return (smallCountsPlan.filter(col("c_small") >= 2)
-        .select(col("a"), col("b"), col("c_small").as("c_ab")), () => ())
+        .select(col("a"), col("b"), col("c_small").as("c_ab")), () => (),
+        nBaskets)
     }
     def interPlan = big.select(col("ok").as("okx"), col("pk"))
       .join(big.select(col("ok").as("oky"), col("pk")), "pk")
@@ -2716,7 +2746,7 @@ object Queries {
               Seq("a", "b"), "left_anti"))
             .select(col("a"), col("b"), col("c_big").as("c_ab"))
             .filter(col("c_ab") >= 2))
-      (out, () => { relSmall(); relMask() })
+      (out, () => { relSmall(); relMask() }, nBaskets)
     } else {
       // join tier: candidate-first with persisted shared intermediates
       operators.TierProbe.record("paircore", "join")
@@ -2738,7 +2768,7 @@ object Queries {
           (coalesce(col("c_small"), lit(0L)) +
             coalesce(col("c_big"), lit(0L))).as("c_ab"))
         .filter(col("c_ab") >= 2)
-      (out, () => { relSmall(); relCands() })
+      (out, () => { relSmall(); relCands() }, nBaskets)
     }
   }
 
@@ -6313,19 +6343,22 @@ object Queries {
     *
     * Pair counting runs through the skew-immune candidate-first
     * [[supportedPairs]] core (see its scaladoc for the mega-basket
-    * analysis). Downstream: margins via two key joins, one bounded
-    * 1-row N broadcast (whitelisted), one partitioned rank window. */
+    * analysis). Downstream: margins via two key joins and one
+    * partitioned rank window; the lift denominator N folds in as a
+    * literal from the core's gate aggregate (r20 — it was a 1-row
+    * crossJoin broadcast before). */
   def qItemLift(s: SparkSession, dir: String): DataFrame =
     operators.Rounds.onFailure { scope =>
     import org.apache.spark.sql.expressions.Window
-    val (items, relItems) = operators.Rounds.persist(
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct(), reliable = false)
+    val (items, relItems) = operators.Rounds.persistLazy(
+      distinctBasketItems(s, dir))
     scope.defer(relItems)
-    val nOrders = items.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val (pairs, relPairs) = supportedPairs(items, scope)
+    // N = COUNT(DISTINCT ok) rides the strategy-gate aggregate inside
+    // supportedPairs — a bounded scalar, so the lift projection folds
+    // it as a literal instead of a distinct-count subtree + crossJoin
+    // (r20: the separate subtree cost 2 extra exchanges + a broadcast
+    // per run for a number the gate already knew)
+    val (pairs, relPairs, nOrders) = supportedPairs(items, scope)
     val margin = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     // both directions from ONE pass over the pair relation (a union
     // would reference it twice and force an extra 7.6M-row persist at
@@ -6338,9 +6371,9 @@ object Queries {
     val scored = directed
       .join(margin.select(col("pk").as("a"), col("c").as("c_a")), "a")
       .join(margin.select(col("pk").as("b"), col("c").as("c_b")), "b")
-      .crossJoin(broadcast(nOrders))
       .select(col("a"), col("b"), col("c_ab"),
-        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * n_orders * 1000000 " +
+        expr(s"CAST(CAST(c_ab AS DECIMAL(38,0)) * " +
+          s"CAST($nOrders AS BIGINT) * 1000000 " +
           "div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)")
           .as("lift_ppm"))
     val res = scored

@@ -38,6 +38,19 @@ private[graft] object Rounds {
       (out, releaseOf(out))
     }
 
+  /** Lazy local checkpoint (r20): truncates lineage like [[persist]]
+    * but defers block materialization to the FIRST job that computes
+    * the relation — for callers whose very next action is a
+    * full-scan driver scalar over the same relation (the pair core's
+    * strategy gate), where the eager form pays a materialize job plus
+    * a second full block-read pass for the aggregate. The caller must
+    * guarantee that a full-scan job runs before any multi-consumer
+    * fan-out, or consumers race to compute the plan concurrently. */
+  def persistLazy(df: DataFrame): (DataFrame, () => Unit) = {
+    val out = df.localCheckpoint(false)
+    (out, releaseOf(out))
+  }
+
   /** One-job round (r20, guide §2/iteration discipline): LAZILY
     * local-checkpoint `df`, then materialize it through a single
     * count-bearing aggregate — the round's blocks land AND the

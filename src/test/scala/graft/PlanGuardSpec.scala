@@ -191,10 +191,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     * windows only for the dense triangle tiers' gate-bounded id
     * ranking (n ≤ denseMaxNodes by dispatch). */
   test("eager-materialized finals: captured internal plans stay guarded") {
-    // q_item_lift moved here from the lazy-plan whitelist when it
-    // gained materializeFinal: its 1-row basket-count broadcast for
-    // the lift scale is only visible in the recorded internal plan
-    val allowedBnlj = Set("q_hits", "q_diameter_2sweep", "q_item_lift")
+    // (q_item_lift left this whitelist in r20: its 1-row basket-count
+    // broadcast became a literal folded from the pair core's gate
+    // aggregate, so no BNLJ remains in its plan)
+    val allowedBnlj = Set("q_hits", "q_diameter_2sweep")
     val allowedGlobalWindow =
       Set("helper:graph.denseTriangles", "helper:graph.componentDenseTriangles")
     val trigger = Seq("q_pagerank", "q_ppr", "q_hits", "q_rfm_scores",
