@@ -72,6 +72,20 @@ private[graft] object Rounds {
     * the cluster-durability path is unchanged. */
   def persistCounted(df: DataFrame, reliable: Boolean,
       pred: Option[Column] = None): (DataFrame, () => Unit, Long) = {
+    // Cap the round's partition count (r20, guide §2 stragglers/tiny
+    // tasks): every round shape here is `previous-round ∪ delta`, and
+    // a localCheckpoint PRESERVES partitions, so the stored relation
+    // grows by the delta's partition count each round — profiled at
+    // 33→65→97→129→161 partitions across a 5-round BFS sweep, where
+    // every per-round stage over the relation then schedules 100+
+    // near-empty tasks (StageProfile: 4.5 run_s vs 0.4 cpu_s on the
+    // 161-task stages — pure scheduling). `coalesce` is a NARROW cap
+    // (no shuffle, merges up to the nearest exchange boundary), the
+    // width derives from the session's defaultParallelism (never a
+    // constant), and a checkpointed relation reports
+    // UnknownPartitioning downstream regardless, so no consumer ever
+    // relied on the un-coalesced layout.
+    val capped = df.coalesce(df.sparkSession.sparkContext.defaultParallelism)
     // The count MUST stay exchange-free: a Dataset-level count/agg
     // plans a partial+final aggregate with a shuffle between, which
     // under AQE is two sequential query-stage materializations — MORE
@@ -84,10 +98,10 @@ private[graft] object Rounds {
     def countOf(out: DataFrame): Long =
       pred.fold(out)(p => out.filter(p)).queryExecution.toRdd.count()
     if (reliable) {
-      val out = df.checkpoint(true)
+      val out = capped.checkpoint(true)
       (out, () => (), countOf(out))
     } else {
-      val out = df.localCheckpoint(false)
+      val out = capped.localCheckpoint(false)
       val n = countOf(out)
       (out, releaseOf(out), n)
     }
