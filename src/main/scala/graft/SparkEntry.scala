@@ -872,7 +872,6 @@ object Queries {
       .repartition(col("src"))
       .cache() // read twice below (deg agg + join) — materialize once
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
-    val edges = sym.join(deg, "src").cache() // co-partitioned: no extra exchange
     // deg's keys ARE the distinct node set — no separate distinct pass
     val nodes = deg.select(col("src").as("node"))
     val n = deg.count() // bounded scalar for the teleport term; also populates the caches
@@ -882,19 +881,27 @@ object Queries {
       // each direction), so the contrib aggregate covers ALL nodes —
       // no nodes-relation left-join needed to reinstate zero-indegree
       // rows, and the damped update is a pure projection of it.
-      r = edges
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("r div d").as("cb"))
+      // `r div d` depends only on src: attach the degree to the
+      // NODE-sized rank relation instead of caching a third
+      // 1.17M-row (src, dst, d) edge relation whose only job was
+      // carrying d to this projection (r20, guide §2.3 — identical
+      // per-edge contributions, one full columnar cache build less,
+      // one long column less scanned per iteration).
+      val rIn = r.withColumnRenamed("node", "src")
+        .join(deg, "src")
+        .select(col("src"), expr("r div d").as("cb"))
+      r = sym
+        .join(rIn, "src")
+        .select(col("dst"), col("cb"))
         .groupBy(col("dst")).agg(sum(col("cb")).as("contrib"))
         .select(col("dst").as("node"),
           (lit(150000000L / n) + expr("(85 * contrib) div 100")).as("r"))
     }
-    // eager node-sized result so the three graph caches release NOW
+    // eager node-sized result so the two graph caches release NOW
     // (same contract as qPpr/qHits); reclaimed by the ContextCleaner
     // when the caller drops the reference
     materializeFinal("q_pagerank",
       r.select(col("node"), col("r").as("rank_ppb")).orderBy(col("node"))) {
-      edges.unpersist(blocking = false)
       deg.unpersist(blocking = false)
       sym.unpersist(blocking = false)
     }
@@ -5044,7 +5051,6 @@ object Queries {
       .repartition(col("src"))
       .cache()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
-    val edges = sym.join(deg, "src").cache()
     val nodes = deg.select(col("src").as("node"))
     // source set: customer nodes 0–9 (ids 2k, k<10) present in the
     // graph. Source-ness is a PREDICATE of the node id, so every
@@ -5061,9 +5067,20 @@ object Queries {
     var r = nodes.filter(isSrc)
       .select(col("node"), lit(1000000000L / ns).as("r"))
     for (_ <- 1 to 3) {
-      val contrib = edges
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("r div d").as("cb"))
+      // `r div d` depends only on src, so the degree attaches to the
+      // NODE-sized rank relation, not to every edge: the r19 form
+      // cached a third 1.17M-row (src, dst, d) relation (sym ⋈ deg)
+      // whose only purpose was carrying d to this projection — a full
+      // extra columnar cache build + an extra long column scanned per
+      // iteration. Per-edge contributions are identical: cb is a
+      // function of src, replicated per edge either way (r20, guide
+      // §2.3 shuffle/scan fewer bytes).
+      val rIn = r.withColumnRenamed("node", "src")
+        .join(deg, "src")
+        .select(col("src"), expr("r div d").as("cb"))
+      val contrib = sym
+        .join(rIn, "src")
+        .select(col("dst"), col("cb"))
         .groupBy(col("dst")).agg(sum(col("cb")).as("contrib"))
         .select(col("dst").as("node"),
           expr("(85 * contrib) div 100").as("walk"))
@@ -5076,7 +5093,7 @@ object Queries {
               .otherwise(lit(0L))).as("r"))
         .filter(col("r") > 0) // sparse: untouched nodes carry no mass
     }
-    // eager ≤30-row result so the three graph caches release NOW
+    // eager ≤30-row result so the two graph caches release NOW
     // (the qRfmScores pattern) instead of lingering until the caller
     // clears the session cache
     materializeFinal("q_ppr",
@@ -5084,7 +5101,6 @@ object Queries {
         .select(col("node"), col("r").as("ppr_ppb"))
         .orderBy(col("ppr_ppb").desc, col("node")).limit(30)
         .orderBy(col("ppr_ppb").desc, col("node"))) {
-      edges.unpersist(blocking = false)
       deg.unpersist(blocking = false)
       sym.unpersist(blocking = false)
     }
