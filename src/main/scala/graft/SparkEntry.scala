@@ -6996,7 +6996,7 @@ object Queries {
         (0 until k).map(i => col(s"m$i").as(s"$ms$i")): _*)
     val matches = (0 until k).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
-    val votes = cands.join(side("a", "a"), "id_a").join(side("b", "b"), "id_b")
+    val votesPlan = cands.join(side("a", "a"), "id_a").join(side("b", "b"), "id_b")
       .select(matches.as("mt"),
         expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)").as("isz"),
         expr("CAST(size(sh_a) + size(sh_b) AS BIGINT)").as("ssz"),
@@ -7010,6 +7010,17 @@ object Queries {
           "ELSE 0L END").as("v_minhash"),
         expr("CASE WHEN ham <= 8 THEN 1L ELSE 0L END").as("v_simhash"),
         expr("CASE WHEN ed <= 12 THEN 1L ELSE 0L END").as("v_edit"))
+    // vote histogram AND per-method counts both read `votes`, whose
+    // subtree carries the per-doc shingling/simhash side projections
+    // over the whole corpus — unpersisted, the two consumers PLAN the
+    // tree twice and the corpus-sized text work runs twice per query
+    // (r20, StageProfile: the panel's dominant stage was 155 CPU-s
+    // for 256 candidate pairs; the plan dump showed the full side
+    // subtree duplicated under hist and meth). One eager checkpoint
+    // of the candidate-bounded vote rows runs it once (guide §5
+    // caching discipline — reused AND expensive to recompute).
+    val (votes, relVotes) =
+      operators.Rounds.persist(votesPlan, reliable = false)
     val hist = votes
       .groupBy(expr("concat('votes_', CAST(v_exact + v_minhash + " +
         "v_simhash + v_edit AS STRING))").as("metric"))
@@ -7026,6 +7037,7 @@ object Queries {
       .select(col("s.metric").as("metric"), col("s.n").as("n"))
     materializeFinal("q_dedup_panel",
       hist.unionByName(meth).orderBy(col("metric"))) {
+      relVotes()
       sigRelease()
     }
   }
