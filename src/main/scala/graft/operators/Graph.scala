@@ -471,13 +471,23 @@ object Graph {
     var converged = n0 == 0L
     while (r <= maxHops && !converged) {
       val frontier = dist.filter(col("dist") === (r - 1L))
+      // One keyed aggregate replaces the r19 distinct → anti-join →
+      // union chain (r20, guide §2.4): min(dist) over the union of
+      // the label set and the round-r-tagged reach keeps exactly the
+      // first (= BFS-minimal) hop per node — the group-by both dedups
+      // multi-edge reaches and rejects re-reaches of labeled nodes,
+      // so the round plans ONE exchange and zero broadcast builds
+      // where the old chain paid a distinct exchange plus a
+      // whole-label-set broadcast anti-join per round (each a
+      // sequential AQE stage round-trip — the family is
+      // scheduling-bound at bench scale, and at cluster scale the
+      // anti-join would shuffle the label set anyway).
       val reached = frontier.select(col("node")).as("f")
         .join(edges.as("e"), col("f.node") === col("e.src"))
-        .select(col("e.dst").as("node")).distinct()
-      val fresh = reached.join(dist, Seq("node"), "left_anti")
-        .select(col("node"), lit(r.toLong).as("dist"))
+        .select(col("e.dst").as("node"), lit(r.toLong).as("dist"))
       val (nextDist, nextRelease, n) = Rounds.persistCounted(
-        dist.unionAll(fresh), reliable,
+        dist.unionAll(reached).groupBy(col("node"))
+          .agg(F.min(col("dist")).as("dist")), reliable,
         pred = Some(col("dist") === r.toLong))
       release()
       dist = nextDist
