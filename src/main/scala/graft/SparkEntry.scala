@@ -5691,16 +5691,24 @@ object Queries {
     var converged = false
     while (r <= 4 && !converged) {
       val delta = dist.filter(col("rnd") === (r - 1L))
-      val cand = e.join(delta.select(col("node").as("src"), col("d")), "src")
-        .select(col("dst").as("node"), (col("d") + col("w")).as("cand"))
-        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
-      val improved = cand
-        .join(dist.select(col("node"), col("d").as("old")), Seq("node"), "left")
-        .filter(col("old").isNull || col("cand") < col("old"))
-        .select(col("node"), col("cand").as("d"), lit(r.toLong).as("rnd"))
+      // One keyed aggregate replaces the r19 candidate-agg → left-join
+      // → strict-improvement filter → anti-join → union chain (r20,
+      // guide §2.4): min(struct(d, rnd)) over the union of the label
+      // set and the round-r-tagged relaxation offers picks the
+      // smallest distance per node, tie → the OLDER round (rnd < r) —
+      // exactly the strict-improvement rule. The candidate min folds
+      // into the same aggregate's map-side partial, so the round
+      // plans ONE exchange and zero whole-label-set broadcast builds
+      // (each was a sequential AQE stage round-trip; at cluster scale
+      // the anti-join shuffles the label set anyway).
+      val offers = e.join(delta.select(col("node").as("src"), col("d")), "src")
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"),
+          lit(r.toLong).as("rnd"))
       val (nextDist, nextDistRelease, nImproved) =
         operators.Rounds.persistCounted(
-          dist.join(improved, Seq("node"), "left_anti").unionAll(improved),
+          dist.unionAll(offers).groupBy(col("node"))
+            .agg(min(struct(col("d"), col("rnd"))).as("m"))
+            .select(col("node"), col("m.d").as("d"), col("m.rnd").as("rnd")),
           reliable = false, pred = Some(col("rnd") === r.toLong))
       releaseDist()
       dist = nextDist; releaseDist = nextDistRelease
@@ -5787,17 +5795,19 @@ object Queries {
     var converged = false
     while (r <= 3 && !converged) {
       val delta = lab.filter(col("rnd") === (r - 1L))
-      val cand = e.join(delta.select(col("node").as("src"), col("lab")), "src")
-        .select(col("dst").as("node"), col("lab"))
-        .groupBy(col("node")).agg(min(col("lab")).as("cand"))
-      // every node already carries a label, so `old` is never null
-      val improved = cand
-        .join(lab.select(col("node"), col("lab").as("old")), Seq("node"), "left")
-        .filter(col("cand") < col("old"))
-        .select(col("node"), col("cand").as("lab"), lit(r.toLong).as("rnd"))
+      // same one-aggregate round as qSsspBounded (r20): min(struct(
+      // lab, rnd)) over labels ∪ round-tagged offers keeps the
+      // smallest label per node, tie → the older round — identical to
+      // the strict-improvement chain, with ONE exchange and zero
+      // label-set broadcast builds per round (the offer min folds
+      // into the aggregate's map-side partial).
+      val offers = e.join(delta.select(col("node").as("src"), col("lab")), "src")
+        .select(col("dst").as("node"), col("lab"), lit(r.toLong).as("rnd"))
       val (nextLab, nextLabRelease, nImproved) =
         operators.Rounds.persistCounted(
-          lab.join(improved, Seq("node"), "left_anti").unionAll(improved),
+          lab.unionAll(offers).groupBy(col("node"))
+            .agg(min(struct(col("lab"), col("rnd"))).as("m"))
+            .select(col("node"), col("m.lab").as("lab"), col("m.rnd").as("rnd")),
           reliable = false, pred = Some(col("rnd") === r.toLong))
       releaseLab()
       lab = nextLab; releaseLab = nextLabRelease
