@@ -1854,14 +1854,19 @@ object Queries {
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val (sig, sigRelease) = minhashSigned(s, dir)
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
-    // verify sides recompute shingles from the cached TEXT with the
-    // fused ShinglesExpr — cheaper than columnar-encoding the array
-    // column into the cache (which is why minhashSigned drops it)
-    val shingled = graft.functions.Shingles.shingles(col("text"), 3)
-    val a = sig.select(col("doc_id").as("id_a"), shingled.as("sh_a"))
-    val b = sig.select(col("doc_id").as("id_b"), shingled.as("sh_b"))
+    // verify sides carry the cached TEXT through the candidate joins;
+    // the fused ShinglesExpr evaluates ABOVE them — once per
+    // candidate pair side instead of once per corpus row per side
+    // (r20, guide §1.2; recomputing from text still beats
+    // columnar-encoding the array column into the cache, which is
+    // why minhashSigned drops it)
+    val a = sig.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("text").as("text_b"))
     materializeFinal("q_dedup_ngram",
       cands.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.Shingles.shingles(col("text_a"), 3).as("sh_a"),
+          graft.functions.Shingles.shingles(col("text_b"), 3).as("sh_b"))
         .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
@@ -6844,16 +6849,23 @@ object Queries {
     val (sigRaw, sigRelease) = minhashSigned(s, dir)
     val sig = sigRaw.dropDuplicates(Seq("doc_id"))
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
-    val shingled = graft.functions.Shingles.shingles(col("text"), 3)
-    val a = sig.select(Seq(col("doc_id").as("id_a"), shingled.as("sh_a")) ++
+    // text rides the candidate joins; shingling evaluates ABOVE them,
+    // once per candidate pair side instead of once per corpus row per
+    // side (r20 — the qDedupPanel/qDedupNgram shape, guide §1.2)
+    val a = sig.select(Seq(col("doc_id").as("id_a"),
+        col("text").as("text_a")) ++
       (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
-    val b = sig.select(Seq(col("doc_id").as("id_b"), shingled.as("sh_b")) ++
+    val b = sig.select(Seq(col("doc_id").as("id_b"),
+        col("text").as("text_b")) ++
       (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
     val matches = (0 until k).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
     materializeFinal("q_minhash_calibration",
       cands.join(a, "id_a").join(b, "id_b")
         .select(matches.as("mt"),
+          graft.functions.Shingles.shingles(col("text_a"), 3).as("sh_a"),
+          graft.functions.Shingles.shingles(col("text_b"), 3).as("sh_b"))
+        .select(col("mt"),
           expr("size(array_intersect(sh_a, sh_b))").cast("long").as("isz"),
           expr("size(sh_a) + size(sh_b)").cast("long").as("ssz"))
         .filter(col("ssz") > col("isz"))
@@ -6993,24 +7005,34 @@ object Queries {
     val (sigRaw, sigRelease) = minhashSigned(s, dir)
     val sig = sigRaw.dropDuplicates(Seq("doc_id"))
     val cands = Dedup.lshCandidatePairs(Dedup.withLshBands(sig), "doc_id")
-    val sh = Shingles.shingles(col("text"), 3)
+    // verify sides carry only (id, TEXT, minhash cols) through the
+    // candidate joins; shingling, simhash and the levenshtein prefix
+    // evaluate ABOVE the joins — once per CANDIDATE PAIR side instead
+    // of once per CORPUS row per side (the r19 side projections ran
+    // the per-doc text work for all 5000 docs twice to serve ~256
+    // surviving pairs; r20, guide §1.2 — don't compute what you throw
+    // away; same text-sides shape as qDedupEditDistance).
     def side(tag: String, ms: String) = sig.select(
-      Seq(col("doc_id").as(s"id_$tag"), sh.as(s"sh_$tag"),
-        SimHash.simhash(sh).as(s"sim_$tag"),
-        // levenshtein is codepoint-based in Spark but BYTE-based in
-        // DuckDB; normalizing non-ASCII codepoints to '?' makes the
-        // two views coincide on ANY corpus (one '?' per codepoint on
-        // both engines), not just the ASCII fixtures
-        regexp_replace(substring(col("text"), 1, 40),
-          "[^\\x20-\\x7E]", "?").as(s"pre_$tag")) ++
+      Seq(col("doc_id").as(s"id_$tag"), col("text").as(s"text_$tag")) ++
         (0 until k).map(i => col(s"m$i").as(s"$ms$i")): _*)
     val matches = (0 until k).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    // levenshtein is codepoint-based in Spark but BYTE-based in
+    // DuckDB; normalizing non-ASCII codepoints to '?' makes the
+    // two views coincide on ANY corpus (one '?' per codepoint on
+    // both engines), not just the ASCII fixtures
+    def pre(tag: String) = regexp_replace(
+      substring(col(s"text_$tag"), 1, 40), "[^\\x20-\\x7E]", "?")
     val votesPlan = cands.join(side("a", "a"), "id_a").join(side("b", "b"), "id_b")
       .select(matches.as("mt"),
+        Shingles.shingles(col("text_a"), 3).as("sh_a"),
+        Shingles.shingles(col("text_b"), 3).as("sh_b"),
+        pre("a").as("pre_a"), pre("b").as("pre_b"))
+      .select(col("mt"),
         expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)").as("isz"),
         expr("CAST(size(sh_a) + size(sh_b) AS BIGINT)").as("ssz"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+        bit_count(SimHash.simhash(col("sh_a"))
+          .bitwiseXOR(SimHash.simhash(col("sh_b")))).cast("long")
           .as("ham"),
         levenshtein(col("pre_a"), col("pre_b")).cast("long").as("ed"))
       .select(
